@@ -1,0 +1,473 @@
+"""Collection metadata: sample -> contig -> segment placements.
+
+Implements the reference's V3 batched lazy metadata format
+(reference: src/common/collection_v3.{h,cpp}) bit-compatibly:
+
+- stream "collection-samples": one zstd-19 part; raw = <n><name\\0>*
+- stream "collection-contigs": one zstd-18 part per batch of
+  ``batch_size`` (= pack_cardinality) samples; contig names are
+  space-tokenized and delta-coded vs the previous contig name
+  (collection_v3.cpp:369-465).
+- stream "collection-details": one part per batch; 5 independently
+  zstd-19'd substreams (counts / group_id / in_group_id / raw_length /
+  is_rev_comp) with a prefix-varint header of (raw, packed) sizes
+  (collection_v3.cpp:230-320, 539-679).
+
+Part metadata for samples/contigs parts is the raw (uncompressed) size;
+for details parts it is 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import zstandard
+
+from .codecs import (
+    dec_prefix_varint,
+    enc_prefix_varint,
+    read_cstr,
+    zigzag_decode_pred,
+    zigzag_encode_pred,
+)
+
+SAME_COMPONENT_MARKER = 0x81  # signed char -127 (collection_v3.cpp:377)
+
+
+def _zstd_c(data: bytes, level: int) -> bytes:
+    return zstandard.ZstdCompressor(level=level).compress(data)
+
+
+def _zstd_d(data: bytes, raw_size: int) -> bytes:
+    if raw_size == 0 and not data:
+        return b""
+    return zstandard.ZstdDecompressor().decompressobj().decompress(bytes(data))
+
+
+def extract_contig_name(s: str) -> str:
+    """First whitespace-delimited word (reference: collection.cpp:19-28)."""
+    for i, ch in enumerate(s):
+        if ch in (" ", "\n", "\r", "\t"):
+            return s[:i]
+    return s
+
+
+@dataclass
+class SegmentDesc:
+    group_id: int
+    in_group_id: int
+    is_rev_comp: bool
+    raw_length: int
+
+
+@dataclass
+class _Contig:
+    name: str
+    segments: list = field(default_factory=list)
+
+
+@dataclass
+class _Sample:
+    name: str
+    contigs: list = field(default_factory=list)
+    contigs_loaded: bool = False
+    details_loaded: bool = False
+
+
+# ---------------------------------------------------------------------------
+# contig-name split/delta codec (collection_v3.cpp:350-465)
+# ---------------------------------------------------------------------------
+
+
+def _split_tokens(s: bytes) -> list[bytes]:
+    return s.split(b" ")
+
+
+def _encode_split(prev: list[bytes], curr: list[bytes]) -> bytes:
+    enc = bytearray()
+    for p_tok, c_tok in zip(prev, curr):
+        if p_tok == c_tok:
+            enc.append(SAME_COMPONENT_MARKER)
+        elif len(p_tok) != len(c_tok):
+            enc.extend(c_tok)
+        else:
+            cnt = 0
+            for j in range(len(c_tok)):
+                if p_tok[j] == c_tok[j]:
+                    if cnt == 100:
+                        enc.append(256 - cnt)  # repetition marker (-cnt)
+                        cnt = 1
+                    else:
+                        cnt += 1
+                else:
+                    if cnt:
+                        enc.append(256 - cnt)
+                        cnt = 0
+                    enc.append(c_tok[j])
+            if cnt:
+                enc.append(256 - cnt)
+        enc.append(ord(" "))
+    if enc:
+        enc.pop()
+    return bytes(enc)
+
+
+def _decode_split(prev: list[bytes], curr: list[bytes]) -> tuple[bytes, list[bytes]]:
+    dec = bytearray()
+    out_tokens: list[bytes] = []
+    for p_tok, c_tok in zip(prev, curr):
+        if len(c_tok) == 1 and c_tok[0] == SAME_COMPONENT_MARKER:
+            dec.extend(p_tok)
+            out_tokens.append(p_tok)
+        else:
+            cmp = bytearray()
+            p_pos = 0
+            for c in c_tok:
+                if c < 0x80:
+                    cmp.append(c)
+                    p_pos += 1
+                else:
+                    n = 256 - c
+                    cmp.extend(p_tok[p_pos : p_pos + n])
+                    p_pos += n
+            dec.extend(cmp)
+            out_tokens.append(bytes(cmp))
+        dec.append(ord(" "))
+    if dec:
+        dec.pop()
+    return bytes(dec), out_tokens
+
+
+class CollectionV3:
+    """Writer + reader of V3 collection metadata."""
+
+    def __init__(self, batch_size: int, segment_size: int, kmer_length: int):
+        self.batch_size = max(1, batch_size)
+        self.segment_size = segment_size
+        self.kmer_length = kmer_length
+        self.samples: list[_Sample] = []
+        self.sample_ids: dict[str, int] = {}
+        self._prev_sample_name: str | None = None
+        self._reader = None  # ArchiveReader for lazy loads
+        self._loaded_batch: int | None = None
+
+    # ------------------------------------------------------------------
+    # registration / placement (compression side)
+    # ------------------------------------------------------------------
+
+    def reset_prev_sample_name(self) -> None:
+        self._prev_sample_name = None
+
+    def register_sample_contig(self, sample_name: str, contig_name: str) -> bool:
+        """reference: collection_v3.cpp:706-732."""
+        stored = sample_name if sample_name else extract_contig_name(contig_name)
+        if stored != self._prev_sample_name:
+            if stored in self.sample_ids:
+                return False
+            self.sample_ids[stored] = len(self.samples)
+            self.samples.append(_Sample(name=stored, contigs_loaded=True, details_loaded=True))
+            self._prev_sample_name = stored
+        self.samples[-1].contigs.append(_Contig(name=contig_name))
+        return True
+
+    def add_segment_placed(
+        self,
+        sample_name: str,
+        contig_name: str,
+        place: int,
+        group_id: int,
+        in_group_id: int,
+        is_rev_comp: bool,
+        raw_length: int,
+    ) -> None:
+        stored = sample_name if sample_name else extract_contig_name(contig_name)
+        sid = self.sample_ids[stored]
+        for ctg in self.samples[sid].contigs:
+            if ctg.name == contig_name:
+                if place >= len(ctg.segments):
+                    ctg.segments.extend(
+                        None for _ in range(place + 1 - len(ctg.segments))
+                    )
+                ctg.segments[place] = SegmentDesc(
+                    group_id, in_group_id, is_rev_comp, raw_length
+                )
+                return
+
+    # ------------------------------------------------------------------
+    # serialization (compression side)
+    # ------------------------------------------------------------------
+
+    def serialize_sample_names(self) -> bytes:
+        out = bytearray()
+        enc_prefix_varint(out, len(self.samples))
+        for s in self.samples:
+            out.extend(s.name.encode("utf-8") + b"\x00")
+        return bytes(out)
+
+    def serialize_contig_names(self, id_from: int, id_to: int) -> bytes:
+        out = bytearray()
+        enc_prefix_varint(out, id_to - id_from)
+        for s in self.samples[id_from:id_to]:
+            enc_prefix_varint(out, len(s.contigs))
+            prev_split: list[bytes] = []
+            for ctg in s.contigs:
+                raw = ctg.name.encode("utf-8")
+                curr_split = _split_tokens(raw)
+                if len(curr_split) != len(prev_split):
+                    out.extend(raw + b"\x00")
+                else:
+                    out.extend(_encode_split(prev_split, curr_split) + b"\x00")
+                prev_split = curr_split
+        return bytes(out)
+
+    def serialize_contig_details(self, id_from: int, id_to: int) -> list[bytes]:
+        v_data = [bytearray() for _ in range(5)]
+        enc_prefix_varint(v_data[0], id_to - id_from)
+        in_group_state: dict[int, int] = {}
+        for s in self.samples[id_from:id_to]:
+            enc_prefix_varint(v_data[0], len(s.contigs))
+            pred_raw_length = self.segment_size + self.kmer_length
+            for ctg in s.contigs:
+                enc_prefix_varint(v_data[0], len(ctg.segments))
+                for seg in ctg.segments:
+                    prev = in_group_state.get(seg.group_id, -1)
+                    if prev == -1:
+                        e_in_group = seg.in_group_id
+                    elif seg.in_group_id == 0:
+                        e_in_group = 0
+                    elif seg.in_group_id == prev + 1:
+                        e_in_group = 1
+                    else:
+                        e_in_group = zigzag_encode_pred(seg.in_group_id, prev + 1) + 1
+                    e_raw_length = zigzag_encode_pred(seg.raw_length, pred_raw_length)
+                    enc_prefix_varint(v_data[1], seg.group_id)
+                    enc_prefix_varint(v_data[2], e_in_group)
+                    enc_prefix_varint(v_data[3], e_raw_length)
+                    enc_prefix_varint(v_data[4], 1 if seg.is_rev_comp else 0)
+                    if seg.in_group_id > prev and seg.in_group_id > 0:
+                        in_group_state[seg.group_id] = seg.in_group_id
+        return [bytes(d) for d in v_data]
+
+    def store_contig_batch(self, writer, id_from: int, id_to: int) -> None:
+        """Write one batch of contig names + details (collection_v3.cpp:682-703)."""
+        names_raw = self.serialize_contig_names(id_from, id_to)
+        writer.add_part_buffered(
+            "collection-contigs", _zstd_c(names_raw, 18), len(names_raw)
+        )
+        v_data = self.serialize_contig_details(id_from, id_to)
+        v_packed = [_zstd_c(d, 19) for d in v_data]
+        stream = bytearray()
+        for raw, packed in zip(v_data, v_packed):
+            enc_prefix_varint(stream, len(raw))
+            enc_prefix_varint(stream, len(packed))
+        for packed in v_packed:
+            stream.extend(packed)
+        writer.add_part_buffered("collection-details", bytes(stream), 0)
+        # free stored details (mirrors reference eviction)
+        for s in self.samples[id_from:id_to]:
+            pass  # keep in memory on the python side; cheap enough
+
+    def complete_serialization(self, writer) -> None:
+        raw = self.serialize_sample_names()
+        writer.add_part_buffered("collection-samples", _zstd_c(raw, 19), len(raw))
+
+    # ------------------------------------------------------------------
+    # deserialization (decompression side)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_archive(
+        cls, reader, batch_size: int, segment_size: int, kmer_length: int
+    ) -> "CollectionV3":
+        coll = cls(batch_size, segment_size, kmer_length)
+        coll._reader = reader
+        part = reader.get_part("collection-samples", 0)
+        if part is None:
+            raise ValueError("archive missing collection-samples stream")
+        data = _zstd_d(part[0], part[1])
+        pos = 0
+        n_samples, pos = dec_prefix_varint(data, pos)
+        for i in range(n_samples):
+            name, pos = read_cstr(data, pos)
+            name = name.decode("utf-8")
+            coll.sample_ids[name] = i
+            coll.samples.append(_Sample(name=name))
+        return coll
+
+    def _load_batch_contig_names(self, batch_id: int) -> None:
+        part = self._reader.get_part("collection-contigs", batch_id)
+        data = _zstd_d(part[0], part[1])
+        pos = 0
+        n_samples, pos = dec_prefix_varint(data, pos)
+        base = batch_id * self.batch_size
+        for i in range(n_samples):
+            n_contigs, pos = dec_prefix_varint(data, pos)
+            sample = self.samples[base + i]
+            sample.contigs = []
+            prev_split: list[bytes] = []
+            for _ in range(n_contigs):
+                enc, pos = read_cstr(data, pos)
+                curr_split = _split_tokens(enc)
+                if len(curr_split) != len(prev_split):
+                    name_bytes = enc
+                    prev_split = curr_split
+                else:
+                    name_bytes, prev_split = _decode_split(prev_split, curr_split)
+                sample.contigs.append(_Contig(name=name_bytes.decode("utf-8")))
+            sample.contigs_loaded = True
+        self.no_samples_in_last_batch = n_samples
+
+    def _load_batch_contig_details(self, batch_id: int) -> None:
+        part = self._reader.get_part("collection-details", batch_id)
+        stream = part[0]
+        pos = 0
+        sizes = []
+        for _ in range(5):
+            raw, pos = dec_prefix_varint(stream, pos)
+            packed, pos = dec_prefix_varint(stream, pos)
+            sizes.append((raw, packed))
+        v_data = []
+        for raw, packed in sizes:
+            v_data.append(_zstd_d(stream[pos : pos + packed], raw))
+            pos += packed
+
+        base_check = batch_id * self.batch_size
+        if not self.samples[base_check].contigs_loaded:
+            self._load_batch_contig_names(batch_id)
+
+        # counts substream
+        d0 = v_data[0]
+        p0 = 0
+        n_samples, p0 = dec_prefix_varint(d0, p0)
+        base = batch_id * self.batch_size
+        seg_counts: list[list[int]] = []
+        total = 0
+        for i in range(n_samples):
+            n_contigs, p0 = dec_prefix_varint(d0, p0)
+            counts = []
+            for _ in range(n_contigs):
+                n_segs, p0 = dec_prefix_varint(d0, p0)
+                counts.append(n_segs)
+                total += n_segs
+            seg_counts.append(counts)
+
+        dets = []
+        for i in range(1, 5):
+            vals = []
+            p = 0
+            d = v_data[i]
+            for _ in range(total):
+                v, p = dec_prefix_varint(d, p)
+                vals.append(v)
+            dets.append(vals)
+
+        idx = 0
+        in_group_state: dict[int, int] = {}
+        pred_raw_length = self.segment_size + self.kmer_length
+        for i in range(n_samples):
+            sample = self.samples[base + i]
+            for j, n_segs in enumerate(seg_counts[i]):
+                ctg = sample.contigs[j]
+                ctg.segments = []
+                for _ in range(n_segs):
+                    group_id = dets[0][idx]
+                    e_in_group = dets[1][idx]
+                    prev = in_group_state.get(group_id, -1)
+                    if prev == -1:
+                        in_group = e_in_group
+                    elif e_in_group == 0:
+                        in_group = 0
+                    elif e_in_group == 1:
+                        in_group = prev + 1
+                    else:
+                        in_group = zigzag_decode_pred(e_in_group - 1, prev + 1)
+                    raw_length = zigzag_decode_pred(dets[2][idx], pred_raw_length)
+                    is_rc = bool(dets[3][idx])
+                    ctg.segments.append(
+                        SegmentDesc(group_id, in_group, is_rc, raw_length)
+                    )
+                    if in_group > prev and in_group > 0:
+                        in_group_state[group_id] = in_group
+                    idx += 1
+            sample.details_loaded = True
+
+    def _ensure_sample(self, sid: int, details: bool = False) -> None:
+        if self._reader is None:
+            return
+        s = self.samples[sid]
+        batch_id = sid // self.batch_size
+        if not s.contigs_loaded:
+            self._load_batch_contig_names(batch_id)
+        if details and not s.details_loaded:
+            self._load_batch_contig_details(batch_id)
+
+    # ------------------------------------------------------------------
+    # queries (reference: collection_v3.cpp:808-994)
+    # ------------------------------------------------------------------
+
+    def get_no_samples(self) -> int:
+        return len(self.samples)
+
+    def get_reference_name(self) -> str | None:
+        return self.samples[0].name if self.samples else None
+
+    def get_samples_list(self, sorted_: bool = True) -> list[str]:
+        names = [s.name for s in self.samples]
+        if sorted_:
+            names.sort()
+        return names
+
+    def get_contig_list_in_sample(self, sample_name: str) -> list[str] | None:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return None
+        self._ensure_sample(sid)
+        return [c.name for c in self.samples[sid].contigs]
+
+    def get_no_contigs(self, sample_name: str) -> int:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return -1
+        self._ensure_sample(sid)
+        return len(self.samples[sid].contigs)
+
+    def get_sample_desc(
+        self, sample_name: str
+    ) -> list[tuple[str, list[SegmentDesc]]] | None:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return None
+        self._ensure_sample(sid, details=True)
+        return [(c.name, c.segments) for c in self.samples[sid].contigs]
+
+    def get_contig_desc(
+        self, sample_name: str, contig_name: str
+    ) -> tuple[str, list[SegmentDesc]] | None:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return None
+        self._ensure_sample(sid, details=True)
+        short = extract_contig_name(contig_name)
+        for c in self.samples[sid].contigs:
+            if extract_contig_name(c.name) == short:
+                return c.name, c.segments
+        return None
+
+    def is_contig_desc(self, sample_name: str, contig_name: str) -> bool:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return False
+        self._ensure_sample(sid)
+        return any(
+            extract_contig_name(c.name) == contig_name
+            for c in self.samples[sid].contigs
+        )
+
+    def get_samples_for_contig(self, contig_name: str) -> list[str]:
+        short = extract_contig_name(contig_name)
+        out = []
+        for sid, s in enumerate(self.samples):
+            self._ensure_sample(sid)
+            if any(extract_contig_name(c.name) == short for c in s.contigs):
+                out.append(s.name)
+        return out

@@ -1,0 +1,358 @@
+"""Decompression engine: archive -> contigs/samples/collection.
+
+reference: src/common/agc_decompressor_lib.{h,cpp} and
+src/core/agc_decompressor.{h,cpp}.
+"""
+
+from __future__ import annotations
+
+import re
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+import numpy as np
+
+from .archive import ArchiveReader
+from .codecs import fixed_u32, ss_base
+from .collection import CollectionV3, SegmentDesc, extract_contig_name
+from .genome_io import CNV_NUM, FastaWriter, contig_to_ascii, wrap_lines
+from .segment import SegmentReader, zstd_decompress_tolerant
+
+NO_RAW_GROUPS = 16  # reference: agc_basic.h:81
+
+# contig query grammar (reference: agc_decompressor_lib.h:127-130)
+_RE_CSR = re.compile(r"^(.+)@(.+):(.+)-(.+)$")
+_RE_CS = re.compile(r"^(.+)@(.+)$")
+_RE_CR = re.compile(r"^(.+):(.+)-(.+)$")
+
+_RC_MAP = np.arange(256, dtype=np.uint8)
+_RC_MAP[0:4] = [3, 2, 1, 0]
+
+
+def reverse_complement(ctg: np.ndarray) -> np.ndarray:
+    """reference: agc_basic.cpp:257-279 (codes >= 4 left as-is)."""
+    return _RC_MAP[ctg[::-1]]
+
+
+def _atoll(s: str) -> int:
+    """C atoll semantics: parse leading integer, else 0."""
+    m = re.match(r"^\s*[+-]?\d+", s)
+    return int(m.group(0)) if m else 0
+
+
+@dataclass
+class ContigQuery:
+    name: str
+    sample: str
+    from_: int
+    to: int
+
+
+def analyze_contig_query(query: str) -> ContigQuery:
+    """reference: agc_decompressor_lib.cpp:64-101."""
+    m = _RE_CSR.match(query)
+    if m:
+        return ContigQuery(m.group(1), m.group(2), _atoll(m.group(3)), _atoll(m.group(4)))
+    m = _RE_CS.match(query)
+    if m:
+        return ContigQuery(m.group(1), m.group(2), -1, -1)
+    m = _RE_CR.match(query)
+    if m:
+        return ContigQuery(m.group(1), "", _atoll(m.group(2)), _atoll(m.group(3)))
+    return ContigQuery(query, "", -1, -1)
+
+
+class Decompressor:
+    """Open an .agc archive for queries and extraction."""
+
+    def __init__(self, path: str, prefetch: bool = True):
+        self.reader = ArchiveReader(path, prefetch=prefetch)
+        self.file_type_info = self._load_file_type_info()
+        maj = int(self.file_type_info.get("file_version_major", "3"))
+        mino = int(self.file_type_info.get("file_version_minor", "0"))
+        self.archive_version = maj * 1000 + mino
+        if self.archive_version >= 4000 or self.archive_version < 3000:
+            raise ValueError(
+                f"unsupported archive version {maj}.{mino}; only format 3.x "
+                "is supported by agc-tpu (1.x/2.x reading: planned)"
+            )
+        self._load_params()
+        self.collection = CollectionV3.from_archive(
+            self.reader, self.pack_cardinality, self.segment_size, self.kmer_length
+        )
+        self._segment_cache: dict[int, SegmentReader] = {}
+
+    # ------------------------------------------------------------------
+
+    def _load_file_type_info(self) -> dict[str, str]:
+        part = self.reader.get_part("file_type_info", 0)
+        if part is None:
+            raise ValueError("not an AGC archive: missing file_type_info stream")
+        data, n_items = part
+        info = {}
+        pos = 0
+        for _ in range(n_items):
+            end = data.index(0, pos)
+            key = data[pos:end].decode()
+            pos = end + 1
+            end = data.index(0, pos)
+            val = data[pos:end].decode()
+            pos = end + 1
+            info[key] = val
+        return info
+
+    def _load_params(self) -> None:
+        part = self.reader.get_part("params", 0)
+        if part is None:
+            raise ValueError("archive does not contain parameters section")
+        data = part[0]
+        self.kmer_length = int.from_bytes(data[0:4], "little")
+        self.min_match_len = int.from_bytes(data[4:8], "little")
+        self.pack_cardinality = int.from_bytes(data[8:12], "little")
+        self.segment_size = (
+            int.from_bytes(data[12:16], "little") if len(data) >= 16 else 0
+        )
+
+    # ------------------------------------------------------------------
+    # segment access
+    # ------------------------------------------------------------------
+
+    def _segment(self, group_id: int) -> SegmentReader:
+        seg = self._segment_cache.get(group_id)
+        if seg is None:
+            seg = SegmentReader(
+                ss_base(self.archive_version, group_id),
+                self.reader,
+                self.pack_cardinality,
+                self.min_match_len,
+                self.archive_version,
+            )
+            self._segment_cache[group_id] = seg
+        return seg
+
+    def decompress_segment(self, group_id: int, in_group_id: int) -> bytes:
+        seg = self._segment(group_id)
+        if group_id < NO_RAW_GROUPS:
+            return seg.get_raw(in_group_id)
+        return seg.get(in_group_id)
+
+    # ------------------------------------------------------------------
+    # contig assembly (reference: agc_decompressor_lib.cpp:172-286)
+    # ------------------------------------------------------------------
+
+    def decompress_contig(
+        self, segments: list[SegmentDesc], from_: int = -1, to: int = -1
+    ) -> np.ndarray:
+        k = self.kmer_length
+        if from_ < 0 and to < 0:
+            from_, to = 0, (1 << 62)
+        else:
+            if from_ < 0:
+                from_ = 0
+            if to < 0:
+                to = 1 << 62
+            if from_ > to:
+                from_, to = 0, 1 << 62
+
+        parts: list[np.ndarray] = []
+        curr_pos = 0
+        for seg in segments:
+            seg_len = seg.raw_length
+            if curr_pos + seg_len < from_:
+                from_ -= seg_len - k
+                to -= seg_len - k
+                continue
+            if curr_pos > to:
+                break
+            raw = self.decompress_segment(seg.group_id, seg.in_group_id)
+            ctg = np.frombuffer(raw, dtype=np.uint8)
+            if seg.is_rev_comp:
+                ctg = reverse_complement(ctg)
+            parts.append(ctg)
+            curr_pos += seg_len - k
+
+        if not parts:
+            return np.empty(0, dtype=np.uint8)
+        pieces = [parts[0]]
+        for p in parts[1:]:
+            pieces.append(p[k:])  # drop k-overlap
+        ctg = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        if len(ctg) > to + 1:
+            ctg = ctg[: to + 1]
+        if from_ != 0:
+            ctg = ctg[from_:]
+        return ctg
+
+    # ------------------------------------------------------------------
+    # public queries (parity with CAGCDecompressorLibrary)
+    # ------------------------------------------------------------------
+
+    def list_samples(self, sorted_: bool = True) -> list[str]:
+        return self.collection.get_samples_list(sorted_)
+
+    def list_contigs(self, sample_name: str) -> list[str] | None:
+        return self.collection.get_contig_list_in_sample(sample_name)
+
+    def get_no_samples(self) -> int:
+        return self.collection.get_no_samples()
+
+    def get_no_contigs(self, sample_name: str) -> int:
+        return self.collection.get_no_contigs(sample_name)
+
+    def get_reference_sample(self) -> str:
+        return self.collection.get_reference_name() or ""
+
+    def get_params(self) -> dict:
+        return {
+            "kmer_length": self.kmer_length,
+            "min_match_len": self.min_match_len,
+            "pack_cardinality": self.pack_cardinality,
+            "segment_size": self.segment_size,
+        }
+
+    def _resolve_sample_for_contig(self, contig_name: str) -> str | None:
+        cands = self.collection.get_samples_for_contig(contig_name)
+        if len(cands) != 1:
+            return None
+        return cands[0]
+
+    def get_contig_seq(
+        self, sample_name: str, contig_name: str, from_: int = -1, to: int = -1
+    ) -> bytes | None:
+        """Numeric contig -> ASCII string (no line wrapping)."""
+        ctg = self.get_contig_numeric(sample_name, contig_name, from_, to)
+        if ctg is None:
+            return None
+        return contig_to_ascii(ctg)
+
+    def get_contig_numeric(
+        self, sample_name: str, contig_name: str, from_: int = -1, to: int = -1
+    ) -> np.ndarray | None:
+        if not sample_name:
+            sample_name = self._resolve_sample_for_contig(contig_name)
+            if sample_name is None:
+                return None
+        desc = self.collection.get_contig_desc(sample_name, contig_name)
+        if desc is None:
+            return None
+        _, segments = desc
+        return self.decompress_contig(segments, from_, to)
+
+    def get_contig_length(self, sample_name: str, contig_name: str) -> int:
+        if not sample_name:
+            sample_name = self._resolve_sample_for_contig(contig_name)
+            if sample_name is None:
+                return -1
+        desc = self.collection.get_contig_desc(sample_name, contig_name)
+        if desc is None:
+            return -1
+        _, segments = desc
+        total = sum(s.raw_length for s in segments)
+        return total - (len(segments) - 1) * self.kmer_length
+
+    # ------------------------------------------------------------------
+    # batch extraction (reference: agc_decompressor.cpp)
+    # ------------------------------------------------------------------
+
+    def _emit_contig(
+        self, writer: FastaWriter, name: str, segments, line_len: int,
+        from_: int = -1, to: int = -1,
+    ) -> None:
+        ctg = self.decompress_contig(segments, from_, to)
+        body = wrap_lines(contig_to_ascii(ctg), line_len)
+        if writer.gzip_level:
+            body = writer.gzip_body(body)
+        writer.save_contig_directly(name, body)
+
+    def get_collection_files(
+        self,
+        out_dir: str,
+        line_length: int = 80,
+        no_threads: int = 1,
+        gzip_level: int = 0,
+        no_ref: bool = False,
+    ) -> bool:
+        """Extract every sample to <dir>/<sample>.fa[.gz] or stdout."""
+        samples = self.collection.get_samples_list(sorted_=False)
+        if no_ref and samples:
+            samples = samples[1:]
+        for s in samples:
+            if out_dir:
+                suffix = ".fa.gz" if gzip_level else ".fa"
+                path = f"{out_dir.rstrip('/')}/{s}{suffix}"
+            else:
+                path = None
+            writer = FastaWriter(path, gzip_level)
+            desc = self.collection.get_sample_desc(s)
+            for contig_name, segments in desc:
+                self._emit_contig(writer, contig_name, segments, line_length)
+            writer.close()
+        return True
+
+    def get_sample_file(
+        self,
+        file_name: str | None,
+        sample_names: list[str],
+        line_length: int = 80,
+        no_threads: int = 1,
+        gzip_level: int = 0,
+    ) -> bool:
+        descs = []
+        for s in sample_names:
+            desc = self.collection.get_sample_desc(s)
+            if desc is None:
+                raise KeyError(f"There is no sample {s}")
+            descs.append(desc)
+        writer = FastaWriter(file_name, gzip_level)
+        for desc in descs:
+            for contig_name, segments in desc:
+                self._emit_contig(writer, contig_name, segments, line_length)
+        writer.close()
+        return True
+
+    def get_contig_file(
+        self,
+        file_name: str | None,
+        contig_queries: list[str],
+        line_length: int = 80,
+        no_threads: int = 1,
+        gzip_level: int = 0,
+    ) -> bool:
+        writer = FastaWriter(file_name, gzip_level)
+        for q in contig_queries:
+            cq = analyze_contig_query(q)
+            sample = cq.sample
+            if not sample:
+                sample = self._resolve_sample_for_contig(cq.name)
+                if sample is None:
+                    raise KeyError(f"Cannot resolve sample for contig {cq.name}")
+            desc = self.collection.get_contig_desc(sample, cq.name)
+            if desc is None:
+                raise KeyError(f"There is no contig {cq.name} in sample {sample}")
+            full_name, segments = desc
+            out_name = full_name
+            if cq.from_ >= 0 and cq.to >= 0:
+                out_name = f"{full_name}:{cq.from_}-{cq.to}"
+            self._emit_contig(
+                writer, out_name, segments, line_length, cq.from_, cq.to
+            )
+        writer.close()
+        return True
+
+    def get_sample_sequences(self, sample_name: str) -> list[tuple[str, np.ndarray]]:
+        """In-memory decode of a whole sample (used by adaptive append;
+        reference: agc_decompressor.cpp:405-475)."""
+        desc = self.collection.get_sample_desc(sample_name)
+        out = []
+        for contig_name, segments in desc:
+            out.append((contig_name, self.decompress_contig(segments)))
+        return out
+
+    def close(self) -> None:
+        self.reader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

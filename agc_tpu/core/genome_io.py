@@ -1,0 +1,162 @@
+"""FASTA input/output (plain and gzip), numeric symbol conversion.
+
+reference: src/core/genome_io.{h,cpp}, src/common/agc_basic.h:40-50,
+src/common/agc_decompressor_lib.cpp:532-645.
+
+Sequences are held numerically: A,C,G,T=0..3, N=4, IUPAC ambiguity codes
+5..15, anything else = 30.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import sys
+import zlib
+
+import numpy as np
+
+# numeric -> ascii (reference: agc_basic.h:40-50)
+CNV_NUM = np.full(128, ord(" "), dtype=np.uint8)
+for _i, _c in enumerate("ACGTNRYSWKMBDHVU"):
+    CNV_NUM[_i] = ord(_c)
+
+# ascii -> numeric for bytes >= 64; others are dropped by preprocessing
+CNV_ASCII = np.full(256, 255, dtype=np.uint8)  # 255 = drop
+_MAP = {
+    "A": 0, "C": 1, "G": 2, "T": 3, "N": 4, "R": 5, "Y": 6, "S": 7,
+    "W": 8, "K": 9, "M": 10, "B": 11, "D": 12, "H": 13, "V": 14, "U": 15,
+}
+for _ch in range(64, 128):
+    c = chr(_ch).upper()
+    CNV_ASCII[_ch] = _MAP.get(c, 30) if chr(_ch).isalpha() or c in _MAP else 30
+# '@', '[', ']' etc: reference maps any byte >= 64 through cnv_num, giving 30
+# for non-IUPAC letters and ' ' (32) for '@'/'`'; replicate exactly:
+_REF_ROW = [
+    ord(" "), 0, 11, 1, 12, 30, 30, 2, 13, 30, 30, 9, 30, 10, 4, 30,
+    30, 30, 5, 7, 3, 15, 14, 8, 30, 6, 30, 30, 30, 30, 30, 30,
+]
+for _o in range(32):
+    CNV_ASCII[64 + _o] = _REF_ROW[_o]
+    CNV_ASCII[96 + _o] = _REF_ROW[_o]
+
+
+def _open_maybe_gz(path: str):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_contigs_raw(path: str):
+    """Yield (id, raw_bytes) per contig; id = full header line after '>'
+    (reference: genome_io.cpp:208-252). Raw bytes still contain newlines."""
+    with _open_maybe_gz(path) as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # find header start
+        nl = data.find(b"\n", pos)
+        line_end = nl if nl >= 0 else n
+        header = data[pos:line_end]
+        if header.endswith(b"\r"):
+            header = header[:-1]
+        if not header.startswith(b">"):
+            # skip garbage until next '>'
+            nxt = data.find(b">", pos)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        cid = header[1:].decode("utf-8", "replace")
+        body_start = line_end + 1
+        nxt = data.find(b">", body_start)
+        body_end = nxt if nxt >= 0 else n
+        body = data[body_start:body_end]
+        pos = body_end
+        if cid and body:
+            yield cid, body
+
+
+def preprocess_raw_contig(raw: bytes) -> np.ndarray:
+    """ASCII FASTA body -> numeric codes; keeps only bytes >= 64
+    (reference: agc_compressor.cpp:907-951)."""
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    arr = arr[arr >= 64]
+    return CNV_ASCII[arr]
+
+
+def contig_to_ascii(ctg: np.ndarray) -> bytes:
+    return CNV_NUM[ctg].tobytes()
+
+
+def wrap_lines(seq_ascii: bytes, line_len: int) -> bytes:
+    """Split into lines of ``line_len``, each (incl. the last) newline-
+    terminated (reference: agc_decompressor_lib.cpp:562-645)."""
+    if not seq_ascii:
+        return b""
+    if line_len == 0:
+        return seq_ascii
+    arr = memoryview(seq_ascii)
+    parts = [bytes(arr[i : i + line_len]) for i in range(0, len(arr), line_len)]
+    return b"\n".join(parts) + b"\n"
+
+
+class FastaWriter:
+    """Writes contigs to a file / stdout, optionally as concatenated gzip
+    members (one per header/body, mirroring the reference's -g output;
+    agc_decompressor.cpp:29-38, genome_io.cpp:331-351)."""
+
+    def __init__(self, path: str | None, gzip_level: int = 0):
+        self.gzip_level = gzip_level
+        if path is None or path == "":
+            self.f = sys.stdout.buffer
+            self._own = False
+        else:
+            self.f = open(path, "wb")
+            self._own = True
+
+    def _gzip_member(self, data: bytes, level: int) -> bytes:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=max(1, level), mtime=0) as g:
+            g.write(data)
+        return buf.getvalue()
+
+    def save_contig_directly(self, name: str, body: bytes) -> None:
+        header = b">" + name.encode("utf-8") + b"\n"
+        if self.gzip_level:
+            self.f.write(self._gzip_member(header, 1))
+            self.f.write(body)  # body already gzipped by caller
+        else:
+            self.f.write(header)
+            self.f.write(body)
+
+    def gzip_body(self, body: bytes) -> bytes:
+        return self._gzip_member(body, self.gzip_level)
+
+    def close(self) -> None:
+        if self._own:
+            self.f.close()
+        else:
+            self.f.flush()
+
+
+def sample_name_from_path(path: str) -> str:
+    """File stem with compression/FASTA suffixes stripped
+    (reference: application.cpp:606-633, main.cpp:108-110)."""
+    name = os.path.basename(path)
+    # drop the last extension (path stem), then strip known suffixes
+    stem, _, _ = name.rpartition(".")
+    if stem:
+        name = stem
+    while True:
+        for suf in (".fna", ".gz", ".fa", ".fasta"):
+            if len(name) > len(suf) and name.endswith(suf):
+                name = name[: -len(suf)]
+                break
+        else:
+            break
+    return name

@@ -1,0 +1,362 @@
+"""Segment group store: per-group reference + LZ-delta packs.
+
+Bit-compatible with the reference's CSegment on-archive layout
+(reference: src/common/segment.{h,cpp}):
+
+- ref stream  "x<b64>r": single part; data = zstd(payload) + 1 marker byte
+  (0 = plain, 1 = "tuples" repacked); metadata = raw size, or raw bytes with
+  metadata 0 when compression does not pay (segment.h:172-255).
+- delta stream "x<b64>d": parts of ``pack_cardinality`` members, each
+  member's token stream terminated by 0xFF; zstd-17 + marker byte 0,
+  metadata = raw pack size (or raw, metadata 0).
+- raw groups (group_id < 16) store raw symbol streams in the delta stream
+  via the same pack framing (segment.cpp:14-31).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import zstandard
+
+from .codecs import ss_delta_ext, ss_ref_ext
+from .lz import LZDiff, decode_v1, decode_v2
+
+CONTIG_SEPARATOR = 0xFF
+
+
+def zstd_decompress_tolerant(data: bytes) -> bytes:
+    """Decompress one zstd frame, ignoring trailing bytes (the reference
+    appends a marker byte after the frame and passes the full buffer to
+    ZSTD_decompressDCtx; segment.cpp:304)."""
+    return zstandard.ZstdDecompressor().decompressobj().decompress(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# tuples repacking (reference: segment.h:73-169)
+# ---------------------------------------------------------------------------
+
+_TUPLE_PARAMS = {4: 4, 3: 6, 2: 16}
+
+
+def bytes2tuples(data: bytes) -> bytes:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    me = int(arr.max()) if len(arr) else 0
+    if me < 4:
+        nb, mult = 4, 4
+    elif me < 6:
+        nb, mult = 3, 6
+    elif me < 16:
+        nb, mult = 2, 16
+    else:
+        return data + b"\x10"
+    n_full = len(arr) // nb
+    main = arr[: n_full * nb].reshape(n_full, nb).astype(np.uint32)
+    packed = np.zeros(n_full, dtype=np.uint32)
+    for j in range(nb):
+        packed = packed * mult + main[:, j]
+    tail = arr[n_full * nb :]
+    c = 0
+    for v in tail.tolist():
+        c = c * mult + v
+    out = packed.astype(np.uint8).tobytes() + bytes([c])
+    marker = (nb << 4) | (len(arr) % nb)
+    return out + bytes([marker])
+
+
+def tuples2bytes(data: bytes) -> bytes:
+    marker = data[-1]
+    nb = marker >> 4
+    trailing = marker & 0xF
+    if nb == 1:
+        return data[:-1]
+    mult = _TUPLE_PARAMS[nb]
+    output_size = (len(data) - 2) * nb + trailing
+    tuples = np.frombuffer(data, dtype=np.uint8)
+    main = tuples[: len(data) - 2].astype(np.uint32)
+    cols = []
+    rem = main
+    for _ in range(nb):
+        cols.append(rem % mult)
+        rem = rem // mult
+    out = np.stack(cols[::-1], axis=1).astype(np.uint8).reshape(-1)
+    res = bytearray(out.tobytes())
+    if trailing:
+        c = int(tuples[len(data) - 2])
+        tail = bytearray(trailing)
+        for k in range(trailing - 1, -1, -1):
+            tail[k] = c % mult
+            c //= mult
+        res.extend(tail)
+    else:
+        pass  # the pre-marker byte is a filler zero (see bytes2tuples)
+    return bytes(res[:output_size])
+
+
+# ---------------------------------------------------------------------------
+# decode-side segment access
+# ---------------------------------------------------------------------------
+
+
+class SegmentReader:
+    """Random access to one segment group of an open archive.
+
+    Caches the decoded reference and the last decoded delta packs
+    (mirrors the reference's ``fast`` mode prefetch; segment.h:59-61).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        reader,
+        pack_cardinality: int,
+        min_match_len: int,
+        archive_version: int,
+    ):
+        self.name = name
+        self.reader = reader
+        self.pack = pack_cardinality
+        self.min_match_len = min_match_len
+        self.archive_version = archive_version
+        self._ref: bytes | None = None
+        self._pack_cache: dict[int, list[bytes]] = {}
+        self._pack_cache_max = 2
+
+    def _ref_stream(self) -> str:
+        return self.name + ss_ref_ext(self.archive_version)
+
+    def _delta_stream(self) -> str:
+        return self.name + ss_delta_ext(self.archive_version)
+
+    def _load_ref(self) -> bytes:
+        if self._ref is not None:
+            return self._ref
+        part = self.reader.get_part(self._ref_stream(), 0)
+        if part is None:
+            raise KeyError(f"missing ref stream {self._ref_stream()}")
+        data, raw_size = part
+        if raw_size == 0:
+            ref = bytes(data)
+        else:
+            payload = zstd_decompress_tolerant(data[:-1])
+            if data[-1] == 1:
+                ref = tuples2bytes(payload)
+            else:
+                ref = payload
+        self._ref = ref
+        return ref
+
+    def _load_pack(self, part_id: int) -> list[bytes]:
+        cached = self._pack_cache.get(part_id)
+        if cached is not None:
+            return cached
+        part = self.reader.get_part(self._delta_stream(), part_id)
+        if part is None:
+            raise KeyError(f"missing delta part {self._delta_stream()}[{part_id}]")
+        data, raw_size = part
+        if raw_size == 0:
+            pack = bytes(data)
+        else:
+            pack = zstd_decompress_tolerant(data)
+        items = pack.split(b"\xff")[:-1]
+        if len(self._pack_cache) >= self._pack_cache_max:
+            self._pack_cache.pop(next(iter(self._pack_cache)))
+        self._pack_cache[part_id] = items
+        return items
+
+    def get_raw(self, in_group_id: int) -> bytes:
+        """Raw-group member (reference: segment.cpp:136-217)."""
+        part_id = in_group_id // self.pack
+        idx = in_group_id % self.pack
+        return self._load_pack(part_id)[idx]
+
+    def get(self, in_group_id: int) -> bytes:
+        """LZ-group member (reference: segment.cpp:220-399)."""
+        ref = self._load_ref()
+        if in_group_id == 0:
+            return ref
+        part_id = (in_group_id - 1) // self.pack
+        idx = (in_group_id - 1) % self.pack
+        delta = self._load_pack(part_id)[idx]
+        if self.archive_version < 2000:
+            return decode_v1(ref, delta, self.min_match_len)
+        return decode_v2(ref, delta, self.min_match_len)
+
+
+# ---------------------------------------------------------------------------
+# encode-side segment store
+# ---------------------------------------------------------------------------
+
+
+def _zstd_level(level: int):
+    return zstandard.ZstdCompressor(level=level)
+
+
+class SegmentWriter:
+    """Accumulates one group's members and writes packs to the archive."""
+
+    def __init__(
+        self,
+        name: str,
+        writer,
+        pack_cardinality: int,
+        min_match_len: int,
+        archive_version: int,
+    ):
+        self.name = name
+        self.writer = writer
+        self.pack = pack_cardinality
+        self.min_match_len = min_match_len
+        self.archive_version = archive_version
+        self.lz = LZDiff(min_match_len)
+        self.no_seqs = 0
+        self.v_lzp: list[bytes] = []
+        self.v_raw: list[bytes] = []
+        self.ref_size = 0
+        self._ref_stored = False
+        # appending-mode rehydration state
+        self._packed_ref: tuple[bytes, int] | None = None
+        self._packed_delta: tuple[bytes, int] | None = None
+        self._unpacked = True
+
+    # -- store helpers ---------------------------------------------------
+
+    def _store_ref(self, data: bytes) -> None:
+        """reference: segment.h:218-255 (autocorrelation probe -> tuples)."""
+        stream = self.name + ss_ref_ext(self.archive_version)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        best_frac = 0.0
+        acgt = arr < 4
+        n_acgt_prefix = None
+        for lag in range(4, 32):
+            if lag >= len(arr):
+                break
+            cnt = int(np.count_nonzero(arr[:-lag] == arr[lag:]))
+            cur = int(np.count_nonzero(acgt[:-lag]))
+            frac = cnt / cur if cur else 0.0
+            if frac > best_frac:
+                best_frac = frac
+                if best_frac >= 0.5:
+                    break
+        if best_frac < 0.5:
+            tuples = bytes2tuples(data)
+            z = _zstd_level(13).compress(tuples) + b"\x01"
+        else:
+            z = _zstd_level(19).compress(data) + b"\x00"
+        if len(z) < len(data):
+            self.writer.add_part_buffered(stream, z, len(data))
+        else:
+            self.writer.add_part_buffered(stream, data, 0)
+
+    def _store_pack(self, items: list[bytes]) -> None:
+        stream = self.name + ss_delta_ext(self.archive_version)
+        pack = b"\xff".join(items) + b"\xff"
+        z = _zstd_level(17).compress(pack) + b"\x00"
+        if len(z) < len(pack):
+            self.writer.add_part_buffered(stream, z, len(pack))
+        else:
+            self.writer.add_part_buffered(stream, pack, 0)
+
+    # -- public ----------------------------------------------------------
+
+    def add_raw(self, seq: bytes) -> int:
+        self._ensure_unpacked()
+        if len(self.v_raw) == self.pack:
+            self._store_pack(self.v_raw)
+            self.v_raw = []
+        self.no_seqs += 1
+        self.v_raw.append(bytes(seq))
+        return self.no_seqs - 1
+
+    def add(self, seq: bytes) -> int:
+        """LZ-encode vs the group reference (reference: segment.cpp:34-80)."""
+        self._ensure_unpacked()
+        if self.no_seqs == 0:
+            self.lz.prepare(seq)
+            self._store_ref(bytes(seq))
+            self.ref_size = len(seq) + 1
+            self.no_seqs = 1
+            return 0
+        if len(self.v_lzp) == self.pack:
+            self._store_pack(self.v_lzp)
+            self.v_lzp = []
+        delta = self.lz.encode(bytes(seq))
+        if not delta:  # identical to reference
+            return 0
+        try:
+            prev = self.v_lzp.index(delta)
+            return self.no_seqs - (len(self.v_lzp) - prev)
+        except ValueError:
+            pass
+        self.v_lzp.append(delta)
+        self.no_seqs += 1
+        return self.no_seqs - 1
+
+    def estimate(self, seq: bytes, bound: int) -> int:
+        if self.ref_size == 0:
+            return 0
+        self._ensure_unpacked()
+        return self.lz.estimate(bytes(seq), bound)
+
+    def get_coding_cost(self, seq: bytes, prefix_costs: bool) -> np.ndarray:
+        self._ensure_unpacked()
+        return self.lz.get_coding_cost_vector(bytes(seq), prefix_costs)
+
+    def get_ref_size(self) -> int:
+        return self.ref_size
+
+    def finish(self) -> None:
+        self._ensure_unpacked()
+        if self.v_lzp:
+            self._store_pack(self.v_lzp)
+            self.v_lzp = []
+        if self.v_raw:
+            self._store_pack(self.v_raw)
+            self.v_raw = []
+
+    # -- appending-mode rehydration (reference: segment.cpp:418-577) ----
+
+    def appending_init(self, reader) -> None:
+        ref_stream = self.name + ss_ref_ext(self.archive_version)
+        delta_stream = self.name + ss_delta_ext(self.archive_version)
+        have_ref = reader.has_stream(ref_stream)
+        have_delta = reader.has_stream(delta_stream)
+        if have_ref:
+            data, meta = reader.get_part(ref_stream, 0)
+            self.writer.add_part(ref_stream, data, meta)
+            self._packed_ref = (data, meta)
+            self._ref_stored = True
+            self.no_seqs = 1
+        if have_delta:
+            n = reader.n_parts(delta_stream)
+            for i in range(n - 1):
+                data, meta = reader.get_part(delta_stream, i)
+                self.writer.add_part(delta_stream, data, meta)
+                self.no_seqs += self.pack
+            if n > 0:
+                self._packed_delta = reader.get_part(delta_stream, n - 1)
+        self._unpacked = False
+
+    def _ensure_unpacked(self) -> None:
+        if self._unpacked:
+            return
+        self._unpacked = True
+        if self._packed_ref is not None:
+            data, raw_size = self._packed_ref
+            if raw_size == 0:
+                ref = bytes(data)
+            else:
+                payload = zstd_decompress_tolerant(data[:-1])
+                ref = tuples2bytes(payload) if data[-1] == 1 else payload
+            self._packed_ref = None
+            self.lz.prepare(ref)
+            self.ref_size = len(ref) + 1
+        if self._packed_delta is not None:
+            data, raw_size = self._packed_delta
+            pack = bytes(data) if raw_size == 0 else zstd_decompress_tolerant(data)
+            items = pack.split(b"\xff")[:-1]
+            self._packed_delta = None
+            if self.ref_size == 0:
+                self.v_raw = items
+            else:
+                self.v_lzp = items
+            self.no_seqs += len(items)

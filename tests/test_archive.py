@@ -1,0 +1,91 @@
+"""Archive container round-trip + reading the reference-produced fixture."""
+
+import os
+
+import pytest
+
+from agc_tpu.core.archive import ArchiveReader, ArchiveWriter
+from agc_tpu.core.codecs import (
+    dec_be_varint,
+    dec_prefix_varint,
+    enc_be_varint,
+    enc_prefix_varint,
+    int_to_base64,
+    murmur64,
+    zigzag_decode_pred,
+    zigzag_encode_pred,
+)
+
+
+def test_be_varint_roundtrip():
+    for x in [0, 1, 127, 128, 255, 256, 65535, 1 << 20, (1 << 56) - 3, (1 << 63)]:
+        buf = enc_be_varint(x)
+        val, pos = dec_be_varint(buf, 0)
+        assert val == x and pos == len(buf)
+
+
+def test_prefix_varint_roundtrip():
+    vals = [0, 1, 127, 128, 200, 16511, 16512, 100000, 2113663, 2113664,
+            270549119, 270549120, 4294967295]
+    for x in vals:
+        out = bytearray()
+        enc_prefix_varint(out, x)
+        val, pos = dec_prefix_varint(out, 0)
+        assert val == x and pos == len(out), x
+
+
+def test_zigzag_pred():
+    for prev in [0, 1, 5, 100, 60031]:
+        for cur in [0, 1, 2, 50, 99, 100, 101, 200, 60031, 120063, 200000]:
+            enc = zigzag_encode_pred(cur, prev)
+            assert zigzag_decode_pred(enc, prev) == cur, (cur, prev)
+
+
+def test_base64_names():
+    assert int_to_base64(0) == "0"
+    assert int_to_base64(10) == "A"
+    assert int_to_base64(63) == "#"
+    assert int_to_base64(64) == "01"
+    assert int_to_base64(16) == "G"
+
+
+def test_murmur64():
+    # finalizer fixed-point sanity: stable known value
+    assert murmur64(0) == 0
+    assert murmur64(1) == 12994781566227106604
+
+
+def test_archive_roundtrip(tmp_path):
+    path = str(tmp_path / "t.agc")
+    w = ArchiveWriter(path)
+    w.add_part("alpha", b"hello", 5)
+    w.add_part("beta", b"", 0)
+    w.add_part_buffered("alpha", b"world" * 100, 500)
+    w.add_part("gamma-with-long-name", bytes(range(256)), (1 << 40) + 7)
+    w.flush_buffers()
+    w.close()
+
+    r = ArchiveReader(path)
+    assert set(r.stream_names()) == {"alpha", "beta", "gamma-with-long-name"}
+    assert r.n_parts("alpha") == 2
+    assert r.get_part("alpha", 0) == (b"hello", 5)
+    assert r.get_part("alpha", 1) == (b"world" * 100, 500)
+    assert r.get_part("beta", 0) == (b"", 0)
+    assert r.get_part("gamma-with-long-name", 0) == (bytes(range(256)), (1 << 40) + 7)
+    # sequential cursor
+    assert r.get_part("alpha") == (b"hello", 5)
+    assert r.get_part("alpha") == (b"world" * 100, 500)
+    assert r.get_part("alpha") is None
+    r.close()
+
+
+def test_read_reference_fixture(toy_dir):
+    path = os.path.join(toy_dir, "toy_ex.agc")
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    r = ArchiveReader(path)
+    names = r.stream_names()
+    assert "file_type_info" in names
+    assert "params" in names
+    assert "collection-samples" in names
+    r.close()

@@ -1,0 +1,230 @@
+"""``agc-tpu`` command-line application.
+
+Subcommand surface and option semantics match the reference CLI
+(reference: src/app/main.cpp:31-73, src/app/application.{h,cpp}):
+
+    create append getcol getset getctg listref listset listctg info
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _clamp(v, lo, hi):
+    return max(lo, min(hi, v))
+
+
+def _add_create_opts(p: argparse.ArgumentParser, append: bool = False) -> None:
+    p.add_argument("-a", "--adaptive", action="store_true", help="adaptive mode (add new splitters for non-matching contigs)")
+    p.add_argument("-b", "--batch", type=int, default=50, help="internal batch size (pack cardinality) [1, 1e9]")
+    p.add_argument("-c", "--concatenated", action="store_true", help="treat each contig as a separate sample")
+    p.add_argument("-f", "--fallback-frac", type=float, default=0.0, help="fraction of fallback minimizers [0, 0.05]")
+    if not append:
+        p.add_argument("-k", "--kmer-len", type=int, default=31, help="k-mer length [17, 32]")
+        p.add_argument("-l", "--min-match-len", type=int, default=20, help="min. match length [15, 32]")
+        p.add_argument("-s", "--segment-size", type=int, default=60000, help="expected segment size [100, 1e6]")
+    p.add_argument("-t", "--threads", type=int, default=0, help="no. of threads (0 = auto)")
+    p.add_argument("-v", "--verbosity", type=int, default=0, help="verbosity [0, 2]")
+    p.add_argument("-d", "--no-cmd-line", action="store_true", help="do not store the command line")
+
+
+def _add_out_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-o", "--output", default="", help="output file/dir (default: stdout)")
+    p.add_argument("-g", "--gzip-level", type=int, default=0, help="gzip output, level [0, 9]")
+    p.add_argument("-l", "--line-length", type=int, default=80, help="FASTA line length [40, 2e9]")
+    p.add_argument("-t", "--threads", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    p.add_argument("-p", "--no-prefetch", action="store_true", help="disable archive prefetch (lower memory)")
+    p.add_argument("--fast", action="store_true", help="fast decompression mode (higher memory)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="agc-tpu",
+        description="TPU-native assembled genomes compressor (AGC-compatible archives)",
+    )
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    p = sub.add_parser("create", help="create archive from FASTA files (first file is the reference)")
+    p.add_argument("out_archive")
+    p.add_argument("inputs", nargs="+", help="FASTA files (plain or gzipped)")
+    _add_create_opts(p)
+
+    p = sub.add_parser("append", help="append FASTA files to an existing archive")
+    p.add_argument("in_archive")
+    p.add_argument("out_archive")
+    p.add_argument("inputs", nargs="+")
+    _add_create_opts(p, append=True)
+
+    p = sub.add_parser("getcol", help="extract all samples")
+    p.add_argument("in_archive")
+    p.add_argument("-o", "--output", default="", help="output directory (default: stdout)")
+    p.add_argument("-g", "--gzip-level", type=int, default=0)
+    p.add_argument("-l", "--line-length", type=int, default=80)
+    p.add_argument("-t", "--threads", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    p.add_argument("-p", "--no-prefetch", action="store_true")
+    p.add_argument("--no-ref", action="store_true", help="skip the reference sample")
+    p.add_argument("--fast", action="store_true")
+
+    p = sub.add_parser("getset", help="extract listed samples")
+    p.add_argument("in_archive")
+    p.add_argument("samples", nargs="+")
+    _add_out_opts(p)
+    p.add_argument("-s", "--streaming", action="store_true", help="streaming mode (constant memory)")
+
+    p = sub.add_parser("getctg", help="extract contigs: ctg[@sample][:from-to]")
+    p.add_argument("in_archive")
+    p.add_argument("contigs", nargs="+")
+    _add_out_opts(p)
+    p.add_argument("-s", "--streaming", action="store_true")
+
+    p = sub.add_parser("listref", help="print the reference sample name")
+    p.add_argument("in_archive")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("-p", "--no-prefetch", action="store_true")
+
+    p = sub.add_parser("listset", help="list samples")
+    p.add_argument("in_archive")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("-p", "--no-prefetch", action="store_true")
+
+    p = sub.add_parser("listctg", help="list contigs of listed samples")
+    p.add_argument("in_archive")
+    p.add_argument("samples", nargs="+")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("-p", "--no-prefetch", action="store_true")
+
+    p = sub.add_parser("info", help="archive info")
+    p.add_argument("in_archive")
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    p.add_argument("-p", "--no-prefetch", action="store_true")
+
+    return ap
+
+
+def _out_stream(path: str):
+    if not path:
+        return sys.stdout
+    return open(path, "w")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+    rc = _dispatch(args)
+    if getattr(args, "verbosity", 0) > 0:
+        print(f"***\nCompleted in           : {time.time() - t0:.3f} s", file=sys.stderr)
+    return rc
+
+
+def _dispatch(args) -> int:
+    mode = args.mode
+
+    if mode in ("create", "append"):
+        from ..core.compressor import CompressorParams, append_archive, create_archive
+
+        params = CompressorParams(
+            concatenated_genomes=args.concatenated,
+            adaptive_compression=args.adaptive,
+            fallback_frac=_clamp(args.fallback_frac, 0.0, 0.05),
+            pack_cardinality=_clamp(args.batch, 1, 1_000_000_000),
+            verbosity=args.verbosity,
+        )
+        if mode == "create":
+            params.kmer_length = _clamp(args.kmer_len, 17, 32)
+            params.min_match_len = _clamp(args.min_match_len, 15, 32)
+            params.segment_size = _clamp(args.segment_size, 100, 1_000_000)
+            create_archive(args.out_archive, args.inputs, params)
+        else:
+            append_archive(args.in_archive, args.out_archive, args.inputs, params)
+        return 0
+
+    from ..core.decompressor import Decompressor
+
+    prefetch = not getattr(args, "no_prefetch", False)
+
+    if mode == "getcol":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        d.get_collection_files(
+            args.output,
+            line_length=_clamp(args.line_length, 40, 2_000_000_000),
+            gzip_level=_clamp(args.gzip_level, 0, 9),
+            no_ref=args.no_ref,
+        )
+        d.close()
+        return 0
+
+    if mode == "getset":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        d.get_sample_file(
+            args.output or None,
+            args.samples,
+            line_length=_clamp(args.line_length, 40, 2_000_000_000),
+            gzip_level=_clamp(args.gzip_level, 0, 9),
+        )
+        d.close()
+        return 0
+
+    if mode == "getctg":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        d.get_contig_file(
+            args.output or None,
+            args.contigs,
+            line_length=_clamp(args.line_length, 40, 2_000_000_000),
+            gzip_level=_clamp(args.gzip_level, 0, 9),
+        )
+        d.close()
+        return 0
+
+    if mode == "listref":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        with _out_stream(args.output) as f:
+            f.write(d.get_reference_sample())
+        d.close()
+        return 0
+
+    if mode == "listset":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        with _out_stream(args.output) as f:
+            for s in d.list_samples():
+                f.write(s + "\n")
+        d.close()
+        return 0
+
+    if mode == "listctg":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        with _out_stream(args.output) as f:
+            for sn in args.samples:
+                f.write(sn + "\n")
+                for c in d.list_contigs(sn) or []:
+                    f.write("   " + c + "\n")
+        d.close()
+        return 0
+
+    if mode == "info":
+        d = Decompressor(args.in_archive, prefetch=prefetch)
+        p = d.get_params()
+        print(f"No. samples      : {d.get_no_samples()}", file=sys.stderr)
+        print(f"k-mer length     : {p['kmer_length']}", file=sys.stderr)
+        print(f"Min. match length: {p['min_match_len']}", file=sys.stderr)
+        if p["segment_size"]:
+            print(f"Segment size     : {p['segment_size']}", file=sys.stderr)
+        print(f"Batch size       : {p['pack_cardinality']}", file=sys.stderr)
+        print(f"Reference name   : {d.get_reference_sample()}", file=sys.stderr)
+        print("Command lines:", file=sys.stderr)
+        if args.verbosity > 0:
+            print("File type info:", file=sys.stderr)
+            for k in sorted(d.file_type_info):
+                print(f"  {k} : {d.file_type_info[k]}", file=sys.stderr)
+        d.close()
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

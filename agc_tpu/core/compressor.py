@@ -1,0 +1,1080 @@
+"""Compression engine: FASTA collection -> AGC archive.
+
+TPU-first reimplementation of the reference pipeline
+(reference: src/core/agc_compressor.{h,cpp}):
+
+- splitter discovery      -> device k-mer kernels + device sort/singleton
+                             filter (ops/kmers.py), host greedy emission
+                             (determine_splitters; agc_compressor.cpp:428-563)
+- contig segmentation     -> device rolling-kmer + splitter membership scan,
+                             host greedy cut thinning
+                             (compress_contig; agc_compressor.cpp:1997-2051)
+- segment-group matching  -> exact splitter-pair lookup; one-sided candidate
+                             search ranked by ref-size proximity with
+                             bound-pruned estimates; missing-middle split via
+                             per-position coding-cost vectors; fallback
+                             minimizer voting (add_segment;
+                             agc_compressor.cpp:1275-1963)
+- storage                 -> buffered-then-registered groups per sample
+                             barrier (CBufferedSegPart semantics;
+                             agc_compressor.h:27-536), LZ-diff + zstd packs
+
+The produced archive uses the same on-disk format as the reference
+(format 3.0), so it is readable by the reference tool.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .archive import ArchiveReader, ArchiveWriter
+from .codecs import (
+    fixed_u32,
+    fixed_u64,
+    murmur64,
+    ss_base,
+    ss_delta_name,
+    ss_ref_name,
+)
+from .collection import CollectionV3
+from .genome_io import preprocess_raw_contig, read_contigs_raw, sample_name_from_path
+from .segment import SegmentWriter
+from ..version import (
+    AGC_FILE_MAJOR,
+    AGC_FILE_MINOR,
+    COMMENT,
+    PRODUCER,
+    PRODUCER_BUILD,
+    PRODUCER_VERSION,
+)
+
+EMPTY = (1 << 64) - 1
+PK_EMPTY = (EMPTY, EMPTY)
+NO_RAW_GROUPS = 16
+
+_FALLBACK_RND = 0xD73F8BF11046C40E
+
+
+@dataclass
+class CompressorParams:
+    kmer_length: int = 31
+    min_match_len: int = 20
+    pack_cardinality: int = 50
+    segment_size: int = 60000
+    concatenated_genomes: bool = False
+    adaptive_compression: bool = False
+    fallback_frac: float = 0.0
+    verbosity: int = 0
+
+
+class Kmer:
+    """Canonical k-mer snapshot: (dir, rc) left-aligned u64 codes.
+
+    reference: src/core/kmer.h (data/is_dir_oriented/swap_dir_rc).
+    """
+
+    __slots__ = ("dir", "rc", "full")
+
+    def __init__(self, dir_=0, rc=0, full=False):
+        self.dir = dir_
+        self.rc = rc
+        self.full = full
+
+    def data(self) -> int:
+        return min(self.dir, self.rc)
+
+    def is_dir_oriented(self) -> bool:
+        return self.dir <= self.rc
+
+    def swapped(self) -> "Kmer":
+        return Kmer(self.rc, self.dir, self.full)
+
+
+EMPTY_KMER = Kmer()
+
+
+@dataclass
+class _PendingSeg:
+    sample: str
+    contig: str
+    part_no: int
+    data: bytes
+    is_rc: bool
+
+
+def _rc_numeric(arr: np.ndarray) -> np.ndarray:
+    out = arr[::-1].copy()
+    mask = out < 4
+    out[mask] = 3 - out[mask]
+    return out
+
+
+class _FallbackFilter:
+    """Hashed k-mer fraction filter (reference: agc_compressor.h:570-599)."""
+
+    def __init__(self, fraction: float):
+        self.thr = int(((1 << 64) - 1) * fraction) if fraction > 0 else 0
+
+    def __bool__(self):
+        return self.thr != 0
+
+    def __call__(self, kmer: int) -> bool:
+        return (murmur64(kmer) ^ _FALLBACK_RND) < self.thr
+
+
+class Compressor:
+    """Create or append to an AGC archive."""
+
+    def __init__(
+        self,
+        out_path: str,
+        params: CompressorParams | None = None,
+        reference_file: str | None = None,
+        in_path: str | None = None,
+        prefetch: bool = True,
+    ):
+        self.p = params or CompressorParams()
+        self.k = self.p.kmer_length
+        self.archive_version = AGC_FILE_MAJOR * 1000 + AGC_FILE_MINOR
+        self.writer = ArchiveWriter(out_path)
+        self.collection: CollectionV3
+        self.map_segments: dict[tuple[int, int], int] = {PK_EMPTY: 0}
+        self.terminators: dict[int, list[int]] = {}
+        self.v_segments: list[SegmentWriter | None] = []
+        self.no_segments = 0
+        self.splitters: np.ndarray = np.empty(0, dtype=np.uint64)
+        self._splitter_set: set[int] = set()
+        self.fallback_filter = _FallbackFilter(self.p.fallback_frac)
+        self.map_fallback: dict[int, list[tuple[int, int]]] = {}
+        self._pending_fallback: list[tuple[int, int, int, bool]] = []
+        # adaptive-mode candidate singleton/duplicate k-mers of the reference
+        self.cand_singletons = np.empty(0, dtype=np.uint64)
+        self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        self._pending_new_splitters: list[int] = []
+        self._raw_contigs: list[tuple[str, str, np.ndarray]] = []
+        # per-barrier buffers (CBufferedSegPart)
+        self._buf_known: dict[int, list[_PendingSeg]] = {}
+        self._buf_new: list[tuple[int, int, _PendingSeg]] = []
+        self.processed_samples = 0
+        self.processed_bases = 0
+        self.file_type_info = {
+            "producer": PRODUCER,
+            "producer_version_major": str(PRODUCER_VERSION[0]),
+            "producer_version_minor": str(PRODUCER_VERSION[1]),
+            "producer_version_build": PRODUCER_BUILD,
+            "file_version_major": str(AGC_FILE_MAJOR),
+            "file_version_minor": str(AGC_FILE_MINOR),
+            "comment": COMMENT,
+        }
+        self._closed = False
+        self._mode = None
+
+        if in_path is not None:
+            self._init_append(in_path, prefetch)
+        else:
+            assert reference_file is not None, "create mode needs a reference file"
+            self._init_create(reference_file)
+
+    # ==================================================================
+    # create / append initialization
+    # ==================================================================
+
+    def _init_create(self, reference_file: str) -> None:
+        self._mode = "create"
+        self.determine_splitters(reference_file)
+        self.collection = CollectionV3(
+            self.p.pack_cardinality, self.p.segment_size, self.k
+        )
+        self.v_segments = [None] * NO_RAW_GROUPS
+        for gid in range(NO_RAW_GROUPS):
+            self.writer.register_stream(ss_delta_name(self.archive_version, gid))
+            seg = self._make_writer(gid)
+            self.v_segments[gid] = seg
+            seg.add_raw(b"\x7f")  # ensure raw groups exist (agc_compressor.cpp:2313-2321)
+        self.no_segments = NO_RAW_GROUPS
+
+    def _init_append(self, in_path: str, prefetch: bool) -> None:
+        """reference: CAGCCompressor::Append + appending_init
+        (agc_compressor.cpp:303-380, 2330-2384)."""
+        self._mode = "append"
+        from .decompressor import Decompressor
+
+        d = Decompressor(in_path, prefetch=prefetch)
+        self._append_src = d
+        self.archive_version = d.archive_version
+        self.p.kmer_length = d.kmer_length
+        self.p.min_match_len = d.min_match_len
+        self.p.pack_cardinality = d.pack_cardinality
+        self.p.segment_size = d.segment_size
+        self.k = d.kmer_length
+        # preserve original producer info keys where present
+        for key, val in d.file_type_info.items():
+            if key.startswith("file_version"):
+                self.file_type_info[key] = val
+
+        self.collection = d.collection
+        reader = d.reader
+        # Copy all complete old metadata batches verbatim to the new archive;
+        # only the last partial batch is re-serialized together with new
+        # samples (reference: prepare_for_appending_copy /
+        # prepare_for_appending_load_last_batch, collection_v3.cpp:48-108).
+        n_batches = reader.n_parts("collection-contigs")
+        n_old = self.collection.get_no_samples()
+        bs = self.collection.batch_size
+        last_batch_full = n_old % bs == 0
+        n_copy = n_batches if last_batch_full else n_batches - 1
+        for i in range(n_copy):
+            data, meta = reader.get_part("collection-contigs", i)
+            self.writer.add_part("collection-contigs", data, meta)
+            data, meta = reader.get_part("collection-details", i)
+            self.writer.add_part("collection-details", data, meta)
+        # load the partial last batch (it will be re-stored) and make every
+        # sample's names queryable
+        for sid in range(n_old):
+            self.collection._ensure_sample(
+                sid, details=(sid // bs) >= n_copy
+            )
+        # rebuild segment writers by probing stream names
+        self.no_segments = 0
+        self.v_segments = []
+        while True:
+            ref_s = ss_ref_name(self.archive_version, self.no_segments)
+            delta_s = ss_delta_name(self.archive_version, self.no_segments)
+            if not reader.has_stream(ref_s) and not reader.has_stream(delta_s):
+                break
+            seg = self._make_writer(self.no_segments)
+            seg.appending_init(reader)
+            self.v_segments.append(seg)
+            self.no_segments += 1
+
+        # reload splitters
+        part = reader.get_part("splitters", 0)
+        data, n_splitters = part
+        arr = np.frombuffer(data, dtype="<u8").copy()
+        self.splitters = np.sort(arr)
+        self._splitter_set = set(int(x) for x in arr)
+
+        # reload segment-splitter map + terminators
+        part = reader.get_part("segment-splitters", 0)
+        data, n_entries = part
+        self.map_segments = {PK_EMPTY: 0}
+        for i in range(n_entries):
+            off = i * 20
+            k1 = int.from_bytes(data[off : off + 8], "little")
+            k2 = int.from_bytes(data[off + 8 : off + 16], "little")
+            gid = int.from_bytes(data[off + 16 : off + 20], "little")
+            self.map_segments[(k1, k2)] = gid
+            if k1 != EMPTY and k2 != EMPTY:
+                self.terminators.setdefault(k1, []).append(k2)
+                if k1 != k2:
+                    self.terminators.setdefault(k2, []).append(k1)
+        for v in self.terminators.values():
+            v.sort()
+
+        self.processed_samples = self.collection.get_no_samples()
+
+        if self.p.adaptive_compression:
+            self._build_candidate_kmers_from_archive()
+
+    def _build_candidate_kmers_from_archive(self) -> None:
+        """Adaptive append: re-count reference-sample k-mers
+        (reference: agc_compressor.cpp:828-847)."""
+        from ..ops.kmers import collect_kmers
+
+        ref_name = self.collection.get_reference_name()
+        if not ref_name:
+            return
+        seqs = self._append_src.get_sample_sequences(ref_name)
+        chunks = [collect_kmers(ctg, self.k) for _, ctg in seqs]
+        self._set_candidates(chunks)
+
+    def _make_writer(self, gid: int) -> SegmentWriter:
+        return SegmentWriter(
+            ss_base(self.archive_version, gid),
+            self.writer,
+            self.p.pack_cardinality,
+            self.p.min_match_len,
+            self.archive_version,
+        )
+
+    # ==================================================================
+    # splitter discovery (device kernels + host greedy)
+    # ==================================================================
+
+    def _set_candidates(self, kmer_chunks: list[np.ndarray]) -> None:
+        from ..ops.kmers import singleton_filter, sort_kmers
+        import jax.numpy as jnp
+
+        if kmer_chunks:
+            all_kmers = np.concatenate(kmer_chunks)
+        else:
+            all_kmers = np.empty(0, dtype=np.uint64)
+        if len(all_kmers):
+            sorted_k = np.asarray(sort_kmers(jnp.asarray(all_kmers)))
+            singleton, first_dup = (
+                np.asarray(x) for x in singleton_filter(jnp.asarray(sorted_k))
+            )
+            self.cand_singletons = sorted_k[singleton]
+            self.cand_duplicated = sorted_k[first_dup]
+        else:
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+
+    def determine_splitters(self, reference_file: str) -> None:
+        """reference: agc_compressor.cpp:428-563."""
+        from ..ops.kmers import collect_kmers
+
+        contigs = []
+        chunks = []
+        for cid, raw in read_contigs_raw(reference_file):
+            codes = preprocess_raw_contig(raw)
+            contigs.append(codes)
+            chunks.append(collect_kmers(codes, self.k))
+        self._set_candidates(chunks)
+
+        splitters: list[int] = []
+        for codes in contigs:
+            found, fallbacks = self._find_splitters_in_contig(
+                codes, self.cand_singletons
+            )
+            splitters.extend(found)
+            self._pending_fallback.extend(fallbacks)
+        self._splitter_set = set(splitters)
+        self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
+        if not self.p.adaptive_compression:
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        if self.p.verbosity > 1:
+            print(f"No. of splitters: {len(self._splitter_set)}")
+
+    def _find_splitters_in_contig(
+        self, codes: np.ndarray, candidates: np.ndarray
+    ) -> tuple[list[int], list[tuple[int, int, int, bool]]]:
+        """Greedy splitter emission over device-computed candidate hits
+        (reference: find_splitters_in_contig, agc_compressor.cpp:762-825).
+
+        Returns (splitters, fallback-records (prev, cur, kmer, is_dir))."""
+        from ..ops.kmers import scan_contig
+
+        n = len(codes)
+        out: list[int] = []
+        fallbacks: list[tuple[int, int, int, bool]] = []
+        if n < self.k:
+            return out, fallbacks
+        canon, udir, urc, valid, member = scan_contig(codes, self.k, candidates)
+        hits = np.flatnonzero(member)
+        seg = self.p.segment_size
+        k = self.k
+
+        fb_on = bool(self.fallback_filter)
+        prev_splitter = EMPTY
+        last_emit = None  # position of last emission
+        fb_start = 0  # first position whose fallback kmers belong to open segment
+
+        def fb_range(lo_pos, hi_pos, prev_sp, cur_sp):
+            """Collect fallback k-mers with asymmetric orientation in
+            positions [lo_pos, hi_pos)."""
+            if not fb_on:
+                return
+            vv = np.flatnonzero(valid[lo_pos:hi_pos]) + lo_pos
+            for p in vv.tolist():
+                d = int(canon[p])
+                if udir[p] != urc[p] and self.fallback_filter(d):
+                    fallbacks.append((prev_sp, cur_sp, d, bool(udir[p] <= urc[p])))
+
+        for p in hits.tolist():
+            if last_emit is not None and (p - last_emit) < seg:
+                continue
+            if last_emit is not None and p < last_emit + k:
+                continue
+            d = int(canon[p])
+            out.append(d)
+            fb_range(fb_start, p + 1, prev_splitter, d)
+            prev_splitter = d
+            fb_start = p + 1
+            last_emit = p
+
+        # rightmost-candidate fallback (agc_compressor.cpp:817-824)
+        tail_hits = hits[hits >= ((last_emit + k) if last_emit is not None else 0)]
+        if len(tail_hits) and (last_emit is None or tail_hits[-1] != last_emit):
+            p = int(tail_hits[-1])
+            if last_emit is None or p > last_emit:
+                d = int(canon[p])
+                out.append(d)
+                fb_range(fb_start, n, prev_splitter, d)
+        return out, fallbacks
+
+    # ==================================================================
+    # sample ingestion
+    # ==================================================================
+
+    def add_sample_files(self, sample_files: list[tuple[str, str]]) -> bool:
+        """reference: CAGCCompressor::AddSampleFiles (agc_compressor.cpp:2118)."""
+        n_contigs_since_sync = (
+            self.processed_samples % self.p.pack_cardinality
+            if self.p.concatenated_genomes
+            else 0
+        )
+        for sample_name, path in sample_files:
+            self.collection.reset_prev_sample_name()
+            any_added = False
+            for cid, raw in read_contigs_raw(path):
+                if self.p.concatenated_genomes:
+                    if not self.collection.register_sample_contig("", cid):
+                        print(
+                            f"Error: Pair sample_name:contig_name {cid}:{cid} "
+                            "is already in the archive!"
+                        )
+                        continue
+                    self._process_contig("", cid, preprocess_raw_contig(raw))
+                    any_added = True
+                    n_contigs_since_sync += 1
+                    if n_contigs_since_sync >= self.p.pack_cardinality:
+                        self._synchronize()
+                        n_contigs_since_sync = 0
+                else:
+                    if not self.collection.register_sample_contig(sample_name, cid):
+                        print(
+                            f"Error: Pair sample_name:contig_name "
+                            f"{sample_name}:{cid} is already in the archive!"
+                        )
+                        continue
+                    self._process_contig(sample_name, cid, preprocess_raw_contig(raw))
+                    any_added = True
+            if not self.p.concatenated_genomes and any_added:
+                self._synchronize()
+        if self.p.concatenated_genomes:
+            self._synchronize()
+        return True
+
+    def add_sample_file(self, path: str, sample_name: str | None = None) -> bool:
+        if sample_name is None:
+            sample_name = sample_name_from_path(path)
+        return self.add_sample_files([(sample_name, path)])
+
+    def _synchronize(self) -> None:
+        """Per-sample barrier: new-splitter merge (adaptive), registration,
+        store, metadata batch (reference: worker protocol,
+        agc_compressor.cpp:1114-1237)."""
+        if self.p.adaptive_compression:
+            self._merge_new_splitters()
+            hard = self._raw_contigs
+            self._raw_contigs = []
+            for sample_name, cid, codes in hard:
+                self._process_contig(sample_name, cid, codes, hard_contig=True)
+        self._register_segments()
+        self._store_segments()
+        self._merge_fallback_mappings()
+        # advance sample counter & flush metadata batch
+        if not self.p.concatenated_genomes:
+            self.processed_samples += 1
+        else:
+            self.processed_samples = min(
+                (self.processed_samples // self.p.pack_cardinality + 1)
+                * self.p.pack_cardinality,
+                self.collection.get_no_samples(),
+            )
+        if self.processed_samples % self.p.pack_cardinality == 0:
+            self.collection.store_contig_batch(
+                self.writer,
+                self.processed_samples - self.p.pack_cardinality,
+                self.processed_samples,
+            )
+        self.writer.flush_buffers()
+
+    def _merge_new_splitters(self) -> None:
+        if not self._pending_new_splitters:
+            return
+        for d in self._pending_new_splitters:
+            self._splitter_set.add(d)
+        self._pending_new_splitters = []
+        self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
+
+    def _merge_fallback_mappings(self) -> None:
+        for prev_sp, cur_sp, kmer, is_dir in self._pending_fallback:
+            pair = (prev_sp, cur_sp) if is_dir else (cur_sp, prev_sp)
+            lst = self.map_fallback.setdefault(kmer, [])
+            if pair not in lst:
+                lst.append(pair)
+        self._pending_fallback = []
+
+    # ==================================================================
+    # contig segmentation
+    # ==================================================================
+
+    def _process_contig(
+        self, sample_name: str, contig_name: str, codes: np.ndarray,
+        hard_contig: bool = False,
+    ) -> bool:
+        """reference: compress_contig (agc_compressor.cpp:1997-2051)."""
+        from ..ops.kmers import scan_contig
+
+        n = len(codes)
+        self.processed_bases += n
+        cuts: list[int] = []
+        if n >= self.k and len(self.splitters):
+            canon, udir, urc, valid, member = scan_contig(
+                codes, self.k, self.splitters
+            )
+            hits = np.flatnonzero(member)
+            last = None
+            for p in hits.tolist():
+                if last is not None and p < last + self.k:
+                    continue
+                cuts.append(p)
+                last = p
+        else:
+            canon = udir = urc = None
+
+        if (
+            self.p.adaptive_compression
+            and not hard_contig
+            and not cuts
+        ):
+            # contig has no splitters: discover new ones, retry after merge
+            # (reference: agc_compressor.cpp:2040-2047)
+            if n >= self.p.segment_size:
+                self._find_new_splitters(codes)
+            self._raw_contigs.append((sample_name, contig_name, codes))
+            return False
+
+        seg_part_no = 0
+        split_pos = 0
+        split_kmer = EMPTY_KMER
+        for p in cuts:
+            kmer_here = Kmer(int(udir[p]), int(urc[p]), True)
+            segment = codes[split_pos : p + 1]
+            extra = self._add_segment(
+                sample_name, contig_name, seg_part_no, segment, split_kmer, kmer_here
+            )
+            seg_part_no += 1 + extra
+            split_pos = p + 1 - self.k
+            split_kmer = kmer_here
+        if split_pos < n:
+            self._add_segment(
+                sample_name,
+                contig_name,
+                seg_part_no,
+                codes[split_pos:],
+                split_kmer,
+                EMPTY_KMER,
+            )
+        return True
+
+    def _find_new_splitters(self, codes: np.ndarray) -> None:
+        """reference: find_new_splitters (agc_compressor.cpp:2054-2082)."""
+        from ..ops.kmers import collect_kmers, singleton_filter, sort_kmers
+        import jax.numpy as jnp
+
+        kmers = collect_kmers(codes, self.k)
+        if not len(kmers):
+            return
+        sorted_k = np.asarray(sort_kmers(jnp.asarray(kmers)))
+        singleton, _ = (np.asarray(x) for x in singleton_filter(jnp.asarray(sorted_k)))
+        uniq = sorted_k[singleton]
+        # exclude reference singletons and duplicated k-mers
+        mask = ~np.isin(uniq, self.cand_singletons, assume_unique=False)
+        uniq = uniq[mask]
+        mask = ~np.isin(uniq, self.cand_duplicated, assume_unique=False)
+        uniq = uniq[mask]
+        found, fallbacks = self._find_splitters_in_contig(codes, uniq)
+        self._pending_new_splitters.extend(found)
+        self._pending_fallback.extend(fallbacks)
+
+    # ==================================================================
+    # segment -> group matching (reference: add_segment, 1275-1499)
+    # ==================================================================
+
+    def _add_segment(
+        self,
+        sample: str,
+        contig: str,
+        part_no: int,
+        segment: np.ndarray,
+        kmer_front: Kmer,
+        kmer_back: Kmer,
+    ) -> int:
+        """Returns 1 when the segment was split into two parts, else 0."""
+        pk = PK_EMPTY
+        store_rc = False
+        segment_rc: np.ndarray | None = None
+        segment2 = None
+        segment2_rc = None
+        store2_rc = False
+        segment_id = -1
+        segment_id2 = -1
+
+        if not kmer_front.full and not kmer_back.full:
+            if self.fallback_filter:
+                pk, store_rc = self._find_cand_fallback(segment, 1)
+                if pk != PK_EMPTY and store_rc:
+                    segment_rc = _rc_numeric(segment)
+        elif kmer_front.full and kmer_back.full:
+            if kmer_front.data() < kmer_back.data():
+                pk = (kmer_front.data(), kmer_back.data())
+            else:
+                pk = (kmer_back.data(), kmer_front.data())
+                segment_rc = _rc_numeric(segment)
+                store_rc = True
+        elif kmer_front.full:
+            segment_rc = _rc_numeric(segment)
+            pk, store_rc = self._find_cand_one_splitter(
+                kmer_front, segment, segment_rc
+            )
+            if (pk[0] == EMPTY or pk[1] == EMPTY) and self.fallback_filter:
+                pk_alt, rc_alt = self._find_cand_fallback(segment, 5)
+                if pk_alt != PK_EMPTY:
+                    pk, store_rc = pk_alt, rc_alt
+        else:  # kmer_back only
+            kmer = kmer_back.swapped()
+            segment_rc = _rc_numeric(segment)
+            pk, store_dir = self._find_cand_one_splitter(kmer, segment_rc, segment)
+            store_rc = not store_dir
+            if (pk[0] == EMPTY or pk[1] == EMPTY) and self.fallback_filter:
+                pk_alt, dir_alt = self._find_cand_fallback(segment_rc, 5)
+                if pk_alt != PK_EMPTY:
+                    pk, store_rc = pk_alt, not dir_alt
+
+        found = pk in self.map_segments
+
+        # missing-middle split (reference: 1419-1496)
+        if (
+            not self.p.concatenated_genomes
+            and not found
+            and pk[0] != EMPTY
+            and pk[1] != EMPTY
+            and pk[0] in self.terminators
+            and pk[1] in self.terminators
+        ):
+            if segment_rc is None:
+                segment_rc = _rc_numeric(segment)
+            if kmer_front.data() == kmer_back.data():
+                if not kmer_front.is_dir_oriented():
+                    store_rc = True
+            else:
+                kmer1, kmer2 = kmer_front, kmer_back
+                use_rc = False
+                if kmer1.data() > kmer2.data():
+                    kmer1, kmer2 = kmer2.swapped(), kmer1.swapped()
+                    use_rc = True
+                middle, best_pos = self._find_missing_middle(
+                    kmer1,
+                    kmer2,
+                    segment_rc if use_rc else segment,
+                    segment if use_rc else segment_rc,
+                )
+                if middle != EMPTY:
+                    left_size = best_pos
+                    right_size = len(segment) - best_pos
+                    if left_size == 0:
+                        store_rc = use_rc if middle < kmer2.data() else not use_rc
+                        pk = (min(middle, kmer2.data()), max(middle, kmer2.data()))
+                    elif right_size == 0:
+                        store_rc = use_rc if kmer1.data() < middle else not use_rc
+                        pk = (min(kmer1.data(), middle), max(kmer1.data(), middle))
+                    else:
+                        if use_rc:
+                            left_size, right_size = right_size, left_size
+                        seg2_start = left_size - self.k // 2
+                        segment2 = segment[seg2_start:]
+                        segment = segment[: seg2_start + self.k]
+                        if kmer_front.data() < middle:
+                            store_rc = False
+                            pk = (kmer_front.data(), middle)
+                        else:
+                            store_rc = True
+                            segment_rc = _rc_numeric(segment)
+                            pk = (middle, kmer_front.data())
+                        segment_id = self.map_segments[pk]
+                        if middle < kmer_back.data():
+                            store2_rc = False
+                            pk2 = (middle, kmer_back.data())
+                        else:
+                            store2_rc = True
+                            segment2_rc = _rc_numeric(segment2)
+                            pk2 = (kmer_back.data(), middle)
+                        segment_id2 = self.map_segments[pk2]
+            found = pk in self.map_segments
+
+        if not found and self.fallback_filter:
+            pk_fb, rc_fb = self._find_cand_fallback(segment, 2)
+            if pk_fb != PK_EMPTY:
+                pk, store_rc = pk_fb, rc_fb
+                found = pk in self.map_segments
+                if store_rc:
+                    segment_rc = _rc_numeric(segment)
+
+        def _bytes(arr):
+            return arr.astype(np.uint8, copy=False).tobytes()
+
+        if not found:
+            data = _bytes(segment_rc if store_rc else segment)
+            self._buf_new.append(
+                (pk[0], pk[1], _PendingSeg(sample, contig, part_no, data, store_rc))
+            )
+            return 0
+
+        if segment_id2 == -1:
+            segment_id = self.map_segments[pk]
+        if store_rc and segment_rc is None:
+            segment_rc = _rc_numeric(segment)
+        data = _bytes(segment_rc if store_rc else segment)
+        self._buf_known.setdefault(segment_id, []).append(
+            _PendingSeg(sample, contig, part_no, data, store_rc)
+        )
+        if segment_id2 >= 0:
+            data2 = _bytes(segment2_rc if store2_rc else segment2)
+            self._buf_known.setdefault(segment_id2, []).append(
+                _PendingSeg(sample, contig, part_no + 1, data2, store2_rc)
+            )
+            return 1
+        return 0
+
+    # ------------------------------------------------------------------
+
+    def _find_cand_one_splitter(
+        self, kmer: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
+    ) -> tuple[tuple[int, int], bool]:
+        """reference: find_cand_segment_with_one_splitter (1630-1808)."""
+        d = kmer.data()
+        terms = self.terminators.get(d)
+
+        def one_sided():
+            if kmer.is_dir_oriented():
+                return (d, EMPTY), False
+            return (EMPTY, d), True
+
+        if not terms:
+            return one_sided()
+
+        candidates = []
+        for cand in terms:
+            if cand < d:
+                candidates.append((cand, d, True))
+            else:
+                candidates.append((d, cand, False))
+        seg_size = len(segment_dir)
+        ref_sizes = {}
+        for c0, c1, is_rc in candidates:
+            gid = self.map_segments[(c0, c1)]
+            ref_sizes[(c0, c1)] = self.v_segments[gid].get_ref_size()
+        candidates.sort(
+            key=lambda c: (abs(seg_size - ref_sizes[(c[0], c[1])]), ref_sizes[(c[0], c[1])])
+        )
+
+        best_pk = PK_EMPTY
+        best_est = seg_size if seg_size < 16 else seg_size - 16
+        best_rc = False
+        seg_dir_b = segment_dir.astype(np.uint8, copy=False).tobytes()
+        seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
+        for c0, c1, is_rc in candidates:
+            gid = self.map_segments[(c0, c1)]
+            est = self.v_segments[gid].estimate(
+                seg_rc_b if is_rc else seg_dir_b, best_est
+            )
+            cand_pk = (c0, c1)
+            if (
+                est < best_est
+                or (est == best_est and cand_pk < best_pk)
+                or (est == best_est and cand_pk == best_pk and not is_rc)
+            ):
+                best_est = est
+                best_pk = cand_pk
+                best_rc = is_rc
+        if best_pk == PK_EMPTY:
+            return one_sided()
+        return best_pk, best_rc
+
+    def _find_missing_middle(
+        self, kmer1: Kmer, kmer2: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
+    ) -> tuple[int, int]:
+        """reference: find_cand_segment_with_missing_middle_splitter (1502-1627)."""
+        t1 = self.terminators.get(kmer1.data())
+        t2 = self.terminators.get(kmer2.data())
+        if not t1 or not t2:
+            return EMPTY, 0
+        shared = sorted((set(t1) & set(t2)) - {EMPTY})
+        if not shared:
+            return EMPTY, 0
+        middle = shared[0]
+        gid1 = self.map_segments[
+            (min(kmer1.data(), middle), max(kmer1.data(), middle))
+        ]
+        gid2 = self.map_segments[
+            (min(middle, kmer2.data()), max(middle, kmer2.data()))
+        ]
+        seg1 = self.v_segments[gid1]
+        seg2 = self.v_segments[gid2]
+        seg_dir_b = segment_dir.astype(np.uint8, copy=False).tobytes()
+        seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
+
+        if kmer1.data() < middle:
+            v1 = seg1.get_coding_cost(seg_dir_b, True)
+        else:
+            v1 = seg1.get_coding_cost(seg_rc_b, False)[::-1]
+        v1 = np.cumsum(v1.astype(np.int64))
+
+        if middle < kmer2.data():
+            v2 = seg2.get_coding_cost(seg_dir_b, False).astype(np.int64)
+            v2 = np.cumsum(v2[::-1])[::-1]
+        else:
+            v2 = seg2.get_coding_cost(seg_rc_b, True).astype(np.int64)
+            v2 = np.cumsum(v2)[::-1]
+
+        if len(v1) != len(v2):
+            return EMPTY, 0
+        if not len(v1):
+            return EMPTY, 0
+        sums = v1 + v2
+        best_pos = int(np.argmin(sums))
+        if best_pos < self.k + 1:
+            best_pos = 0
+        if best_pos + self.k + 1 > len(v1):
+            best_pos = len(v1)
+        return middle, best_pos
+
+    def _find_cand_fallback(
+        self, segment: np.ndarray, max_val: int
+    ) -> tuple[tuple[int, int], bool]:
+        """reference: find_cand_segment_using_fallback_minimizers (1812-1963)."""
+        from ..ops.kmers import scan_contig
+
+        max_num_to_estimate = 10
+        short_segments = self.p.segment_size <= 10000
+        if len(segment) < self.k or not self.map_fallback:
+            return PK_EMPTY, False
+        canon, udir, urc, valid, _ = scan_contig(
+            segment, self.k, np.empty(0, dtype=np.uint64)
+        )
+        cand_counts: dict[tuple[int, int], set[int]] = {}
+        for p in np.flatnonzero(valid).tolist():
+            d = int(canon[p])
+            if not self.fallback_filter(d):
+                continue
+            lst = self.map_fallback.get(d)
+            if not lst:
+                continue
+            is_dir = bool(udir[p] <= urc[p])
+            for y0, y1 in lst:
+                if y0 == EMPTY or y1 == EMPTY:
+                    continue
+                pair = (y0, y1) if is_dir else (y1, y0)
+                cand_counts.setdefault(pair, set()).add(d)
+        pruned = [
+            (len(v), pair) for pair, v in cand_counts.items() if len(v) >= max_val
+        ]
+        if not pruned:
+            return PK_EMPTY, False
+        pruned.sort(key=lambda x: (-x[0], tuple(-p for p in x[1])))
+        pruned = pruned[:max_num_to_estimate]
+        while pruned and pruned[-1][0] * 2 < pruned[0][0]:
+            pruned.pop()
+
+        segment_rc = _rc_numeric(segment)
+        seg_b = segment.astype(np.uint8, copy=False).tobytes()
+        seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
+        best_pair = PK_EMPTY
+        best_es = len(segment)
+        for cnt, pair in pruned:
+            is_seg_rc = pair[0] > pair[1]
+            key = (pair[1], pair[0]) if is_seg_rc else pair
+            gid = self.map_segments.get(key)
+            es = 0
+            if gid is not None:
+                if short_segments:
+                    best_pair = pair
+                    best_es = 0
+                    break
+                es = self.v_segments[gid].estimate(
+                    seg_rc_b if is_seg_rc else seg_b, best_es
+                )
+            if es and es < best_es:
+                best_es = es
+                best_pair = pair
+        if self.p.adaptive_compression:
+            if short_segments:
+                if best_es >= len(segment) * 0.9:
+                    return PK_EMPTY, False
+            else:
+                if best_es >= len(segment) * 0.2:
+                    return PK_EMPTY, False
+        if best_pair == PK_EMPTY:
+            return PK_EMPTY, False
+        if best_pair[0] <= best_pair[1]:
+            return best_pair, False
+        return (best_pair[1], best_pair[0]), True
+
+    # ==================================================================
+    # registration + storage (reference: register_segments/store_segments)
+    # ==================================================================
+
+    def _register_segments(self) -> None:
+        """Assign ids to new groups (deterministic by splitter pair) and
+        merge into the known buffers (reference: process_new,
+        agc_compressor.h:384-415)."""
+        if self._buf_new:
+            new_pks = sorted({(k1, k2) for k1, k2, _ in self._buf_new})
+            assigned: dict[tuple[int, int], int] = {}
+            for pk in new_pks:
+                gid = self.no_segments
+                self.no_segments += 1
+                assigned[pk] = gid
+                self.writer.register_stream(ss_ref_name(self.archive_version, gid))
+                self.writer.register_stream(ss_delta_name(self.archive_version, gid))
+                self.v_segments.append(None)
+                prev = self.map_segments.get(pk)
+                if prev is None or prev > gid:
+                    self.map_segments[pk] = gid
+                k1, k2 = pk
+                if k1 != EMPTY and k2 != EMPTY:
+                    lst = self.terminators.setdefault(k1, [])
+                    lst.append(k2)
+                    lst.sort()
+                    if k1 != k2:
+                        lst = self.terminators.setdefault(k2, [])
+                        lst.append(k1)
+                        lst.sort()
+            for k1, k2, pend in self._buf_new:
+                self._buf_known.setdefault(assigned[(k1, k2)], []).append(pend)
+            self._buf_new = []
+
+        # round-robin redistribution of raw group 0 (reference:
+        # distribute_segments, agc_compressor.h:417-435)
+        raw0 = self._buf_known.get(0)
+        if raw0:
+            raw0.sort(key=lambda s: (s.sample, s.contig, s.part_no))
+            keep = []
+            dest = 0
+            for item in raw0:
+                if dest != 0:
+                    self._buf_known.setdefault(dest, []).append(item)
+                else:
+                    keep.append(item)
+                dest = (dest + 1) % NO_RAW_GROUPS
+            self._buf_known[0] = keep
+
+    def _store_segments(self) -> None:
+        for gid in sorted(self._buf_known):
+            items = self._buf_known[gid]
+            items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
+            seg = self.v_segments[gid]
+            if seg is None:
+                seg = self._make_writer(gid)
+                self.v_segments[gid] = seg
+            for it in items:
+                if gid < NO_RAW_GROUPS:
+                    in_group_id = seg.add_raw(it.data)
+                else:
+                    in_group_id = seg.add(it.data)
+                self.collection.add_segment_placed(
+                    it.sample,
+                    it.contig,
+                    it.part_no,
+                    gid,
+                    in_group_id,
+                    it.is_rc,
+                    len(it.data),
+                )
+        self._buf_known = {}
+
+    # ==================================================================
+    # finalization (reference: close_compression, store_metadata)
+    # ==================================================================
+
+    def close(self) -> bool:
+        if self._closed:
+            return False
+        self._closed = True
+        for seg in self.v_segments:
+            if seg is not None:
+                seg.finish()
+        self.writer.flush_buffers()
+
+        # remaining partial metadata batch
+        ps = self.processed_samples
+        if ps % self.p.pack_cardinality != 0:
+            self.collection.store_contig_batch(
+                self.writer,
+                (ps // self.p.pack_cardinality) * self.p.pack_cardinality,
+                ps,
+            )
+        self._store_metadata()
+        self.collection.complete_serialization(self.writer)
+        self._store_file_type_info()
+        self.writer.close()
+        if self._mode == "append":
+            self._append_src.close()
+        return True
+
+    def _store_metadata(self) -> None:
+        """reference: store_metadata (agc_compressor.cpp:175-284)."""
+        params = bytearray()
+        params += fixed_u32(self.k)
+        params += fixed_u32(self.p.min_match_len)
+        params += fixed_u32(self.p.pack_cardinality)
+        params += fixed_u32(self.p.segment_size)
+        self.writer.add_part("params", bytes(params), 0)
+
+        v_tmp = bytearray()
+        splitters_sorted = sorted(self._splitter_set)
+        for x in splitters_sorted:
+            v_tmp += fixed_u64(x)
+        self.writer.add_part("splitters", bytes(v_tmp), len(splitters_sorted))
+
+        v_tmp = bytearray()
+        entries = sorted(self.map_segments.items())
+        for (k1, k2), gid in entries:
+            v_tmp += fixed_u64(k1)
+            v_tmp += fixed_u64(k2)
+            v_tmp += fixed_u32(gid)
+        self.writer.add_part("segment-splitters", bytes(v_tmp), len(entries))
+
+    def _store_file_type_info(self) -> None:
+        v = bytearray()
+        for key in sorted(self.file_type_info):
+            v += key.encode() + b"\x00"
+            v += self.file_type_info[key].encode() + b"\x00"
+        self.writer.add_part("file_type_info", bytes(v), len(self.file_type_info))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# high-level entry points (parity with CLI create/append)
+# ---------------------------------------------------------------------------
+
+
+def create_archive(
+    out_path: str,
+    input_files: list[str],
+    params: CompressorParams | None = None,
+) -> None:
+    """``agc create``: first input is the reference (reference: main.cpp:76-120)."""
+    # de-duplicate, preserving order (reference: sanitize_input_file_names)
+    seen = set()
+    files = [f for f in input_files if not (f in seen or seen.add(f))]
+    comp = Compressor(out_path, params, reference_file=files[0])
+    sample_files = [(sample_name_from_path(f), f) for f in files]
+    comp.add_sample_files(sample_files)
+    comp.close()
+
+
+def append_archive(
+    in_path: str,
+    out_path: str,
+    input_files: list[str],
+    params: CompressorParams | None = None,
+) -> None:
+    seen = set()
+    files = [f for f in input_files if not (f in seen or seen.add(f))]
+    comp = Compressor(out_path, params, in_path=in_path)
+    sample_files = [(sample_name_from_path(f), f) for f in files]
+    comp.add_sample_files(sample_files)
+    comp.close()

@@ -25,6 +25,8 @@ implemented as a batched device kernel in agc_tpu/ops/match.py.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 N_CODE = 4
@@ -53,8 +55,37 @@ def _murmur64_np(h):
 # ---------------------------------------------------------------------------
 
 
+def _native_decode(fn, reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
+    import ctypes
+
+    cap = max(2 * len(reference), 4 * len(encoded), 1 << 16)
+    while True:
+        buf = (ctypes.c_uint8 * cap)()
+        n = fn(
+            bytes(reference),
+            len(reference),
+            bytes(encoded),
+            len(encoded),
+            min_match_len,
+            buf,
+            cap,
+        )
+        if n >= 0:
+            return bytes(bytearray(buf)[:n])
+        cap *= 4
+
+
 def decode_v2(reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
     """Replay a V2 token stream against ``reference``."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _native_decode(lib.lz_decode_v2, reference, encoded, min_match_len)
+    return _decode_v2_py(reference, encoded, min_match_len)
+
+
+def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
     if not encoded:
         # identical-to-reference shortcut never reaches here (no delta stored),
         # but an empty stream decodes to empty.
@@ -113,6 +144,15 @@ def decode_v2(reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
 
 def decode_v1(reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
     """Replay a V1 token stream (reference: lz_diff.cpp:597-625)."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _native_decode(lib.lz_decode_v1, reference, encoded, min_match_len)
+    return _decode_v1_py(reference, encoded, min_match_len)
+
+
+def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
     ref = reference
     out = bytearray()
     pred_pos = 0
@@ -184,8 +224,25 @@ class LZDiff:
         self.ht: np.ndarray | None = None
         self.ht_mask = 0
         self._index_ready = False
+        # native fast path
+        from ..native import get_lib
+
+        self._lib = get_lib()
+        self._ctx = None
+
+    def __del__(self):
+        if getattr(self, "_ctx", None) is not None and self._lib is not None:
+            self._lib.lz_destroy(self._ctx)
+            self._ctx = None
 
     def prepare(self, reference: bytes) -> None:
+        if self._lib is not None:
+            if self._ctx is None:
+                self._ctx = self._lib.lz_create(self.min_match_len)
+            self._ref_bytes = bytes(reference)
+            self._lib.lz_prepare(self._ctx, self._ref_bytes, len(self._ref_bytes))
+            self.ref_len = len(reference)
+            return
         ref = np.frombuffer(reference, dtype=np.uint8)
         padded = np.full(len(ref) + self.key_len, INVALID_SYMBOL, dtype=np.uint8)
         padded[: len(ref)] = ref
@@ -284,6 +341,16 @@ class LZDiff:
 
     def encode(self, text_b: bytes) -> bytes:
         """Encode ``text_b``; returns b"" when identical to the reference."""
+        if self._ctx is not None:
+            text = bytes(text_b)
+            cap = max(len(text) + 64, 1 << 12)
+            buf = (ctypes.c_uint8 * cap)()
+            n = self._lib.lz_encode(self._ctx, text, len(text), buf, cap)
+            if n < 0:
+                cap = -n
+                buf = (ctypes.c_uint8 * cap)()
+                n = self._lib.lz_encode(self._ctx, text, len(text), buf, cap)
+            return bytes(bytearray(buf)[:n])
         self.assure_index()
         text = np.frombuffer(text_b, dtype=np.uint8)
         n = len(text)
@@ -373,6 +440,9 @@ class LZDiff:
     def estimate(self, text_b: bytes, bound: int = 1 << 62) -> int:
         """Token-stream size estimate with early-exit bound
         (reference: lz_diff.cpp:839-946)."""
+        if self._ctx is not None:
+            text = bytes(text_b)
+            return int(self._lib.lz_estimate(self._ctx, text, len(text), bound))
         self.assure_index()
         text = np.frombuffer(text_b, dtype=np.uint8)
         n = len(text)
@@ -440,6 +510,18 @@ class LZDiff:
     ) -> np.ndarray:
         """Per-position coding costs for split-point search
         (reference: lz_diff.cpp:159-284)."""
+        if self._ctx is not None:
+            text = bytes(text_b)
+            out = np.zeros(len(text), dtype=np.uint32)
+            if len(text):
+                self._lib.lz_cost_vector(
+                    self._ctx,
+                    text,
+                    len(text),
+                    1 if prefix_costs else 0,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                )
+            return out
         self.assure_index()
         text = np.frombuffer(text_b, dtype=np.uint8)
         n = len(text)

@@ -1,0 +1,578 @@
+// Native LZ-diff codec core for agc-tpu.
+//
+// Implements the serial seed-and-extend token encoder/estimator/decoder used
+// by the segment store (same token grammar as the reference tool's
+// CLZDiff_V2 at src/common/lz_diff.{h,cpp}; fresh implementation).
+//
+// Built as a shared library, consumed from Python via ctypes
+// (agc_tpu/native/__init__.py). The batched estimate path also runs on
+// device (agc_tpu/ops/match.py); this library covers the irreducibly serial
+// encode/emit loop and the host decode fallback.
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC lz_native.cpp -o liblznative.so
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t kNCode = 4;
+constexpr uint8_t kNRunStarter = 0x1E;
+constexpr uint32_t kMinNRunLen = 4;
+constexpr uint32_t kHashingStep = 4;
+constexpr uint32_t kMaxTries = 64;
+constexpr double kMaxLoadFactor = 0.7;
+constexpr uint8_t kInvalidSymbol = 31;
+
+inline uint64_t murmur64(uint64_t h) {
+  h ^= h >> 33;
+  h *= 0xFF51AFD7ED558CCDULL;
+  h ^= h >> 33;
+  h *= 0xC4CEB9FE1A85EC53ULL;
+  h ^= h >> 33;
+  return h;
+}
+
+inline uint32_t uint_len(uint32_t x) {
+  if (x < 10) return 1;
+  if (x < 100) return 2;
+  if (x < 1000) return 3;
+  if (x < 10000) return 4;
+  if (x < 100000) return 5;
+  if (x < 1000000) return 6;
+  if (x < 10000000) return 7;
+  return 8;
+}
+
+struct LZContext {
+  uint32_t min_match_len;
+  uint32_t key_len;
+  uint64_t key_mask;
+  std::vector<uint8_t> ref;  // padded with key_len invalid symbols
+  uint64_t ref_len = 0;      // unpadded length
+  std::vector<int64_t> ht;   // position table, -1 empty
+  uint64_t ht_mask = 0;
+  bool index_ready = false;
+
+  explicit LZContext(uint32_t mml)
+      : min_match_len(mml),
+        key_len(mml - kHashingStep + 1),
+        key_mask(~0ULL >> (64 - 2 * (mml - kHashingStep + 1))) {}
+
+  void prepare(const uint8_t* data, uint64_t len) {
+    ref.assign(data, data + len);
+    ref.resize(len + key_len, kInvalidSymbol);
+    ref_len = len;
+    index_ready = false;
+  }
+
+  // 2-bit pack key_len symbols; ~0 when any symbol is non-ACGT.
+  inline uint64_t code_at(const uint8_t* s) const {
+    uint64_t x = 0;
+    for (uint32_t i = 0; i < key_len; ++i) {
+      if (s[i] > 3) return ~0ULL;
+      x = (x << 2) | s[i];
+    }
+    return x;
+  }
+
+  void build_index() {
+    // count insertable positions (sampled every kHashingStep)
+    uint64_t n_positions = 0;
+    const uint64_t padded = ref.size();
+    for (uint64_t i = 0; i + key_len < padded; i += kHashingStep)
+      if (code_at(ref.data() + i) != ~0ULL) ++n_positions;
+
+    uint64_t ht_size = static_cast<uint64_t>(n_positions / kMaxLoadFactor);
+    while (ht_size & (ht_size - 1)) ht_size &= ht_size - 1;  // floor pow2
+    ht_size <<= 1;
+    if (ht_size < 8) ht_size = 8;
+    ht_mask = ht_size - 1;
+    ht.assign(ht_size, -1);
+
+    for (uint64_t i = 0; i + key_len < padded; i += kHashingStep) {
+      uint64_t code = code_at(ref.data() + i);
+      if (code == ~0ULL) continue;
+      uint64_t pos = murmur64(code) & ht_mask;
+      for (uint32_t t = 0; t < kMaxTries; ++t) {
+        uint64_t p = (pos + t) & ht_mask;
+        if (ht[p] < 0) {
+          ht[p] = static_cast<int64_t>(i);
+          break;
+        }
+      }
+    }
+    index_ready = true;
+  }
+
+  inline void assure_index() {
+    if (!index_ready) build_index();
+  }
+
+  inline uint32_t match_forward(const uint8_t* a, const uint8_t* b,
+                                uint32_t max_len) const {
+    uint32_t i = 0;
+    // word-at-a-time compare
+    for (; i + 8 <= max_len; i += 8) {
+      uint64_t wa, wb;
+      std::memcpy(&wa, a + i, 8);
+      std::memcpy(&wb, b + i, 8);
+      uint64_t diff = wa ^ wb;
+      if (diff) return i + (__builtin_ctzll(diff) >> 3);
+    }
+    for (; i < max_len; ++i)
+      if (a[i] != b[i]) break;
+    return i;
+  }
+
+  // best match covering text position i; returns true when total length
+  // exceeds min_match_len
+  bool find_best_match(const uint8_t* text, uint64_t text_len, uint64_t i,
+                       uint64_t code, uint32_t no_prev_literals,
+                       uint64_t& ref_pos, uint32_t& len_bck,
+                       uint32_t& len_fwd) const {
+    len_bck = 0;
+    len_fwd = 0;
+    uint32_t min_to_update = min_match_len;
+    uint64_t pos = murmur64(code) & ht_mask;
+    const uint8_t* s = text + i;
+    const uint32_t max_len = static_cast<uint32_t>(text_len - i);
+    bool found = false;
+    for (uint32_t t = 0; t < kMaxTries; ++t) {
+      int64_t h = ht[(pos + t) & ht_mask];
+      if (h < 0) break;
+      const uint8_t* p = ref.data() + h;
+      uint32_t limit = max_len;
+      // padded reference guarantees in-bounds reads; padding mismatches text
+      uint32_t f_len = match_forward(s, p, limit);
+      if (f_len >= key_len) {
+        uint32_t b_max = no_prev_literals < (uint64_t)h
+                             ? no_prev_literals
+                             : static_cast<uint32_t>(h);
+        uint32_t b_len = 0;
+        while (b_len < b_max && s[-(int64_t)b_len - 1] == p[-(int64_t)b_len - 1])
+          ++b_len;
+        if (b_len + f_len > min_to_update) {
+          len_bck = b_len;
+          len_fwd = f_len;
+          ref_pos = static_cast<uint64_t>(h);
+          min_to_update = b_len + f_len;
+          found = true;
+        }
+      }
+    }
+    (void)found;
+    return len_bck + len_fwd >= min_match_len;
+  }
+};
+
+inline void append_uint(std::string& out, uint64_t x) {
+  char buf[24];
+  char* p = buf + 24;
+  do {
+    *--p = static_cast<char>('0' + (x % 10));
+    x /= 10;
+  } while (x);
+  out.append(p, buf + 24 - p);
+}
+
+inline void append_int(std::string& out, int64_t x) {
+  if (x < 0) {
+    out.push_back('-');
+    append_uint(out, static_cast<uint64_t>(-x));
+  } else {
+    append_uint(out, static_cast<uint64_t>(x));
+  }
+}
+
+inline uint32_t nrun_len(const uint8_t* s, uint64_t max_len) {
+  if (max_len < 3 || s[0] != kNCode || s[1] != kNCode || s[2] != kNCode)
+    return 0;
+  uint32_t len = 3;
+  while (len < max_len && s[len] == kNCode) ++len;
+  return len;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lz_create(uint32_t min_match_len) { return new LZContext(min_match_len); }
+
+void lz_destroy(void* ctx) { delete static_cast<LZContext*>(ctx); }
+
+void lz_prepare(void* vctx, const uint8_t* ref, uint64_t len) {
+  static_cast<LZContext*>(vctx)->prepare(ref, len);
+}
+
+void lz_assure_index(void* vctx) {
+  static_cast<LZContext*>(vctx)->assure_index();
+}
+
+// Encode; returns output length, or -(needed) if cap insufficient.
+int64_t lz_encode(void* vctx, const uint8_t* text, uint64_t text_len,
+                  uint8_t* out, uint64_t cap) {
+  LZContext& ctx = *static_cast<LZContext*>(vctx);
+  ctx.assure_index();
+  const uint32_t key_len = ctx.key_len;
+  const uint32_t mml = ctx.min_match_len;
+
+  if (text_len == ctx.ref_len &&
+      std::memcmp(text, ctx.ref.data(), text_len) == 0)
+    return 0;  // identical to reference -> empty encoding
+
+  std::string enc;
+  enc.reserve(text_len / 16 + 64);
+
+  uint64_t i = 0;
+  uint64_t pred_pos = 0;
+  uint32_t no_prev_literals = 0;
+  uint64_t x_prev = ~0ULL;
+
+  while (i + key_len < text_len) {
+    uint64_t x;
+    if (x_prev != ~0ULL && no_prev_literals > 0) {
+      uint8_t s = text[i + key_len - 1];
+      x = (s > 3) ? ~0ULL : (((x_prev << 2) & ctx.key_mask) | s);
+    } else {
+      x = ctx.code_at(text + i);
+    }
+    x_prev = x;
+
+    if (x == ~0ULL) {
+      uint32_t nr = nrun_len(text + i, text_len - i);
+      if (nr >= kMinNRunLen) {
+        enc.push_back(static_cast<char>(kNRunStarter));
+        append_uint(enc, nr - kMinNRunLen);
+        enc.push_back(static_cast<char>(kNCode));
+        i += nr;
+        no_prev_literals = 0;
+      } else {
+        enc.push_back(static_cast<char>('A' + text[i]));
+        ++i;
+        ++pred_pos;
+        ++no_prev_literals;
+      }
+      continue;
+    }
+
+    uint64_t match_pos;
+    uint32_t len_bck, len_fwd;
+    if (!ctx.find_best_match(text, text_len, i, x, no_prev_literals, match_pos,
+                             len_bck, len_fwd)) {
+      enc.push_back(static_cast<char>('A' + text[i]));
+      ++i;
+      ++pred_pos;
+      ++no_prev_literals;
+      continue;
+    }
+
+    if (len_bck) {
+      enc.resize(enc.size() - len_bck);
+      match_pos -= len_bck;
+      pred_pos -= len_bck;
+      i -= len_bck;
+    }
+
+    // rewrite trailing literals equal to the reference as '!'
+    if (match_pos == pred_pos) {
+      size_t e_size = enc.size();
+      for (uint64_t j = 1; j < e_size && j < match_pos; ++j) {
+        char c = enc[e_size - j];
+        if (c < 'A' || c > 'Z') break;
+        if (static_cast<uint8_t>(c - 'A') == ctx.ref[match_pos - j])
+          enc[e_size - j] = '!';
+      }
+    }
+
+    uint64_t total = len_bck + len_fwd;
+    append_int(enc, static_cast<int64_t>(match_pos) -
+                        static_cast<int64_t>(pred_pos));
+    bool to_end = (i + total == text_len) && (match_pos + total == ctx.ref_len);
+    if (!to_end) {
+      enc.push_back(',');
+      append_uint(enc, total - mml);
+    }
+    enc.push_back('.');
+    pred_pos = match_pos + total;
+    i += total;
+    no_prev_literals = 0;
+  }
+
+  for (; i < text_len; ++i) enc.push_back(static_cast<char>('A' + text[i]));
+
+  if (enc.size() > cap) return -static_cast<int64_t>(enc.size());
+  std::memcpy(out, enc.data(), enc.size());
+  return static_cast<int64_t>(enc.size());
+}
+
+uint64_t lz_estimate(void* vctx, const uint8_t* text, uint64_t text_len,
+                     uint64_t bound) {
+  LZContext& ctx = *static_cast<LZContext*>(vctx);
+  ctx.assure_index();
+  const uint32_t key_len = ctx.key_len;
+  const uint32_t mml = ctx.min_match_len;
+
+  if (text_len == ctx.ref_len &&
+      std::memcmp(text, ctx.ref.data(), text_len) == 0)
+    return 0;
+
+  uint64_t cost = 0;
+  uint64_t i = 0;
+  uint64_t pred_pos = 0;
+  uint32_t no_prev_literals = 0;
+  uint64_t x_prev = ~0ULL;
+
+  while (i + key_len < text_len) {
+    if (cost > bound) return cost;
+    uint64_t x;
+    if (x_prev != ~0ULL && no_prev_literals > 0) {
+      uint8_t s = text[i + key_len - 1];
+      x = (s > 3) ? ~0ULL : (((x_prev << 2) & ctx.key_mask) | s);
+    } else {
+      x = ctx.code_at(text + i);
+    }
+    x_prev = x;
+
+    if (x == ~0ULL) {
+      uint32_t nr = nrun_len(text + i, text_len - i);
+      if (nr >= kMinNRunLen) {
+        cost += 2 + uint_len(nr - kMinNRunLen);
+        i += nr;
+        no_prev_literals = 0;
+      } else {
+        ++cost;
+        ++i;
+        ++pred_pos;
+        ++no_prev_literals;
+      }
+      continue;
+    }
+
+    uint64_t match_pos;
+    uint32_t len_bck, len_fwd;
+    if (!ctx.find_best_match(text, text_len, i, x, no_prev_literals, match_pos,
+                             len_bck, len_fwd)) {
+      ++cost;
+      ++i;
+      ++pred_pos;
+      ++no_prev_literals;
+      continue;
+    }
+
+    if (len_bck) {
+      cost -= len_bck;
+      match_pos -= len_bck;
+      pred_pos -= len_bck;
+      i -= len_bck;
+    }
+    uint64_t total = len_bck + len_fwd;
+    int64_t dif = static_cast<int64_t>(match_pos) - static_cast<int64_t>(pred_pos);
+    uint32_t c = uint_len(static_cast<uint32_t>(dif < 0 ? -dif : dif)) +
+                 (dif < 0 ? 1 : 0);
+    bool to_end = (i + total == text_len) && (match_pos + total == ctx.ref_len);
+    if (!to_end) c += 1 + uint_len(static_cast<uint32_t>(total - mml));
+    cost += c + 1;
+    pred_pos = match_pos + total;
+    i += total;
+    no_prev_literals = 0;
+  }
+  cost += text_len - i;
+  return cost;
+}
+
+// Per-position coding costs (V1-style match cost, as in the reference's
+// GetCodingCostVector). out must have text_len entries.
+void lz_cost_vector(void* vctx, const uint8_t* text, uint64_t text_len,
+                    int prefix_costs, uint32_t* out) {
+  LZContext& ctx = *static_cast<LZContext*>(vctx);
+  ctx.assure_index();
+  const uint32_t key_len = ctx.key_len;
+  const uint32_t mml = ctx.min_match_len;
+
+  uint64_t n_out = 0;
+  uint64_t i = 0;
+  uint64_t pred_pos = 0;
+  uint32_t no_prev_literals = 0;
+  uint64_t x_prev = ~0ULL;
+
+  auto emit_block = [&](uint32_t tc, uint64_t span) {
+    if (prefix_costs) {
+      out[n_out++] = tc;
+      for (uint64_t j = 1; j < span; ++j) out[n_out++] = 0;
+    } else {
+      for (uint64_t j = 1; j < span; ++j) out[n_out++] = 0;
+      out[n_out++] = tc;
+    }
+  };
+
+  while (i + key_len < text_len) {
+    uint64_t x;
+    if (x_prev != ~0ULL && no_prev_literals > 0) {
+      uint8_t s = text[i + key_len - 1];
+      x = (s > 3) ? ~0ULL : (((x_prev << 2) & ctx.key_mask) | s);
+    } else {
+      x = ctx.code_at(text + i);
+    }
+    x_prev = x;
+
+    if (x == ~0ULL) {
+      uint32_t nr = nrun_len(text + i, text_len - i);
+      if (nr >= kMinNRunLen) {
+        emit_block(2 + uint_len(nr - kMinNRunLen), nr);
+        i += nr;
+        no_prev_literals = 0;
+      } else {
+        out[n_out++] = 1;
+        ++i;
+        ++pred_pos;
+        ++no_prev_literals;
+      }
+      continue;
+    }
+
+    uint64_t match_pos;
+    uint32_t len_bck, len_fwd;
+    if (!ctx.find_best_match(text, text_len, i, x, no_prev_literals, match_pos,
+                             len_bck, len_fwd)) {
+      out[n_out++] = 1;
+      ++i;
+      ++pred_pos;
+      ++no_prev_literals;
+      continue;
+    }
+    if (len_bck) {
+      n_out -= len_bck;
+      match_pos -= len_bck;
+      pred_pos -= len_bck;
+      i -= len_bck;
+    }
+    uint64_t total = len_bck + len_fwd;
+    int64_t dif = static_cast<int64_t>(match_pos) - static_cast<int64_t>(pred_pos);
+    uint32_t tc = uint_len(static_cast<uint32_t>(dif < 0 ? -dif : dif)) +
+                  (dif < 0 ? 1 : 0);
+    tc += uint_len(static_cast<uint32_t>(total - mml)) + 2;
+    emit_block(tc, total);
+    pred_pos = match_pos + total;
+    i += total;
+    no_prev_literals = 0;
+  }
+  for (; i < text_len; ++i) out[n_out++] = 1;
+}
+
+// Decode a V2 token stream. Returns output length or -(needed) if cap too small.
+int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
+                     uint64_t enc_len, uint32_t mml, uint8_t* out,
+                     uint64_t cap) {
+  uint64_t n_out = 0;
+  uint64_t pred_pos = 0;
+  uint64_t i = 0;
+  while (i < enc_len) {
+    uint8_t c = enc[i];
+    if (c >= 'A' && c <= 'A' + 20) {
+      if (n_out >= cap) return -1;
+      out[n_out++] = c - 'A';
+      ++pred_pos;
+      ++i;
+    } else if (c == '!') {
+      if (n_out >= cap) return -1;
+      out[n_out++] = ref[pred_pos];
+      ++pred_pos;
+      ++i;
+    } else if (c == kNRunStarter) {
+      ++i;
+      uint64_t v = 0;
+      while (i < enc_len && enc[i] != kNCode) v = v * 10 + (enc[i++] - '0');
+      ++i;  // stop marker
+      uint64_t len = v + kMinNRunLen;
+      if (n_out + len > cap) return -1;
+      std::memset(out + n_out, kNCode, len);
+      n_out += len;
+    } else {
+      bool neg = false;
+      if (c == '-') {
+        neg = true;
+        ++i;
+      }
+      uint64_t v = 0;
+      while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+        v = v * 10 + (enc[i++] - '0');
+      int64_t dif = neg ? -static_cast<int64_t>(v) : static_cast<int64_t>(v);
+      uint64_t ref_pos = static_cast<uint64_t>(static_cast<int64_t>(pred_pos) + dif);
+      uint64_t len;
+      if (i < enc_len && enc[i] == ',') {
+        ++i;
+        v = 0;
+        while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+          v = v * 10 + (enc[i++] - '0');
+        len = v + mml;
+      } else {
+        len = ref_len - ref_pos;
+      }
+      ++i;  // '.'
+      if (n_out + len > cap) return -1;
+      std::memcpy(out + n_out, ref + ref_pos, len);
+      n_out += len;
+      pred_pos = ref_pos + len;
+    }
+  }
+  return static_cast<int64_t>(n_out);
+}
+
+// Decode a V1 token stream (length always follows ',' unless '.' directly).
+int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
+                     uint64_t enc_len, uint32_t mml, uint8_t* out,
+                     uint64_t cap) {
+  uint64_t n_out = 0;
+  uint64_t pred_pos = 0;
+  uint64_t i = 0;
+  while (i < enc_len) {
+    uint8_t c = enc[i];
+    if ((c >= 'A' && c <= 'A' + 20) || c == '!') {
+      if (n_out >= cap) return -1;
+      out[n_out++] = (c == '!') ? static_cast<uint8_t>('!' - 'A') : c - 'A';
+      ++pred_pos;
+      ++i;
+    } else if (c == kNRunStarter) {
+      ++i;
+      uint64_t v = 0;
+      while (i < enc_len && enc[i] != kNCode) v = v * 10 + (enc[i++] - '0');
+      ++i;
+      uint64_t len = v + kMinNRunLen;
+      if (n_out + len > cap) return -1;
+      std::memset(out + n_out, kNCode, len);
+      n_out += len;
+    } else {
+      bool neg = false;
+      if (c == '-') {
+        neg = true;
+        ++i;
+      }
+      uint64_t v = 0;
+      while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+        v = v * 10 + (enc[i++] - '0');
+      int64_t dif = neg ? -static_cast<int64_t>(v) : static_cast<int64_t>(v);
+      uint64_t ref_pos = static_cast<uint64_t>(static_cast<int64_t>(pred_pos) + dif);
+      ++i;  // ','
+      uint64_t len;
+      if (i < enc_len && enc[i] == '.') {
+        len = ref_len - ref_pos;
+      } else {
+        v = 0;
+        while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+          v = v * 10 + (enc[i++] - '0');
+        len = v + mml;
+      }
+      ++i;  // '.'
+      if (n_out + len > cap) return -1;
+      std::memcpy(out + n_out, ref + ref_pos, len);
+      n_out += len;
+      pred_pos = ref_pos + len;
+    }
+  }
+  return static_cast<int64_t>(n_out);
+}
+
+}  // extern "C"

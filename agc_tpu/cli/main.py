@@ -160,23 +160,39 @@ def _dispatch(args) -> int:
 
     if mode == "getset":
         d = Decompressor(args.in_archive, prefetch=prefetch)
-        d.get_sample_file(
-            args.output or None,
-            args.samples,
-            line_length=_clamp(args.line_length, 40, 2_000_000_000),
-            gzip_level=_clamp(args.gzip_level, 0, 9),
-        )
+        if args.streaming:
+            d.get_streaming(
+                args.output or None,
+                sample_names=args.samples,
+                line_length=_clamp(args.line_length, 40, 2_000_000_000),
+                gzip_level=_clamp(args.gzip_level, 0, 9),
+            )
+        else:
+            d.get_sample_file(
+                args.output or None,
+                args.samples,
+                line_length=_clamp(args.line_length, 40, 2_000_000_000),
+                gzip_level=_clamp(args.gzip_level, 0, 9),
+            )
         d.close()
         return 0
 
     if mode == "getctg":
         d = Decompressor(args.in_archive, prefetch=prefetch)
-        d.get_contig_file(
-            args.output or None,
-            args.contigs,
-            line_length=_clamp(args.line_length, 40, 2_000_000_000),
-            gzip_level=_clamp(args.gzip_level, 0, 9),
-        )
+        if args.streaming:
+            d.get_streaming(
+                args.output or None,
+                contig_queries=args.contigs,
+                line_length=_clamp(args.line_length, 40, 2_000_000_000),
+                gzip_level=_clamp(args.gzip_level, 0, 9),
+            )
+        else:
+            d.get_contig_file(
+                args.output or None,
+                args.contigs,
+                line_length=_clamp(args.line_length, 40, 2_000_000_000),
+                gzip_level=_clamp(args.gzip_level, 0, 9),
+            )
         d.close()
         return 0
 

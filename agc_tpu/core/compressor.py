@@ -254,8 +254,8 @@ class Compressor:
         part = reader.get_part("splitters", 0)
         data, n_splitters = part
         arr = np.frombuffer(data, dtype="<u8").copy()
-        self.splitters = np.sort(arr)
         self._splitter_set = set(int(x) for x in arr)
+        self._refresh_splitter_table()
 
         # reload segment-splitter map + terminators
         part = reader.get_part("segment-splitters", 0)
@@ -304,75 +304,107 @@ class Compressor:
     # splitter discovery (device kernels + host greedy)
     # ==================================================================
 
-    def _set_candidates(self, kmer_chunks: list[np.ndarray]) -> None:
-        from ..ops.kmers import singleton_filter, sort_kmers
+    def _set_candidates(self, device_chunks: list) -> None:
+        """Pool per-chunk device k-mer arrays into sorted singleton /
+        duplicated tables. The pool never leaves the device; only counts
+        come back (narrow-link friendly)."""
+        from ..ops.kmers import candidate_tables
         import jax.numpy as jnp
 
-        if kmer_chunks:
-            all_kmers = np.concatenate(kmer_chunks)
-        else:
-            all_kmers = np.empty(0, dtype=np.uint64)
-        if len(all_kmers):
-            sorted_k = np.asarray(sort_kmers(jnp.asarray(all_kmers)))
-            singleton, first_dup = (
-                np.asarray(x) for x in singleton_filter(jnp.asarray(sorted_k))
-            )
-            self.cand_singletons = sorted_k[singleton]
-            self.cand_duplicated = sorted_k[first_dup]
+        if not device_chunks:
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+            self._cand_singletons_dev = None
+            self.n_cand_singletons = 0
+            return
+        pool = (
+            jnp.concatenate(device_chunks)
+            if len(device_chunks) > 1
+            else device_chunks[0]
+        )
+        singles, n_singles, dups, n_dups = candidate_tables(pool)
+        self._cand_singletons_dev = singles  # sentinel-tailed, sorted
+        self.n_cand_singletons = int(n_singles)
+        if self.p.adaptive_compression:
+            # adaptive mode needs host-side set operations later
+            self.cand_singletons = np.asarray(singles)[: self.n_cand_singletons]
+            self.cand_duplicated = np.asarray(dups)[: int(n_dups)]
         else:
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
 
     def determine_splitters(self, reference_file: str) -> None:
         """reference: agc_compressor.cpp:428-563."""
-        from ..ops.kmers import collect_kmers
+        from ..ops.kmers import collect_kmers_device
 
         contigs = []
-        chunks = []
+        dev_chunks = []
         for cid, raw in read_contigs_raw(reference_file):
             codes = preprocess_raw_contig(raw)
             contigs.append(codes)
-            chunks.append(collect_kmers(codes, self.k))
-        self._set_candidates(chunks)
+            dev_chunks.extend(collect_kmers_device(codes, self.k))
+        self._set_candidates(dev_chunks)
 
+        table = self._cand_singletons_dev
         splitters: list[int] = []
         for codes in contigs:
             found, fallbacks = self._find_splitters_in_contig(
-                codes, self.cand_singletons
+                codes, table if table is not None else self.cand_singletons
             )
             splitters.extend(found)
             self._pending_fallback.extend(fallbacks)
         self._splitter_set = set(splitters)
-        self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
+        self._refresh_splitter_table()
         if not self.p.adaptive_compression:
-            self.cand_singletons = np.empty(0, dtype=np.uint64)
-            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+            self._cand_singletons_dev = None
         if self.p.verbosity > 1:
             print(f"No. of splitters: {len(self._splitter_set)}")
 
+    def _refresh_splitter_table(self) -> None:
+        """Rebuild the sorted splitter table and its device-resident copy
+        (uploaded once per change, not per contig)."""
+        self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
+        if len(self.splitters):
+            from ..ops.kmers import _padded_table
+            import jax.numpy as jnp
+
+            self._splitters_dev = jnp.asarray(_padded_table(self.splitters))
+        else:
+            self._splitters_dev = None
+
     def _find_splitters_in_contig(
-        self, codes: np.ndarray, candidates: np.ndarray
+        self, codes: np.ndarray, candidates
     ) -> tuple[list[int], list[tuple[int, int, int, bool]]]:
         """Greedy splitter emission over device-computed candidate hits
         (reference: find_splitters_in_contig, agc_compressor.cpp:762-825).
 
-        Returns (splitters, fallback-records (prev, cur, kmer, is_dir))."""
-        from ..ops.kmers import scan_contig
+        ``candidates``: sorted table (host np array or device-resident,
+        sentinel-padded). Returns (splitters, fallback-records
+        (prev, cur, kmer, is_dir))."""
+        from ..ops.kmers import scan_contig, scan_contig_hits
 
         n = len(codes)
         out: list[int] = []
         fallbacks: list[tuple[int, int, int, bool]] = []
         if n < self.k:
             return out, fallbacks
-        canon, udir, urc, valid, member = scan_contig(codes, self.k, candidates)
-        hits = np.flatnonzero(member)
         seg = self.p.segment_size
         k = self.k
-
         fb_on = bool(self.fallback_filter)
-        prev_splitter = EMPTY
-        last_emit = None  # position of last emission
-        fb_start = 0  # first position whose fallback kmers belong to open segment
+
+        if fb_on:
+            # dense path: fallback-minimizer collection needs every k-mer
+            cand_np = (
+                candidates
+                if isinstance(candidates, np.ndarray)
+                else np.asarray(candidates)
+            )
+            canon, udir, urc, valid, member = scan_contig(codes, k, cand_np)
+            hits = np.flatnonzero(member)
+            hit_canon = canon[hits]
+        else:
+            hits, h_udir, h_urc = scan_contig_hits(codes, k, candidates)
+            hit_canon = np.minimum(h_udir, h_urc)
 
         def fb_range(lo_pos, hi_pos, prev_sp, cur_sp):
             """Collect fallback k-mers with asymmetric orientation in
@@ -385,12 +417,16 @@ class Compressor:
                 if udir[p] != urc[p] and self.fallback_filter(d):
                     fallbacks.append((prev_sp, cur_sp, d, bool(udir[p] <= urc[p])))
 
-        for p in hits.tolist():
+        prev_splitter = EMPTY
+        last_emit = None  # position of last emission
+        fb_start = 0  # first position whose fallback kmers belong to open segment
+
+        for hi, p in enumerate(hits.tolist()):
             if last_emit is not None and (p - last_emit) < seg:
                 continue
             if last_emit is not None and p < last_emit + k:
                 continue
-            d = int(canon[p])
+            d = int(hit_canon[hi])
             out.append(d)
             fb_range(fb_start, p + 1, prev_splitter, d)
             prev_splitter = d
@@ -398,13 +434,13 @@ class Compressor:
             last_emit = p
 
         # rightmost-candidate fallback (agc_compressor.cpp:817-824)
-        tail_hits = hits[hits >= ((last_emit + k) if last_emit is not None else 0)]
-        if len(tail_hits) and (last_emit is None or tail_hits[-1] != last_emit):
-            p = int(tail_hits[-1])
-            if last_emit is None or p > last_emit:
-                d = int(canon[p])
-                out.append(d)
-                fb_range(fb_start, n, prev_splitter, d)
+        floor = (last_emit + k) if last_emit is not None else 0
+        tail = np.flatnonzero(hits >= floor)
+        if len(tail):
+            hi = int(tail[-1])
+            d = int(hit_canon[hi])
+            out.append(d)
+            fb_range(fb_start, n, prev_splitter, d)
         return out, fallbacks
 
     # ==================================================================
@@ -491,7 +527,7 @@ class Compressor:
         for d in self._pending_new_splitters:
             self._splitter_set.add(d)
         self._pending_new_splitters = []
-        self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
+        self._refresh_splitter_table()
 
     def _merge_fallback_mappings(self) -> None:
         for prev_sp, cur_sp, kmer, is_dir in self._pending_fallback:
@@ -510,24 +546,23 @@ class Compressor:
         hard_contig: bool = False,
     ) -> bool:
         """reference: compress_contig (agc_compressor.cpp:1997-2051)."""
-        from ..ops.kmers import scan_contig
+        from ..ops.kmers import scan_contig_hits
 
         n = len(codes)
         self.processed_bases += n
         cuts: list[int] = []
+        cut_kmers: dict[int, Kmer] = {}
         if n >= self.k and len(self.splitters):
-            canon, udir, urc, valid, member = scan_contig(
-                codes, self.k, self.splitters
+            hits, h_udir, h_urc = scan_contig_hits(
+                codes, self.k, self._splitters_dev
             )
-            hits = np.flatnonzero(member)
             last = None
-            for p in hits.tolist():
+            for hi, p in enumerate(hits.tolist()):
                 if last is not None and p < last + self.k:
                     continue
                 cuts.append(p)
+                cut_kmers[p] = Kmer(int(h_udir[hi]), int(h_urc[hi]), True)
                 last = p
-        else:
-            canon = udir = urc = None
 
         if (
             self.p.adaptive_compression
@@ -545,7 +580,7 @@ class Compressor:
         split_pos = 0
         split_kmer = EMPTY_KMER
         for p in cuts:
-            kmer_here = Kmer(int(udir[p]), int(urc[p]), True)
+            kmer_here = cut_kmers[p]
             segment = codes[split_pos : p + 1]
             extra = self._add_segment(
                 sample_name, contig_name, seg_part_no, segment, split_kmer, kmer_here

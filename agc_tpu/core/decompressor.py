@@ -62,6 +62,73 @@ def analyze_contig_query(query: str) -> ContigQuery:
     return ContigQuery(query, "", -1, -1)
 
 
+class _StreamSink:
+    """Incremental FASTA writer with line-wrap continuation state
+    (reference: CStreamWrapper, agc_decompressor_lib.h:70-125)."""
+
+    def __init__(self, file_name: str | None, line_length: int, gzip_level: int):
+        import gzip as _gzip
+        import sys as _sys
+
+        if file_name:
+            raw = open(file_name, "wb")
+            self._own = True
+        else:
+            raw = _sys.stdout.buffer
+            self._own = False
+        if gzip_level:
+            self.f = _gzip.GzipFile(
+                fileobj=raw, mode="wb", compresslevel=gzip_level, mtime=0
+            )
+            self._raw = raw
+        else:
+            self.f = raw
+            self._raw = None
+        self.line_length = line_length
+        self._in_line = 0
+
+    def start_contig(self, name: str) -> None:
+        self.f.write(b">" + name.encode("utf-8") + b"\n")
+        self._in_line = 0
+
+    def append(self, piece: np.ndarray) -> None:
+        data = CNV_NUM[piece]
+        ll = self.line_length
+        if ll == 0:
+            self.f.write(data.tobytes())
+            return
+        out = bytearray()
+        pos = 0
+        n = len(data)
+        while pos < n:
+            room = ll - self._in_line
+            take = min(room, n - pos)
+            out += data[pos : pos + take].tobytes()
+            pos += take
+            self._in_line += take
+            if self._in_line == ll:
+                out += b"\n"
+                self._in_line = 0
+        self.f.write(bytes(out))
+
+    def complete_contig(self) -> None:
+        if self.line_length and self._in_line:
+            self.f.write(b"\n")
+            self._in_line = 0
+        elif self.line_length == 0:
+            self.f.write(b"\n")
+
+    def close(self) -> None:
+        if self._raw is not None:
+            self.f.close()
+            if self._own:
+                self._raw.close()
+        elif self._own:
+            self.f.close()
+        else:
+            self.f.flush()
+
+
 class Decompressor:
     """Open an .agc archive for queries and extraction."""
 
@@ -337,6 +404,77 @@ class Decompressor:
                 writer, out_name, segments, line_length, cq.from_, cq.to
             )
         writer.close()
+        return True
+
+    # ------------------------------------------------------------------
+    # streaming extraction: constant memory, one segment at a time
+    # (reference: decompress_contig_streaming, agc_decompressor_lib.cpp:289-396,
+    #  CStreamWrapper agc_decompressor_lib.h:70-125)
+    # ------------------------------------------------------------------
+
+    def _stream_contig(self, segments, sink, from_: int = -1, to: int = -1) -> None:
+        k = self.kmer_length
+        if from_ < 0:
+            from_ = 0
+        if to < 0:
+            to = 1 << 62
+        if from_ > to:
+            from_, to = 0, 1 << 62
+        logical_pos = 0  # position of next emitted base in contig coordinates
+        first = True
+        for seg in segments:
+            raw = self.decompress_segment(seg.group_id, seg.in_group_id)
+            ctg = np.frombuffer(raw, dtype=np.uint8)
+            if seg.is_rev_comp:
+                ctg = reverse_complement(ctg)
+            piece = ctg if first else ctg[k:]
+            first = False
+            start = logical_pos
+            end = logical_pos + len(piece)
+            logical_pos = end
+            lo = max(start, from_)
+            hi = min(end, to + 1)
+            if hi > lo:
+                sink.append(piece[lo - start : hi - start])
+            if start > to:
+                break
+        sink.complete_contig()
+
+    def get_streaming(
+        self,
+        file_name: str | None,
+        sample_names: list[str] | None = None,
+        contig_queries: list[str] | None = None,
+        line_length: int = 80,
+        gzip_level: int = 0,
+    ) -> bool:
+        """``getset -s`` / ``getctg -s``: constant-memory extraction."""
+        sink = _StreamSink(file_name, line_length, gzip_level)
+        try:
+            if sample_names:
+                for s in sample_names:
+                    desc = self.collection.get_sample_desc(s)
+                    if desc is None:
+                        raise KeyError(f"There is no sample {s}")
+                    for contig_name, segments in desc:
+                        sink.start_contig(contig_name)
+                        self._stream_contig(segments, sink)
+            for q in contig_queries or []:
+                cq = analyze_contig_query(q)
+                sample = cq.sample or self._resolve_sample_for_contig(cq.name)
+                if sample is None:
+                    raise KeyError(f"Cannot resolve sample for contig {cq.name}")
+                desc = self.collection.get_contig_desc(sample, cq.name)
+                if desc is None:
+                    raise KeyError(f"No contig {cq.name} in sample {sample}")
+                full_name, segments = desc
+                name = full_name
+                if cq.from_ >= 0 and cq.to >= 0:
+                    name = f"{full_name}:{cq.from_}-{cq.to}"
+                sink.start_contig(name)
+                self._stream_contig(segments, sink, cq.from_, cq.to)
+        finally:
+            sink.close()
         return True
 
     def get_sample_sequences(self, sample_name: str) -> list[tuple[str, np.ndarray]]:

@@ -110,6 +110,141 @@ def contig_kmers_with_membership(codes, k, sorted_set):
     return canon, valid, dir_oriented, member
 
 
+SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# 2-bit packed transfer: 4 bases/byte + 1 invalid-bit/base (0.375 B/base on
+# the host->device link instead of 1 B/base). The device unpacks in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def pack_codes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side pack of numeric symbols: (packed u8[N/4], invalid u8[N/8]).
+
+    ``codes`` length must be a multiple of 8 (bucket sizes always are).
+    Invalid symbols (>3) are packed as 0 with their invalid bit set.
+    """
+    n = len(codes)
+    inv = codes > 3
+    sym = np.where(inv, 0, codes).astype(np.uint8)
+    q = sym.reshape(n // 4, 4)
+    packed = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+    invbits = np.packbits(inv, bitorder="little")
+    return packed, invbits
+
+
+def _unpack_codes_dev(packed: jnp.ndarray, invbits: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel unpack: u8[N/4] + u8[N/8] -> u8[N] (invalid -> 255)."""
+    n4 = packed.shape[0]
+    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
+    sym = (packed[:, None] >> shifts[None, :]) & jnp.uint8(3)
+    sym = sym.reshape(n4 * 4)
+    bit = jnp.arange(8, dtype=jnp.uint8)
+    inv = (invbits[:, None] >> bit[None, :]) & jnp.uint8(1)
+    inv = inv.reshape(invbits.shape[0] * 8).astype(bool)
+    return jnp.where(inv, jnp.uint8(255), sym)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def canon_kmers_packed_window(packed, invbits, k, lo, hi):
+    """Packed-transfer variant of canon_kmers_chunk_window."""
+    codes = _unpack_codes_dev(packed, invbits)
+    udir, urc, valid = _kmer_core(codes, k)
+    canon = jnp.minimum(udir, urc)
+    idx = jnp.arange(codes.shape[0])
+    keep = valid & (idx >= lo) & (idx < hi)
+    return jnp.where(keep, canon, SENTINEL)
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
+    """Packed-transfer variant of scan_chunk_compact."""
+    codes = _unpack_codes_dev(packed, invbits)
+    udir, urc, valid = _kmer_core(codes, k)
+    canon = jnp.minimum(udir, urc)
+    idx = jnp.searchsorted(table, canon)
+    idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
+    member = valid & (table[idx_c] == canon)
+    count = jnp.sum(member.astype(jnp.int32))
+    (pos,) = jnp.nonzero(member, size=cap, fill_value=-1)
+    safe = jnp.clip(pos, 0, codes.shape[0] - 1)
+    return count, pos.astype(jnp.int32), udir[safe], urc[safe]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def canon_kmers_chunk(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Canonical k-mers with invalid windows replaced by the all-ones
+    sentinel (which is never a canonical code). Device-resident building
+    block for the splitter-candidate pipeline."""
+    udir, urc, valid = _kmer_core(codes, k)
+    canon = jnp.minimum(udir, urc)
+    return jnp.where(valid, canon, SENTINEL)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def canon_kmers_chunk_window(codes, k, lo, hi):
+    """canon_kmers_chunk with positions outside [lo, hi) masked to the
+    sentinel (lo/hi traced scalars -> no extra compiled shapes). Used to
+    drop chunk-overlap duplicates when pooling k-mers across chunks."""
+    udir, urc, valid = _kmer_core(codes, k)
+    canon = jnp.minimum(udir, urc)
+    idx = jnp.arange(codes.shape[0])
+    keep = valid & (idx >= lo) & (idx < hi)
+    return jnp.where(keep, canon, SENTINEL)
+
+
+def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
+    """Upload a contig and return its canonical k-mers as device-resident
+    chunk arrays (sentinel-masked); nothing is transferred back."""
+    n = len(contig_codes)
+    out = []
+    if n < k:
+        return out
+    start = 0
+    while start < n:
+        lo = max(0, start - (k - 1))
+        end = min(lo + CHUNK, n)
+        padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
+        keep_from = start - lo
+        packed, invbits = pack_codes(padded)
+        out.append(
+            canon_kmers_packed_window(
+                jnp.asarray(packed), jnp.asarray(invbits), k, keep_from, real
+            )
+        )
+        start = end
+    return out
+
+
+@jax.jit
+def candidate_tables(kmers: jnp.ndarray):
+    """Sort the k-mer pool and split into singleton / duplicated tables.
+
+    Device analogue of RadixSortMSD + remove_non_singletons
+    (reference: agc_compressor.cpp:490, 664-705). Returns
+    (singletons_sorted_with_sentinel_tail u64[N], n_singletons,
+     duplicated_sorted_with_sentinel_tail u64[N], n_duplicated);
+    sentinel-padded so shapes stay static -- membership searches treat the
+    sentinel tail as misses.
+    """
+    x = jnp.sort(kmers)
+    n = x.shape[0]
+    ne_prev = jnp.concatenate([jnp.ones(1, dtype=bool), x[1:] != x[:-1]])
+    ne_next = jnp.concatenate([x[:-1] != x[1:], jnp.ones(1, dtype=bool)])
+    not_sent = x != SENTINEL
+    singleton = ne_prev & ne_next & not_sent
+    first_dup = ne_prev & ~ne_next & not_sent
+    singles = jnp.sort(jnp.where(singleton, x, SENTINEL))
+    dups = jnp.sort(jnp.where(first_dup, x, SENTINEL))
+    return (
+        singles,
+        jnp.sum(singleton.astype(jnp.int32)),
+        dups,
+        jnp.sum(first_dup.astype(jnp.int32)),
+    )
+
+
 @jax.jit
 def sort_kmers(kmers: jnp.ndarray) -> jnp.ndarray:
     """Device sort of a k-mer array (replaces raduls::RadixSortMSD;
@@ -174,8 +309,8 @@ def collect_kmers(contig_codes: np.ndarray, k: int) -> np.ndarray:
     out = []
     start = 0
     while start < n:
-        end = min(start + CHUNK, n)
         lo = max(0, start - (k - 1))
+        end = min(lo + CHUNK, n)
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
         canon, valid, _ = contig_kmers(jnp.asarray(padded), k)
         # only keep windows ending inside [start, end)
@@ -202,8 +337,8 @@ def scan_contig(
     table = jnp.asarray(_padded_table(sorted_set)) if not empty_table else None
     start = 0
     while start < n:
-        end = min(start + CHUNK, n)
         lo = max(0, start - (k - 1))
+        end = min(lo + CHUNK, n)
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
         chunk = jnp.asarray(padded)
         if empty_table:
@@ -222,6 +357,87 @@ def scan_contig(
         member[start:end] = m[keep_from:]
         start = end
     return canon, udir, urc, valid, member
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def scan_chunk_compact(codes, k, table, cap: int):
+    """Scan + compact: return only splitter-hit positions.
+
+    Designed for narrow host<->device links (remote-tunneled TPU): instead
+    of shipping per-position u64 arrays back, returns
+        count  (i32 scalar)      -- number of hits (may exceed cap)
+        pos    (i32[cap])        -- hit positions, fill = -1
+        udir   (u64[cap])        -- direct-orientation codes at hits
+        urc    (u64[cap])        -- rev-comp codes at hits
+    """
+    udir, urc, valid = _kmer_core(codes, k)
+    canon = jnp.minimum(udir, urc)
+    idx = jnp.searchsorted(table, canon)
+    idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
+    member = valid & (table[idx_c] == canon)
+    count = jnp.sum(member.astype(jnp.int32))
+    (pos,) = jnp.nonzero(member, size=cap, fill_value=-1)
+    safe = jnp.clip(pos, 0, codes.shape[0] - 1)
+    return count, pos.astype(jnp.int32), udir[safe], urc[safe]
+
+
+def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set: np.ndarray):
+    """Positions + (udir, urc) of all splitter hits in a contig.
+
+    Minimal-transfer path: uploads codes, downloads only compacted hits.
+    Returns (pos i64[H] ascending, udir u64[H], urc u64[H]).
+    """
+    n = len(contig_codes)
+    if n < k or len(sorted_set) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint64),
+        )
+    if isinstance(sorted_set, np.ndarray):
+        table = jnp.asarray(_padded_table(sorted_set))
+    else:
+        table = sorted_set  # already device-resident (and sentinel-padded)
+    all_pos = []
+    all_dir = []
+    all_rc = []
+    start = 0
+    while start < n:
+        lo = max(0, start - (k - 1))
+        end = min(lo + CHUNK, n)
+        padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
+        packed, invbits = pack_codes(padded)
+        packed = jnp.asarray(packed)
+        invbits = jnp.asarray(invbits)
+        cap = 4096
+        while True:
+            count, pos, udir, urc = scan_chunk_compact_packed(
+                packed, invbits, k, table, cap
+            )
+            count = int(count)
+            if count <= cap or cap >= len(padded):
+                break
+            cap = len(padded)
+        pos = np.asarray(pos[:count], dtype=np.int64)
+        udir = np.asarray(udir[:count])
+        urc = np.asarray(urc[:count])
+        keep_from = start - lo
+        m = (pos >= keep_from) & (pos < real)
+        all_pos.append(pos[m] - keep_from + start)
+        all_dir.append(udir[m])
+        all_rc.append(urc[m])
+        start = end
+    if not all_pos:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint64),
+        )
+    return (
+        np.concatenate(all_pos),
+        np.concatenate(all_dir),
+        np.concatenate(all_rc),
+    )
 
 
 def _padded_table(sorted_set: np.ndarray) -> np.ndarray:

@@ -1,0 +1,112 @@
+"""Fallback minimizers (-f), adaptive append, and stress parameters
+(the reference CI's stress matrix: -a -b 50000 -k 17 -l 15 -s 1000;
+.github/workflows/linux-self-hosted.yml)."""
+
+import filecmp
+import os
+import random
+
+from agc_tpu.core.compressor import (
+    CompressorParams,
+    append_archive,
+    create_archive,
+)
+from agc_tpu.core.decompressor import Decompressor
+
+from util import make_collection, mutate, random_seq, write_fa
+
+
+def _check(archive, files, tmp_path, line=70):
+    d = Decompressor(archive)
+    for sample, path in files:
+        out = str(tmp_path / f"chk_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=line)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()
+
+
+def test_fallback_minimizers(tmp_path):
+    rng = random.Random(5)
+    base = random_seq(rng, 30000)
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", base)])
+    # sample whose contig shares sequence but no splitter alignment at the
+    # ends (reversed piece + inner chunk): fallback voting should find homes
+    s0 = str(tmp_path / "s.fa")
+    inner = mutate(rng, base[5000:25000], 50, 5)
+    write_fa(s0, [("c1", inner)])
+    params = CompressorParams(
+        kmer_length=17,
+        segment_size=1000,
+        pack_cardinality=10,
+        min_match_len=15,
+        fallback_frac=0.05,
+    )
+    archive = str(tmp_path / "fb.agc")
+    create_archive(archive, [ref, s0], params)
+    _check(archive, [("r", ref), ("s", s0)], tmp_path)
+
+
+def test_adaptive_append(tmp_path):
+    rng = random.Random(9)
+    files = make_collection(tmp_path, rng=rng, n_samples=1, contig_lens=(30000,))
+    params = CompressorParams(
+        kmer_length=17,
+        segment_size=1000,
+        pack_cardinality=10,
+        min_match_len=15,
+        adaptive_compression=True,
+    )
+    base = str(tmp_path / "b.agc")
+    create_archive(base, [p for _, p in files], params)
+    # append a sample with novel sequence: adaptive append must re-count
+    # reference k-mers from the archive and admit new splitters
+    alien = str(tmp_path / "alien.fa")
+    alien_seq = random_seq(rng, 20000)
+    write_fa(alien, [("z", alien_seq)])
+    ext = str(tmp_path / "e.agc")
+    append_archive(base, ext, [alien], params)
+    files.append(("alien", alien))
+    _check(ext, files, tmp_path)
+    # the alien sample got its own groups: second alien-like sample reuses them
+    alien2 = str(tmp_path / "alien2.fa")
+    write_fa(alien2, [("z", mutate(rng, alien_seq, 30, 3))])
+    ext2 = str(tmp_path / "e2.agc")
+    append_archive(ext, ext2, [alien2], params)
+    files.append(("alien2", alien2))
+    _check(ext2, files, tmp_path)
+    # delta coding must have kicked in for alien2
+    sz1 = os.path.getsize(ext)
+    sz2 = os.path.getsize(ext2)
+    assert sz2 - sz1 < 4000, "alien2 should be delta-coded against alien"
+
+
+def test_stress_params(tmp_path):
+    rng = random.Random(13)
+    files = make_collection(
+        tmp_path, rng=rng, n_samples=2, contig_lens=(15000, 9000)
+    )
+    params = CompressorParams(
+        kmer_length=17,
+        segment_size=100,  # minimum allowed
+        pack_cardinality=1,
+        min_match_len=15,
+        adaptive_compression=True,
+    )
+    archive = str(tmp_path / "stress.agc")
+    create_archive(archive, [p for _, p in files], params)
+    _check(archive, files, tmp_path)
+
+
+def test_duplicate_sample_rejected(tmp_path):
+    files = make_collection(tmp_path, n_samples=1, contig_lens=(5000,))
+    archive = str(tmp_path / "d.agc")
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=5, min_match_len=15
+    )
+    # same file listed twice: de-duplicated by sanitize (reference:
+    # application.cpp:587-603)
+    create_archive(archive, [files[0][1], files[1][1], files[1][1]], params)
+    d = Decompressor(archive)
+    assert sorted(d.list_samples()) == ["ref", "s0"]
+    d.close()

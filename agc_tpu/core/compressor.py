@@ -347,12 +347,24 @@ class Compressor:
 
         table = self._cand_singletons_dev
         splitters: list[int] = []
-        for codes in contigs:
-            found, fallbacks = self._find_splitters_in_contig(
-                codes, table if table is not None else self.cand_singletons
-            )
-            splitters.extend(found)
-            self._pending_fallback.extend(fallbacks)
+        if not self.fallback_filter and table is not None:
+            # pipelined pass 2: all contig scans in flight at once
+            from ..ops.kmers import collect_scan_hits, submit_scan_hits
+
+            tokens = [submit_scan_hits(c, self.k, table) for c in contigs]
+            for codes, token in zip(contigs, tokens):
+                found, fallbacks = self._find_splitters_in_contig(
+                    codes, table, hits=collect_scan_hits(token)
+                )
+                splitters.extend(found)
+                self._pending_fallback.extend(fallbacks)
+        else:
+            for codes in contigs:
+                found, fallbacks = self._find_splitters_in_contig(
+                    codes, table if table is not None else self.cand_singletons
+                )
+                splitters.extend(found)
+                self._pending_fallback.extend(fallbacks)
         self._splitter_set = set(splitters)
         self._refresh_splitter_table()
         if not self.p.adaptive_compression:
@@ -373,7 +385,7 @@ class Compressor:
             self._splitters_dev = None
 
     def _find_splitters_in_contig(
-        self, codes: np.ndarray, candidates
+        self, codes: np.ndarray, candidates, hits=None
     ) -> tuple[list[int], list[tuple[int, int, int, bool]]]:
         """Greedy splitter emission over device-computed candidate hits
         (reference: find_splitters_in_contig, agc_compressor.cpp:762-825).
@@ -403,7 +415,9 @@ class Compressor:
             hits = np.flatnonzero(member)
             hit_canon = canon[hits]
         else:
-            hits, h_udir, h_urc = scan_contig_hits(codes, k, candidates)
+            if hits is None:
+                hits = scan_contig_hits(codes, k, candidates)
+            hits, h_udir, h_urc = hits
             hit_canon = np.minimum(h_udir, h_urc)
 
         def fb_range(lo_pos, hi_pos, prev_sp, cur_sp):
@@ -447,43 +461,81 @@ class Compressor:
     # sample ingestion
     # ==================================================================
 
+    _PIPELINE_DEPTH = 8  # contig scans in flight (hides device RTT)
+
+    def _process_contig_batch(self, items: list[tuple[str, str, np.ndarray]]) -> None:
+        """Run one barrier-delimited batch of contigs through the device
+        scan pipeline: scans for up to _PIPELINE_DEPTH contigs are in
+        flight while earlier contigs are matched on the host."""
+        from collections import deque
+
+        from ..ops.kmers import collect_scan_hits, submit_scan_hits
+
+        pipeline: deque = deque()
+        it = iter(items)
+        exhausted = False
+        while pipeline or not exhausted:
+            while not exhausted and len(pipeline) < self._PIPELINE_DEPTH:
+                try:
+                    sname, cid, codes = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                token = None
+                if len(codes) >= self.k and self._splitters_dev is not None:
+                    token = submit_scan_hits(codes, self.k, self._splitters_dev)
+                pipeline.append((sname, cid, codes, token))
+            if pipeline:
+                sname, cid, codes, token = pipeline.popleft()
+                hits = collect_scan_hits(token) if token is not None else None
+                self._process_contig(sname, cid, codes, hits=hits)
+
     def add_sample_files(self, sample_files: list[tuple[str, str]]) -> bool:
-        """reference: CAGCCompressor::AddSampleFiles (agc_compressor.cpp:2118)."""
-        n_contigs_since_sync = (
-            self.processed_samples % self.p.pack_cardinality
-            if self.p.concatenated_genomes
-            else 0
-        )
-        for sample_name, path in sample_files:
-            self.collection.reset_prev_sample_name()
-            any_added = False
-            for cid, raw in read_contigs_raw(path):
-                if self.p.concatenated_genomes:
+        """reference: CAGCCompressor::AddSampleFiles (agc_compressor.cpp:2118).
+
+        Batches are barrier-delimited exactly as in the reference (one
+        sample per barrier; in concatenated mode, pack_cardinality contigs
+        per barrier) so adaptive splitter merges observe the same schedule.
+        """
+        if self.p.concatenated_genomes:
+            batch: list[tuple[str, str, np.ndarray]] = []
+            n_in_batch = self.processed_samples % self.p.pack_cardinality
+            any_batch = False
+            for _, path in sample_files:
+                self.collection.reset_prev_sample_name()
+                for cid, raw in read_contigs_raw(path):
                     if not self.collection.register_sample_contig("", cid):
                         print(
                             f"Error: Pair sample_name:contig_name {cid}:{cid} "
                             "is already in the archive!"
                         )
                         continue
-                    self._process_contig("", cid, preprocess_raw_contig(raw))
-                    any_added = True
-                    n_contigs_since_sync += 1
-                    if n_contigs_since_sync >= self.p.pack_cardinality:
+                    batch.append(("", cid, preprocess_raw_contig(raw)))
+                    any_batch = True
+                    n_in_batch += 1
+                    if n_in_batch >= self.p.pack_cardinality:
+                        self._process_contig_batch(batch)
                         self._synchronize()
-                        n_contigs_since_sync = 0
-                else:
-                    if not self.collection.register_sample_contig(sample_name, cid):
-                        print(
-                            f"Error: Pair sample_name:contig_name "
-                            f"{sample_name}:{cid} is already in the archive!"
-                        )
-                        continue
-                    self._process_contig(sample_name, cid, preprocess_raw_contig(raw))
-                    any_added = True
-            if not self.p.concatenated_genomes and any_added:
-                self._synchronize()
-        if self.p.concatenated_genomes:
+                        batch = []
+                        n_in_batch = 0
+            self._process_contig_batch(batch)
             self._synchronize()
+            return True
+
+        for sample_name, path in sample_files:
+            self.collection.reset_prev_sample_name()
+            batch = []
+            for cid, raw in read_contigs_raw(path):
+                if not self.collection.register_sample_contig(sample_name, cid):
+                    print(
+                        f"Error: Pair sample_name:contig_name "
+                        f"{sample_name}:{cid} is already in the archive!"
+                    )
+                    continue
+                batch.append((sample_name, cid, preprocess_raw_contig(raw)))
+            if batch:
+                self._process_contig_batch(batch)
+                self._synchronize()
         return True
 
     def add_sample_file(self, path: str, sample_name: str | None = None) -> bool:
@@ -543,9 +595,12 @@ class Compressor:
 
     def _process_contig(
         self, sample_name: str, contig_name: str, codes: np.ndarray,
-        hard_contig: bool = False,
+        hard_contig: bool = False, hits=None,
     ) -> bool:
-        """reference: compress_contig (agc_compressor.cpp:1997-2051)."""
+        """reference: compress_contig (agc_compressor.cpp:1997-2051).
+
+        ``hits``: pre-collected (pos, udir, urc) from the scan pipeline;
+        computed here when absent."""
         from ..ops.kmers import scan_contig_hits
 
         n = len(codes)
@@ -553,9 +608,12 @@ class Compressor:
         cuts: list[int] = []
         cut_kmers: dict[int, Kmer] = {}
         if n >= self.k and len(self.splitters):
-            hits, h_udir, h_urc = scan_contig_hits(
-                codes, self.k, self._splitters_dev
-            )
+            if hits is not None:
+                hits, h_udir, h_urc = hits
+            else:
+                hits, h_udir, h_urc = scan_contig_hits(
+                    codes, self.k, self._splitters_dev
+                )
             last = None
             for hi, p in enumerate(hits.tolist()):
                 if last is not None and p < last + self.k:

@@ -148,6 +148,9 @@ class Decompressor:
             self.reader, self.pack_cardinality, self.segment_size, self.kmer_length
         )
         self._segment_cache: dict[int, SegmentReader] = {}
+        import threading
+
+        self._segment_cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
@@ -187,14 +190,17 @@ class Decompressor:
     def _segment(self, group_id: int) -> SegmentReader:
         seg = self._segment_cache.get(group_id)
         if seg is None:
-            seg = SegmentReader(
-                ss_base(self.archive_version, group_id),
-                self.reader,
-                self.pack_cardinality,
-                self.min_match_len,
-                self.archive_version,
-            )
-            self._segment_cache[group_id] = seg
+            with self._segment_cache_lock:
+                seg = self._segment_cache.get(group_id)
+                if seg is None:
+                    seg = SegmentReader(
+                        ss_base(self.archive_version, group_id),
+                        self.reader,
+                        self.pack_cardinality,
+                        self.min_match_len,
+                        self.archive_version,
+                    )
+                    self._segment_cache[group_id] = seg
         return seg
 
     def decompress_segment(self, group_id: int, in_group_id: int) -> bytes:
@@ -321,15 +327,45 @@ class Decompressor:
     # batch extraction (reference: agc_decompressor.cpp)
     # ------------------------------------------------------------------
 
+    def _render_contig(
+        self, segments, line_len: int, gzip_writer: FastaWriter | None,
+        from_: int = -1, to: int = -1,
+    ) -> bytes:
+        """Decode + convert + wrap (+ optional gzip); thread-safe worker."""
+        ctg = self.decompress_contig(segments, from_, to)
+        body = wrap_lines(contig_to_ascii(ctg), line_len)
+        if gzip_writer is not None and gzip_writer.gzip_level:
+            body = gzip_writer.gzip_body(body)
+        return body
+
     def _emit_contig(
         self, writer: FastaWriter, name: str, segments, line_len: int,
         from_: int = -1, to: int = -1,
     ) -> None:
-        ctg = self.decompress_contig(segments, from_, to)
-        body = wrap_lines(contig_to_ascii(ctg), line_len)
-        if writer.gzip_level:
-            body = writer.gzip_body(body)
-        writer.save_contig_directly(name, body)
+        writer.save_contig_directly(
+            name, self._render_contig(segments, line_len, writer, from_, to)
+        )
+
+    def _emit_contigs_parallel(
+        self, writer: FastaWriter, tasks, line_length: int, no_threads: int
+    ) -> None:
+        """Decode contigs on a worker pool, write in order (the reference's
+        worker pool + ordered saver; agc_decompressor.cpp:41-80, 138-189).
+        The hot loops (zstd, native LZ decode) release the GIL."""
+        if no_threads <= 1 or len(tasks) <= 1:
+            for name, segments in tasks:
+                self._emit_contig(writer, name, segments, line_length)
+            return
+        with ThreadPoolExecutor(max_workers=no_threads) as pool:
+            futures = [
+                (
+                    name,
+                    pool.submit(self._render_contig, segments, line_length, writer),
+                )
+                for name, segments in tasks
+            ]
+            for name, fut in futures:
+                writer.save_contig_directly(name, fut.result())
 
     def get_collection_files(
         self,
@@ -351,8 +387,7 @@ class Decompressor:
                 path = None
             writer = FastaWriter(path, gzip_level)
             desc = self.collection.get_sample_desc(s)
-            for contig_name, segments in desc:
-                self._emit_contig(writer, contig_name, segments, line_length)
+            self._emit_contigs_parallel(writer, desc, line_length, no_threads)
             writer.close()
         return True
 
@@ -364,16 +399,14 @@ class Decompressor:
         no_threads: int = 1,
         gzip_level: int = 0,
     ) -> bool:
-        descs = []
+        tasks = []
         for s in sample_names:
             desc = self.collection.get_sample_desc(s)
             if desc is None:
                 raise KeyError(f"There is no sample {s}")
-            descs.append(desc)
+            tasks.extend(desc)
         writer = FastaWriter(file_name, gzip_level)
-        for desc in descs:
-            for contig_name, segments in desc:
-                self._emit_contig(writer, contig_name, segments, line_length)
+        self._emit_contigs_parallel(writer, tasks, line_length, no_threads)
         writer.close()
         return True
 

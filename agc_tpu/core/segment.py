@@ -112,6 +112,8 @@ class SegmentReader:
         min_match_len: int,
         archive_version: int,
     ):
+        import threading
+
         self.name = name
         self.reader = reader
         self.pack = pack_cardinality
@@ -120,6 +122,7 @@ class SegmentReader:
         self._ref: bytes | None = None
         self._pack_cache: dict[int, list[bytes]] = {}
         self._pack_cache_max = 2
+        self._lock = threading.Lock()
 
     def _ref_stream(self) -> str:
         return self.name + ss_ref_ext(self.archive_version)
@@ -130,25 +133,29 @@ class SegmentReader:
     def _load_ref(self) -> bytes:
         if self._ref is not None:
             return self._ref
-        part = self.reader.get_part(self._ref_stream(), 0)
-        if part is None:
-            raise KeyError(f"missing ref stream {self._ref_stream()}")
-        data, raw_size = part
-        if raw_size == 0:
-            ref = bytes(data)
-        else:
-            payload = zstd_decompress_tolerant(data[:-1])
-            if data[-1] == 1:
-                ref = tuples2bytes(payload)
+        with self._lock:
+            if self._ref is not None:
+                return self._ref
+            part = self.reader.get_part(self._ref_stream(), 0)
+            if part is None:
+                raise KeyError(f"missing ref stream {self._ref_stream()}")
+            data, raw_size = part
+            if raw_size == 0:
+                ref = bytes(data)
             else:
-                ref = payload
-        self._ref = ref
-        return ref
+                payload = zstd_decompress_tolerant(data[:-1])
+                if data[-1] == 1:
+                    ref = tuples2bytes(payload)
+                else:
+                    ref = payload
+            self._ref = ref
+            return ref
 
     def _load_pack(self, part_id: int) -> list[bytes]:
-        cached = self._pack_cache.get(part_id)
-        if cached is not None:
-            return cached
+        with self._lock:
+            cached = self._pack_cache.get(part_id)
+            if cached is not None:
+                return cached
         part = self.reader.get_part(self._delta_stream(), part_id)
         if part is None:
             raise KeyError(f"missing delta part {self._delta_stream()}[{part_id}]")
@@ -158,9 +165,10 @@ class SegmentReader:
         else:
             pack = zstd_decompress_tolerant(data)
         items = pack.split(b"\xff")[:-1]
-        if len(self._pack_cache) >= self._pack_cache_max:
-            self._pack_cache.pop(next(iter(self._pack_cache)))
-        self._pack_cache[part_id] = items
+        with self._lock:
+            if len(self._pack_cache) >= self._pack_cache_max:
+                self._pack_cache.pop(next(iter(self._pack_cache)))
+            self._pack_cache[part_id] = items
         return items
 
     def get_raw(self, in_group_id: int) -> bytes:

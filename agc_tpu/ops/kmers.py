@@ -159,17 +159,26 @@ def canon_kmers_packed_window(packed, invbits, k, lo, hi):
 
 @partial(jax.jit, static_argnums=(2, 4))
 def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
-    """Packed-transfer variant of scan_chunk_compact."""
+    """Packed-transfer scan returning ONE u64 vector so the host pays a
+    single link round-trip per chunk: [count, pos[cap], udir[cap], urc[cap]]
+    (pos fill = u64 max)."""
     codes = _unpack_codes_dev(packed, invbits)
     udir, urc, valid = _kmer_core(codes, k)
     canon = jnp.minimum(udir, urc)
     idx = jnp.searchsorted(table, canon)
     idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
     member = valid & (table[idx_c] == canon)
-    count = jnp.sum(member.astype(jnp.int32))
+    count = jnp.sum(member.astype(jnp.uint64))
     (pos,) = jnp.nonzero(member, size=cap, fill_value=-1)
     safe = jnp.clip(pos, 0, codes.shape[0] - 1)
-    return count, pos.astype(jnp.int32), udir[safe], urc[safe]
+    return jnp.concatenate(
+        [
+            count[None],
+            pos.astype(jnp.uint64),
+            udir[safe],
+            urc[safe],
+        ]
+    )
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -381,26 +390,20 @@ def scan_chunk_compact(codes, k, table, cap: int):
     return count, pos.astype(jnp.int32), udir[safe], urc[safe]
 
 
-def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set: np.ndarray):
-    """Positions + (udir, urc) of all splitter hits in a contig.
+_SCAN_CAP = 4096
 
-    Minimal-transfer path: uploads codes, downloads only compacted hits.
-    Returns (pos i64[H] ascending, udir u64[H], urc u64[H]).
-    """
+
+def submit_scan_hits(contig_codes: np.ndarray, k: int, table):
+    """Asynchronously dispatch splitter-hit scans for a whole contig.
+
+    Returns an opaque token for collect_scan_hits. JAX queues the
+    dispatches; nothing blocks here, so scans for many contigs can be in
+    flight at once (hides the host<->device round-trip latency of a
+    remote-tunneled chip)."""
     n = len(contig_codes)
-    if n < k or len(sorted_set) == 0:
-        return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.uint64),
-            np.empty(0, dtype=np.uint64),
-        )
-    if isinstance(sorted_set, np.ndarray):
-        table = jnp.asarray(_padded_table(sorted_set))
-    else:
-        table = sorted_set  # already device-resident (and sentinel-padded)
-    all_pos = []
-    all_dir = []
-    all_rc = []
+    pending = []
+    if n < k or table is None:
+        return (pending, k, table)
     start = 0
     while start < n:
         lo = max(0, start - (k - 1))
@@ -409,24 +412,37 @@ def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set: np.ndarray):
         packed, invbits = pack_codes(padded)
         packed = jnp.asarray(packed)
         invbits = jnp.asarray(invbits)
-        cap = 4096
-        while True:
-            count, pos, udir, urc = scan_chunk_compact_packed(
-                packed, invbits, k, table, cap
+        out = scan_chunk_compact_packed(packed, invbits, k, table, _SCAN_CAP)
+        pending.append((out, packed, invbits, start, lo, real, len(padded)))
+        start = end
+    return (pending, k, table)
+
+
+def collect_scan_hits(token):
+    """Block on a submit_scan_hits token; returns (pos, udir, urc)."""
+    pending, k, table = token
+    all_pos = []
+    all_dir = []
+    all_rc = []
+    for out, packed, invbits, start, lo, real, padded_len in pending:
+        vec = np.asarray(out)  # single transfer
+        count = int(vec[0])
+        cap = _SCAN_CAP
+        if count > cap and cap < padded_len:
+            # rare overflow: re-run this chunk with a full-size cap
+            vec = np.asarray(
+                scan_chunk_compact_packed(packed, invbits, k, table, padded_len)
             )
-            count = int(count)
-            if count <= cap or cap >= len(padded):
-                break
-            cap = len(padded)
-        pos = np.asarray(pos[:count], dtype=np.int64)
-        udir = np.asarray(udir[:count])
-        urc = np.asarray(urc[:count])
+            cap = padded_len
+            count = int(vec[0])
+        pos = vec[1 : 1 + cap][:count].astype(np.int64)
+        udir = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+        urc = vec[1 + 2 * cap : 1 + 3 * cap][:count].astype(np.uint64)
         keep_from = start - lo
         m = (pos >= keep_from) & (pos < real)
         all_pos.append(pos[m] - keep_from + start)
         all_dir.append(udir[m])
         all_rc.append(urc[m])
-        start = end
     if not all_pos:
         return (
             np.empty(0, dtype=np.int64),
@@ -438,6 +454,27 @@ def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set: np.ndarray):
         np.concatenate(all_dir),
         np.concatenate(all_rc),
     )
+
+
+def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set):
+    """Positions + (udir, urc) of all splitter hits in a contig.
+
+    Minimal-transfer path: uploads packed codes, downloads one compact
+    vector per chunk. Returns (pos i64[H] ascending, udir u64[H],
+    urc u64[H]).
+    """
+    n = len(contig_codes)
+    if n < k or (isinstance(sorted_set, np.ndarray) and len(sorted_set) == 0):
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint64),
+        )
+    if isinstance(sorted_set, np.ndarray):
+        table = jnp.asarray(_padded_table(sorted_set))
+    else:
+        table = sorted_set  # already device-resident (and sentinel-padded)
+    return collect_scan_hits(submit_scan_hits(contig_codes, k, table))
 
 
 def _padded_table(sorted_set: np.ndarray) -> np.ndarray:

@@ -171,6 +171,7 @@ class Compressor:
         }
         self._closed = False
         self._mode = None
+        self._n_threads = max(1, (os.cpu_count() or 2) // 2)
 
         if in_path is not None:
             self._init_append(in_path, prefetch)
@@ -604,7 +605,19 @@ class Compressor:
         from ..ops.kmers import scan_contig_hits
 
         n = len(codes)
+        old_pb = self.processed_bases
         self.processed_bases += n
+        if (
+            self.p.verbosity > 0
+            and old_pb // 10_000_000 != self.processed_bases // 10_000_000
+        ):
+            import sys
+
+            print(
+                f"Compressed: {self.processed_bases // 1_000_000} Mb",
+                end="\r",
+                file=sys.stderr,
+            )
         cuts: list[int] = []
         cut_kmers: dict[int, Kmer] = {}
         if n >= self.k and len(self.splitters):
@@ -1050,27 +1063,43 @@ class Compressor:
             self._buf_known[0] = keep
 
     def _store_segments(self) -> None:
-        for gid in sorted(self._buf_known):
+        """Drain the per-group buffers: LZ-encode + store members, record
+        placements (reference: store_segments, agc_compressor.cpp:974-1050).
+
+        Groups are independent, so they are encoded on a worker pool; the
+        native LZ and zstd calls release the GIL. Placements are applied
+        serially afterwards (the collection registry is not concurrent)."""
+        groups = sorted(self._buf_known)
+
+        def store_group(gid):
             items = self._buf_known[gid]
             items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
             seg = self.v_segments[gid]
             if seg is None:
                 seg = self._make_writer(gid)
                 self.v_segments[gid] = seg
+            placements = []
             for it in items:
                 if gid < NO_RAW_GROUPS:
                     in_group_id = seg.add_raw(it.data)
                 else:
                     in_group_id = seg.add(it.data)
-                self.collection.add_segment_placed(
-                    it.sample,
-                    it.contig,
-                    it.part_no,
-                    gid,
-                    in_group_id,
-                    it.is_rc,
-                    len(it.data),
+                placements.append(
+                    (it.sample, it.contig, it.part_no, gid, in_group_id,
+                     it.is_rc, len(it.data))
                 )
+            return placements
+
+        if len(groups) > 4 and self._n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self._n_threads) as pool:
+                all_placements = list(pool.map(store_group, groups))
+        else:
+            all_placements = [store_group(g) for g in groups]
+        for placements in all_placements:
+            for args in placements:
+                self.collection.add_segment_placed(*args)
         self._buf_known = {}
 
     # ==================================================================
@@ -1081,8 +1110,14 @@ class Compressor:
         if self._closed:
             return False
         self._closed = True
-        for seg in self.v_segments:
-            if seg is not None:
+        live = [seg for seg in self.v_segments if seg is not None]
+        if len(live) > 8 and self._n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self._n_threads) as pool:
+                list(pool.map(lambda s: s.finish(), live))
+        else:
+            for seg in live:
                 seg.finish()
         self.writer.flush_buffers()
 
@@ -1124,6 +1159,64 @@ class Compressor:
             v_tmp += fixed_u64(k2)
             v_tmp += fixed_u32(gid)
         self.writer.add_part("segment-splitters", bytes(v_tmp), len(entries))
+
+        if self.p.verbosity > 0:
+            self._print_component_sizes()
+
+    def _print_component_sizes(self) -> None:
+        """Verbose component-size breakdown (reference: store_metadata,
+        agc_compressor.cpp:254-283)."""
+        import sys
+
+        w = self.writer
+        av = self.archive_version
+        total_ref = total_delta = total_only_ref = 0
+        n_only_ref = 0
+        n_one_side = sum(
+            1 for (k1, k2) in self.map_segments if k1 == EMPTY or k2 == EMPTY
+        )
+        for gid in range(self.no_segments):
+            rs = w.stream_packed_size(ss_ref_name(av, gid))
+            ds = w.stream_packed_size(ss_delta_name(av, gid))
+            total_ref += rs
+            total_delta += ds
+            if w.n_parts(ss_delta_name(av, gid)) == 0:
+                n_only_ref += 1
+                total_only_ref += rs
+        total_raw = sum(
+            w.stream_packed_size(ss_delta_name(av, g)) for g in range(NO_RAW_GROUPS)
+        )
+        err = sys.stderr
+        print("*** Component sizes ***", file=err)
+        print(f"Reference sequences    : {total_ref}", file=err)
+        print(f"   (only ref)          : {total_only_ref}", file=err)
+        print(f"Raw sequences          : {total_raw}", file=err)
+        print(f"Delta sequences        : {total_delta - total_raw}", file=err)
+        print(
+            f"Params                 : {w.stream_packed_size('params')}", file=err
+        )
+        print(
+            f"Splitters              : {w.stream_packed_size('splitters')}",
+            file=err,
+        )
+        print(
+            "Segment splitters      : "
+            f"{w.stream_packed_size('segment-splitters')}",
+            file=err,
+        )
+        coll = sum(
+            w.stream_packed_size(s)
+            for s in (
+                "collection-samples",
+                "collection-contigs",
+                "collection-details",
+            )
+        )
+        print(f"Collection desc.       : {coll}", file=err)
+        print("*** Stats ***", file=err)
+        print(f"No. segments           : {self.no_segments}", file=err)
+        print(f"No. one-side segments  : {n_one_side}", file=err)
+        print(f"No. only ref. segments : {n_only_ref}", file=err)
 
     def _store_file_type_info(self) -> None:
         v = bytearray()

@@ -876,11 +876,44 @@ class Compressor:
         best_rc = False
         seg_dir_b = segment_dir.astype(np.uint8, copy=False).tobytes()
         seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
-        for c0, c1, is_rc in candidates:
-            gid = self.map_segments[(c0, c1)]
-            est = self.v_segments[gid].estimate(
-                seg_rc_b if is_rc else seg_dir_b, best_est
-            )
+
+        if len(candidates) > 2 and self._n_threads > 1:
+            # parallel estimation with a shared shrinking bound -- the
+            # analogue of the reference's incrementing-barrier thread
+            # lending (agc_compressor.cpp:1719-1778); the native estimator
+            # releases the GIL
+            from concurrent.futures import ThreadPoolExecutor
+
+            bound = [best_est]
+
+            def est_one(cand):
+                c0, c1, is_rc = cand
+                gid = self.map_segments[(c0, c1)]
+                e = self.v_segments[gid].estimate(
+                    seg_rc_b if is_rc else seg_dir_b, bound[0]
+                )
+                if e < bound[0]:
+                    bound[0] = e  # benign race: bound only tightens
+                return e
+
+            with ThreadPoolExecutor(
+                max_workers=min(self._n_threads, len(candidates))
+            ) as pool:
+                ests = list(pool.map(est_one, candidates))
+        else:
+            ests = []
+            for c0, c1, is_rc in candidates:
+                gid = self.map_segments[(c0, c1)]
+                ests.append(
+                    self.v_segments[gid].estimate(
+                        seg_rc_b if is_rc else seg_dir_b, best_est
+                    )
+                )
+                if ests[-1] < best_est:
+                    best_est = ests[-1]
+
+        best_est = seg_size if seg_size < 16 else seg_size - 16
+        for (c0, c1, is_rc), est in zip(candidates, ests):
             cand_pk = (c0, c1)
             if (
                 est < best_est

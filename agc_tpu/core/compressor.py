@@ -349,16 +349,20 @@ class Compressor:
         table = self._cand_singletons_dev
         splitters: list[int] = []
         if not self.fallback_filter and table is not None:
-            # pipelined pass 2: all contig scans in flight at once
-            from ..ops.kmers import collect_scan_hits, submit_scan_hits
+            # hits against the singleton table are dense; the greedy
+            # emission chain runs on device (one dispatch per contig)
+            from ..ops.kmers import find_splitter_emissions
 
-            tokens = [submit_scan_hits(c, self.k, table) for c in contigs]
-            for codes, token in zip(contigs, tokens):
-                found, fallbacks = self._find_splitters_in_contig(
-                    codes, table, hits=collect_scan_hits(token)
+            for codes in contigs:
+                pos, kmers, tail_pos, tail_kmer = find_splitter_emissions(
+                    codes, self.k, table, self.p.segment_size
                 )
-                splitters.extend(found)
-                self._pending_fallback.extend(fallbacks)
+                splitters.extend(int(x) for x in kmers)
+                last = int(pos[-1]) if len(pos) else None
+                if tail_pos is not None and (
+                    last is None or tail_pos >= last + self.k
+                ):
+                    splitters.append(int(tail_kmer))
         else:
             for codes in contigs:
                 found, fallbacks = self._find_splitters_in_contig(
@@ -686,9 +690,23 @@ class Compressor:
         uniq = uniq[mask]
         mask = ~np.isin(uniq, self.cand_duplicated, assume_unique=False)
         uniq = uniq[mask]
-        found, fallbacks = self._find_splitters_in_contig(codes, uniq)
-        self._pending_new_splitters.extend(found)
-        self._pending_fallback.extend(fallbacks)
+        if not len(uniq):
+            return
+        if not self.fallback_filter:
+            from ..ops.kmers import _padded_table, find_splitter_emissions
+
+            table = jnp.asarray(_padded_table(uniq))
+            pos, kmers, tail_pos, tail_kmer = find_splitter_emissions(
+                codes, self.k, table, self.p.segment_size
+            )
+            self._pending_new_splitters.extend(int(x) for x in kmers)
+            last = int(pos[-1]) if len(pos) else None
+            if tail_pos is not None and (last is None or tail_pos >= last + self.k):
+                self._pending_new_splitters.append(int(tail_kmer))
+        else:
+            found, fallbacks = self._find_splitters_in_contig(codes, uniq)
+            self._pending_new_splitters.extend(found)
+            self._pending_fallback.extend(fallbacks)
 
     # ==================================================================
     # segment -> group matching (reference: add_segment, 1275-1499)

@@ -181,6 +181,164 @@ def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
     )
 
 
+_POS_INF = jnp.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5))
+def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t0=0):
+    """Whole-contig greedy splitter emission on device.
+
+    Device analogue of the reference's sequential find_splitters_in_contig
+    walk (agc_compressor.cpp:762-825): membership hits against the
+    singleton-candidate table are dense (most genome k-mers are unique),
+    so instead of downloading hits, the greedy 'emit one splitter every
+    >= seg_size bases' chain runs on device via a next-hit jump table:
+
+        next_hit = reverse-cummin over hit positions
+        e_0 = next_hit[0];  e_{i+1} = next_hit[e_i + seg_size]
+
+    Returns one u64 vector:
+        [count, pos[cap], kmer[cap], tail_pos, tail_kmer]
+    where tail_* is the rightmost hit (the rightmost-candidate fallback,
+    agc_compressor.cpp:817-824), tail_pos = 2^63-1 when absent.
+    """
+    codes = _unpack_codes_dev(packed, invbits)
+    n = codes.shape[0]
+    udir, urc, valid = _kmer_core(codes, k)
+    canon = jnp.minimum(udir, urc)
+    idx = jnp.searchsorted(table, canon)
+    idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
+    member = valid & (table[idx_c] == canon)
+
+    pos64 = jnp.arange(n, dtype=jnp.uint64)
+    hit_or_inf = jnp.where(member, pos64, _POS_INF)
+    # next_hit[i] = min hit position >= i
+    next_hit = jax.lax.associative_scan(jnp.minimum, hit_or_inf, reverse=True)
+
+    out_pos = jnp.full(cap, _POS_INF, dtype=jnp.uint64)
+    out_kmer = jnp.zeros(cap, dtype=jnp.uint64)
+
+    def cond(state):
+        t, count, _, _ = state
+        return (t < n) & (count < cap)
+
+    def body(state):
+        t, count, out_pos, out_kmer = state
+        p = next_hit[t]
+        found = p < _POS_INF
+        p_i = jnp.clip(p, 0, jnp.uint64(n - 1)).astype(jnp.int64)
+        out_pos = jnp.where(
+            found, out_pos.at[count].set(p), out_pos
+        )
+        out_kmer = jnp.where(
+            found, out_kmer.at[count].set(canon[p_i]), out_kmer
+        )
+        count = count + jnp.where(found, 1, 0)
+        t = jnp.where(found, p_i + seg_size, jnp.int64(n))
+        return t, count, out_pos, out_kmer
+
+    _, count, out_pos, out_kmer = jax.lax.while_loop(
+        cond, body, (jnp.asarray(t0, jnp.int64), jnp.int64(0), out_pos, out_kmer)
+    )
+
+    tail_pos = jnp.max(jnp.where(member, pos64, jnp.uint64(0)))
+    has_tail = jnp.any(member)
+    tail_pos = jnp.where(has_tail, tail_pos, _POS_INF)
+    tail_kmer = canon[jnp.clip(tail_pos, 0, jnp.uint64(n - 1)).astype(jnp.int64)]
+
+    return jnp.concatenate(
+        [
+            count.astype(jnp.uint64)[None],
+            out_pos,
+            out_kmer,
+            tail_pos[None],
+            tail_kmer[None],
+        ]
+    )
+
+
+MAX_WHOLE_CONTIG = 1 << 25  # whole-contig greedy bucket ceiling (32 Mbase)
+
+
+def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: int):
+    """Greedy splitter emissions for one contig: returns
+    (positions i64[E], kmers u64[E], tail_pos or None, tail_kmer).
+
+    One device dispatch for contigs up to MAX_WHOLE_CONTIG; larger contigs
+    run the jump chain across sequential whole-bucket dispatches with the
+    emission state carried on host.
+    """
+    n = len(contig_codes)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), None, 0
+    if n <= MAX_WHOLE_CONTIG:
+        b = _MIN_BUCKET
+        while b < n:
+            b <<= 1
+        padded = np.full(b, _PAD_SYMBOL, dtype=np.uint8)
+        padded[:n] = contig_codes
+        packed, invbits = pack_codes(padded)
+        cap = b // seg_size + 2
+        vec = np.asarray(
+            splitter_greedy_kernel(
+                jnp.asarray(packed), jnp.asarray(invbits), k, table, seg_size, cap
+            )
+        )
+        count = int(vec[0])
+        pos = vec[1 : 1 + cap][:count].astype(np.int64)
+        kmers = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+        tail_pos = int(vec[1 + 2 * cap])
+        tail_kmer = np.uint64(vec[2 + 2 * cap])
+        if tail_pos >= n:
+            return pos, kmers, None, 0
+        return pos, kmers, tail_pos, tail_kmer
+    # huge contig: sequential whole-bucket dispatches; the jump-chain state
+    # (next allowed emission position) is carried on the host between them
+    positions: list[int] = []
+    kmers: list[int] = []
+    tail_pos = None
+    tail_kmer = np.uint64(0)
+    e = None  # last emission (global)
+    start = 0
+    while start < n:
+        lo = max(0, start - (k - 1))
+        end = min(lo + MAX_WHOLE_CONTIG, n)
+        sub = np.ascontiguousarray(contig_codes[lo:end])
+        b = _MIN_BUCKET
+        while b < len(sub):
+            b <<= 1
+        padded = np.full(b, _PAD_SYMBOL, dtype=np.uint8)
+        padded[: len(sub)] = sub
+        packed, invbits = pack_codes(padded)
+        cap = b // seg_size + 2
+        # chain start within this chunk (global carry -> local coordinates)
+        t_global = start if e is None else e + seg_size
+        t0 = max(t_global - lo, 0)
+        vec = np.asarray(
+            splitter_greedy_kernel(
+                jnp.asarray(packed), jnp.asarray(invbits), k, table,
+                seg_size, cap, t0,
+            )
+        )
+        count = int(vec[0])
+        p_loc = vec[1 : 1 + cap][:count].astype(np.int64) + lo
+        k_loc = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+        for pp, kk in zip(p_loc.tolist(), k_loc.tolist()):
+            if pp >= end:  # emission in the next chunk's territory: redo there
+                break
+            positions.append(pp)
+            kmers.append(np.uint64(kk))
+            e = pp
+        t_chunk_tail = int(vec[1 + 2 * cap])
+        if t_chunk_tail < len(sub) and t_chunk_tail + lo >= start:
+            tail_pos = t_chunk_tail + lo
+            tail_kmer = np.uint64(vec[2 + 2 * cap])
+        start = end
+    pos_arr = np.asarray(positions, dtype=np.int64)
+    kmer_arr = np.asarray(kmers, dtype=np.uint64)
+    return pos_arr, kmer_arr, tail_pos, tail_kmer
+
+
 @partial(jax.jit, static_argnums=(1,))
 def canon_kmers_chunk(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     """Canonical k-mers with invalid windows replaced by the all-ones

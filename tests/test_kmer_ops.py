@@ -1,0 +1,121 @@
+"""Device kernel unit tests: k-mer semantics vs a direct CKmer emulation,
+and the device greedy splitter chain vs a host reference walk."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from agc_tpu.ops.kmers import (
+    _padded_table,
+    collect_kmers,
+    contig_kmers,
+    find_splitter_emissions,
+    scan_contig_hits,
+)
+
+
+def ref_kmers(codes, k):
+    """Direct emulation of the reference rolling CKmer (kmer.h)."""
+    n = len(codes)
+    canon = np.zeros(n, np.uint64)
+    valid = np.zeros(n, bool)
+    kd = 0
+    kr = 0
+    cur = 0
+    mask = ((1 << 64) - 1) - ((1 << (64 - 2 * k)) - 1)
+    for i, x in enumerate(codes):
+        if x > 3:
+            kd = kr = 0
+            cur = 0
+            continue
+        kr = (kr >> 2) + ((3 - int(x)) << 62)
+        kr &= mask
+        if cur == k:
+            kd = ((kd << 2) & 0xFFFFFFFFFFFFFFFF) + (int(x) << (64 - 2 * k))
+        else:
+            cur += 1
+            kd += int(x) << (64 - 2 * cur)
+        if cur == k:
+            valid[i] = True
+            canon[i] = min(kd, kr)
+    return canon, valid
+
+
+def host_greedy(codes, k, cand_sorted, seg_size):
+    """Host emulation of find_splitters_in_contig
+    (agc_compressor.cpp:762-825)."""
+    canon, valid = ref_kmers(codes, k)
+    member = valid & np.isin(canon, cand_sorted)
+    out = []
+    last = None
+    hits = np.flatnonzero(member)
+    for p in hits.tolist():
+        if last is not None and (p - last) < seg_size:
+            continue
+        if last is not None and p < last + k:
+            continue
+        out.append(int(canon[p]))
+        last = p
+    floor = (last + k) if last is not None else 0
+    tail = hits[hits >= floor]
+    if len(tail):
+        out.append(int(canon[tail[-1]]))
+    return out
+
+
+@pytest.mark.parametrize("k,seg", [(17, 500), (21, 997), (31, 1000)])
+def test_device_greedy_matches_host(k, seg):
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=20000, dtype=np.uint8)
+    codes[rng.integers(0, len(codes), 50)] = 4  # sprinkle Ns
+    kmers = collect_kmers(codes, k)
+    cand = np.sort(np.unique(kmers))  # mostly singletons: dense members
+    table = jnp.asarray(_padded_table(cand))
+    pos, kms, tail_pos, tail_kmer = find_splitter_emissions(codes, k, table, seg)
+    got = [int(x) for x in kms]
+    last = int(pos[-1]) if len(pos) else None
+    if tail_pos is not None and (last is None or tail_pos >= last + k):
+        got.append(int(tail_kmer))
+    expect = host_greedy(codes, k, cand, seg)
+    assert got == expect
+
+
+def test_device_greedy_sparse_and_empty():
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, size=5000, dtype=np.uint8)
+    kmers = collect_kmers(codes, 17)
+    # sparse: every 37th kmer
+    cand = np.sort(np.unique(kmers[::37]))
+    table = jnp.asarray(_padded_table(cand))
+    pos, kms, tail_pos, tail_kmer = find_splitter_emissions(codes, 17, table, 200)
+    got = [int(x) for x in kms]
+    last = int(pos[-1]) if len(pos) else None
+    if tail_pos is not None and (last is None or tail_pos >= last + 17):
+        got.append(int(tail_kmer))
+    assert got == host_greedy(codes, 17, cand, 200)
+    # empty candidate set
+    empty = jnp.asarray(_padded_table(np.array([1], dtype=np.uint64)))
+    pos, kms, tail_pos, _ = find_splitter_emissions(codes, 17, empty, 200)
+    assert len(pos) == 0 and tail_pos is None
+
+
+def test_scan_hits_vs_dense():
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=30000, dtype=np.uint8)
+    canon, valid = ref_kmers(codes, 19)
+    table = np.sort(np.unique(canon[valid][::101]))
+    pos, udir, urc = scan_contig_hits(codes, 19, table)
+    member = valid & np.isin(canon, table)
+    assert np.array_equal(pos, np.flatnonzero(member))
+    assert np.array_equal(np.minimum(udir, urc), canon[pos])
+
+
+def test_contig_kmers_matches_reference_emulation():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 6, size=4000, dtype=np.uint8)  # with invalids
+    for k in (17, 32):
+        c, v, d = (np.asarray(x) for x in contig_kmers(jnp.asarray(codes), k))
+        rc, rv = ref_kmers(codes, k)
+        assert np.array_equal(v, rv)
+        assert np.array_equal(c[v], rc[rv])

@@ -121,6 +121,17 @@ def read_cstr(buf, pos: int) -> tuple[bytes, int]:
 # ---------------------------------------------------------------------------
 
 
+def zigzag_encode(x: int) -> int:
+    """Plain zigzag (reference: utils.h:95-101)."""
+    return 2 * x if x >= 0 else 2 * (-x) - 1
+
+
+def zigzag_decode(x: int) -> int:
+    if x & 1:
+        return -((x + 1) // 2)
+    return x // 2
+
+
 def zigzag_encode_pred(x_curr: int, x_prev: int) -> int:
     if x_curr < x_prev:
         return 2 * (x_prev - x_curr) - 1

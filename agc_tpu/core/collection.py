@@ -27,6 +27,7 @@ from .codecs import (
     dec_prefix_varint,
     enc_prefix_varint,
     read_cstr,
+    zigzag_decode,
     zigzag_decode_pred,
     zigzag_encode_pred,
 )
@@ -136,6 +137,201 @@ def _decode_split(prev: list[bytes], curr: list[bytes]) -> tuple[bytes, list[byt
     if dec:
         dec.pop()
     return bytes(dec), out_tokens
+
+
+class CollectionLegacy:
+    """Read-only support for AGC 1.x / 2.x collection metadata, needed to
+    extract from archives produced by old reference versions.
+
+    - v1: single zstd blob in stream "collection-desc"; per segment the
+      4 fields are interleaved with plain-zigzag deltas
+      (reference: collection_v1.cpp:14-157).
+    - v2: "collection-main" (names + per-contig segment counts + cmd
+      lines) and per-batch "collection-details" parts of 4 concatenated
+      substreams using zigzag-vs-prediction deltas
+      (reference: collection_v2.cpp:14-173, collection_v1.cpp:424-530).
+
+    Presents the same query interface as CollectionV3.
+    """
+
+    def __init__(self):
+        self.samples: list[_Sample] = []
+        self.sample_ids: dict[str, int] = {}
+        self.cmd_lines: list[tuple[str, str]] = []
+        self.batch_size = 1
+
+    # -- shared varint walkers -----------------------------------------
+
+    @staticmethod
+    def _read_str(data, pos):
+        raw, pos = read_cstr(data, pos)
+        return raw.decode("utf-8"), pos
+
+    @classmethod
+    def from_archive_v1(cls, reader) -> "CollectionLegacy":
+        part = reader.get_part("collection-desc", 0)
+        if part is None:
+            raise ValueError("v1 archive missing collection-desc stream")
+        data = _zstd_d(part[0], part[1])
+        coll = cls()
+        pos = 0
+        n_samples, pos = dec_prefix_varint(data, pos)
+        for i in range(n_samples):
+            name, pos = cls._read_str(data, pos)
+            coll.sample_ids[name] = i
+            sample = _Sample(name=name, contigs_loaded=True, details_loaded=True)
+            n_contigs, pos = dec_prefix_varint(data, pos)
+            for _ in range(n_contigs):
+                cname, pos = cls._read_str(data, pos)
+                n_seg, pos = dec_prefix_varint(data, pos)
+                ctg = _Contig(name=cname)
+                pg = pig = prl = 0
+                for _ in range(n_seg):
+                    eg, pos = dec_prefix_varint(data, pos)
+                    ei, pos = dec_prefix_varint(data, pos)
+                    er, pos = dec_prefix_varint(data, pos)
+                    eo, pos = dec_prefix_varint(data, pos)
+                    pg = pg + zigzag_decode(eg)
+                    pig = pig + zigzag_decode(ei)
+                    prl = prl + zigzag_decode(er)
+                    ctg.segments.append(SegmentDesc(pg, pig, bool(eo), prl))
+                sample.contigs.append(ctg)
+            coll.samples.append(sample)
+        n_cmds, pos = dec_prefix_varint(data, pos)
+        for _ in range(n_cmds):
+            cmd, pos = cls._read_str(data, pos)
+            when, pos = cls._read_str(data, pos)
+            coll.cmd_lines.append((cmd, when))
+        return coll
+
+    @classmethod
+    def from_archive_v2(cls, reader) -> "CollectionLegacy":
+        part = reader.get_part("collection-main", 0)
+        if part is None:
+            raise ValueError("v2 archive missing collection-main stream")
+        data = _zstd_d(part[0], part[1])
+        coll = cls()
+        pos = 0
+        batch_size, pos = dec_prefix_varint(data, pos)
+        coll.batch_size = max(1, batch_size)
+        n_samples, pos = dec_prefix_varint(data, pos)
+        seg_counts: list[list[int]] = []
+        for i in range(n_samples):
+            name, pos = cls._read_str(data, pos)
+            coll.sample_ids[name] = i
+            sample = _Sample(name=name, contigs_loaded=True, details_loaded=True)
+            n_contigs, pos = dec_prefix_varint(data, pos)
+            counts = []
+            for _ in range(n_contigs):
+                cname, pos = cls._read_str(data, pos)
+                n_seg, pos = dec_prefix_varint(data, pos)
+                counts.append(n_seg)
+                sample.contigs.append(_Contig(name=cname))
+            seg_counts.append(counts)
+            coll.samples.append(sample)
+        n_cmds, pos = dec_prefix_varint(data, pos)
+        for _ in range(n_cmds):
+            cmd, pos = cls._read_str(data, pos)
+            when, pos = cls._read_str(data, pos)
+            coll.cmd_lines.append((cmd, when))
+
+        # details: one part per batch of batch_size samples
+        part_id = 0
+        base = 0
+        while base < n_samples:
+            part = reader.get_part("collection-details", part_id)
+            if part is None:
+                break
+            det = _zstd_d(part[0], part[1])
+            hi = min(base + coll.batch_size, n_samples)
+            batch_samples = coll.samples[base:hi]
+            batch_counts = seg_counts[base:hi]
+            # allocate
+            for s, counts in zip(batch_samples, batch_counts):
+                for ctg, n_seg in zip(s.contigs, counts):
+                    ctg.segments = [
+                        SegmentDesc(0, 0, False, 0) for _ in range(n_seg)
+                    ]
+            dpos = 0
+            for field in range(4):
+                for s in batch_samples:
+                    for ctg in s.contigs:
+                        prev = 0
+                        for seg in ctg.segments:
+                            v, dpos = dec_prefix_varint(det, dpos)
+                            if field == 0:
+                                seg.group_id = zigzag_decode_pred(v, prev)
+                                prev = seg.group_id
+                            elif field == 1:
+                                seg.in_group_id = zigzag_decode_pred(v, prev)
+                                prev = seg.in_group_id
+                            elif field == 2:
+                                seg.raw_length = zigzag_decode_pred(v, prev)
+                                prev = seg.raw_length
+                            else:
+                                seg.is_rev_comp = bool(v)
+            base = hi
+            part_id += 1
+        return coll
+
+    # -- queries (same surface as CollectionV3) -------------------------
+
+    def get_no_samples(self) -> int:
+        return len(self.samples)
+
+    def get_reference_name(self) -> str | None:
+        return self.samples[0].name if self.samples else None
+
+    def get_samples_list(self, sorted_: bool = True) -> list[str]:
+        names = [s.name for s in self.samples]
+        if sorted_:
+            names.sort()
+        return names
+
+    def get_contig_list_in_sample(self, sample_name: str) -> list[str] | None:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return None
+        return [c.name for c in self.samples[sid].contigs]
+
+    def get_no_contigs(self, sample_name: str) -> int:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return -1
+        return len(self.samples[sid].contigs)
+
+    def get_sample_desc(self, sample_name: str):
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return None
+        return [(c.name, c.segments) for c in self.samples[sid].contigs]
+
+    def get_contig_desc(self, sample_name: str, contig_name: str):
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return None
+        short = extract_contig_name(contig_name)
+        for c in self.samples[sid].contigs:
+            if extract_contig_name(c.name) == short:
+                return c.name, c.segments
+        return None
+
+    def is_contig_desc(self, sample_name: str, contig_name: str) -> bool:
+        sid = self.sample_ids.get(sample_name)
+        if sid is None:
+            return False
+        return any(
+            extract_contig_name(c.name) == contig_name
+            for c in self.samples[sid].contigs
+        )
+
+    def get_samples_for_contig(self, contig_name: str) -> list[str]:
+        short = extract_contig_name(contig_name)
+        return [
+            s.name
+            for s in self.samples
+            if any(extract_contig_name(c.name) == short for c in s.contigs)
+        ]
 
 
 class CollectionV3:

@@ -138,15 +138,25 @@ class Decompressor:
         maj = int(self.file_type_info.get("file_version_major", "3"))
         mino = int(self.file_type_info.get("file_version_minor", "0"))
         self.archive_version = maj * 1000 + mino
-        if self.archive_version >= 4000 or self.archive_version < 3000:
+        if self.archive_version >= 4000:
             raise ValueError(
-                f"unsupported archive version {maj}.{mino}; only format 3.x "
-                "is supported by agc-tpu (1.x/2.x reading: planned)"
+                f"unsupported archive version {maj}.{mino}; "
+                "please use a newer agc-tpu"
             )
         self._load_params()
-        self.collection = CollectionV3.from_archive(
-            self.reader, self.pack_cardinality, self.segment_size, self.kmer_length
-        )
+        if self.archive_version >= 3000:
+            self.collection = CollectionV3.from_archive(
+                self.reader, self.pack_cardinality, self.segment_size,
+                self.kmer_length,
+            )
+        elif self.archive_version >= 2000:
+            from .collection import CollectionLegacy
+
+            self.collection = CollectionLegacy.from_archive_v2(self.reader)
+        else:
+            from .collection import CollectionLegacy
+
+            self.collection = CollectionLegacy.from_archive_v1(self.reader)
         self._segment_cache: dict[int, SegmentReader] = {}
         import threading
 

@@ -211,9 +211,7 @@ def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t
     member = valid & (table[idx_c] == canon)
 
     pos64 = jnp.arange(n, dtype=jnp.uint64)
-    hit_or_inf = jnp.where(member, pos64, _POS_INF)
-    # next_hit[i] = min hit position >= i
-    next_hit = jax.lax.associative_scan(jnp.minimum, hit_or_inf, reverse=True)
+    idx_i64 = jnp.arange(n, dtype=jnp.int64)
 
     out_pos = jnp.full(cap, _POS_INF, dtype=jnp.uint64)
     out_kmer = jnp.zeros(cap, dtype=jnp.uint64)
@@ -224,11 +222,14 @@ def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t
 
     def body(state):
         t, count, out_pos, out_kmer = state
-        p = next_hit[t]
-        found = p < _POS_INF
-        p_i = jnp.clip(p, 0, jnp.uint64(n - 1)).astype(jnp.int64)
+        # first hit at position >= t (argmax of bool returns first True);
+        # emissions are ~n/seg_size, so the O(n) sweep per emission is
+        # cheap on the VPU and keeps the compiled program tiny
+        mask = member & (idx_i64 >= t)
+        found = jnp.any(mask)
+        p_i = jnp.argmax(mask).astype(jnp.int64)
         out_pos = jnp.where(
-            found, out_pos.at[count].set(p), out_pos
+            found, out_pos.at[count].set(p_i.astype(jnp.uint64)), out_pos
         )
         out_kmer = jnp.where(
             found, out_kmer.at[count].set(canon[p_i]), out_kmer

@@ -377,6 +377,9 @@ class Compressor:
         if self.p.verbosity > 1:
             print(f"No. of splitters: {len(self._splitter_set)}")
 
+    def splitter_set_snapshot(self) -> set:
+        return set(self._splitter_set)
+
     def _refresh_splitter_table(self) -> None:
         """Rebuild the sorted splitter table and its device-resident copy
         (uploaded once per change, not per contig)."""

@@ -1,0 +1,355 @@
+"""Sharded collection compression: data-parallel over samples with a
+deterministic archive merge.
+
+The reference is strictly single-host (SURVEY.md section 2.6); this module
+adds the scale-out layer for multi-host TPU pods:
+
+- The splitter set is determined once from the reference genome and
+  replicated to every shard (host) -- it is small (~1 per segment_size
+  bases).
+- Samples are partitioned round-robin across shards; each shard runs the
+  normal compression pipeline (device scans + host matcher) over its
+  samples only, producing shard-local segment groups.
+- Merge (on the writer host): shard-local group ids are renumbered into a
+  single global id space (raw groups stay shared; shard-local LZ groups
+  are appended in shard order). Same-splitter-pair groups from different
+  shards keep separate global ids -- members were LZ-coded against their
+  shard's group reference, so no re-encoding is needed; the cost is a
+  duplicated group reference per extra shard that saw the same pair
+  (bounded by shards x new-pair rate).
+- Collection metadata is rebuilt globally in the user-specified sample
+  order, so extraction output is independent of the shard count.
+
+On a real pod each shard is one jax process (jax.distributed); here the
+shards can also run as local threads, which exercises the identical
+partition/merge logic (tests/test_distributed.py).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.archive import ArchiveWriter
+from ..core.codecs import ss_base, ss_delta_name, ss_ref_name
+from ..core.collection import CollectionV3
+from ..core.compressor import (
+    EMPTY,
+    NO_RAW_GROUPS,
+    PK_EMPTY,
+    Compressor,
+    CompressorParams,
+)
+from ..core.genome_io import sample_name_from_path
+
+
+@dataclass
+class _ShardResult:
+    """Everything a shard produces for the merge step."""
+
+    shard_id: int
+    sample_names: list
+    # group payloads: gid -> list of (sample, contig, part_no, data, is_rc)
+    groups: dict = field(default_factory=dict)
+    group_pk: dict = field(default_factory=dict)  # local gid -> (k1, k2)
+    splitter_set: set = field(default_factory=set)
+
+
+class _CapturingCompressor(Compressor):
+    """Compressor that captures segment members instead of writing them.
+
+    Reuses the full matcher pipeline; ``_store_segments`` records the
+    (ordered) member list per local group so the merge step can replay
+    them into the global archive."""
+
+    def __init__(self, params, splitter_set, shard_id):
+        # bypass Compressor.__init__ archive plumbing: build state manually
+        self.p = params
+        self.k = params.kmer_length
+        from ..version import AGC_FILE_MAJOR, AGC_FILE_MINOR
+
+        self.archive_version = AGC_FILE_MAJOR * 1000 + AGC_FILE_MINOR
+
+        class _NullWriter:
+            def register_stream(self, name):
+                return 0
+
+            def add_part_buffered(self, *a, **k):
+                pass
+
+            def add_part(self, *a, **k):
+                pass
+
+            def flush_buffers(self):
+                pass
+
+        self.writer = _NullWriter()
+        self.collection = CollectionV3(
+            params.pack_cardinality, params.segment_size, params.kmer_length
+        )
+        self.map_segments = {PK_EMPTY: 0}
+        self.terminators = {}
+        self.v_segments = [None] * NO_RAW_GROUPS
+        self.no_segments = NO_RAW_GROUPS
+        from ..core.compressor import _FallbackFilter
+
+        self.fallback_filter = _FallbackFilter(params.fallback_frac)
+        self.map_fallback = {}
+        self._pending_fallback = []
+        self.cand_singletons = np.empty(0, dtype=np.uint64)
+        self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        self._cand_singletons_dev = None
+        self._pending_new_splitters = []
+        self._raw_contigs = []
+        self._buf_known = {}
+        self._buf_new = []
+        self.processed_samples = 0
+        self.processed_bases = 0
+        self.file_type_info = {}
+        self._closed = False
+        self._mode = "shard"
+        self._n_threads = max(1, (os.cpu_count() or 2) // 2)
+        self._splitter_set = set(splitter_set)
+        self._refresh_splitter_table()
+        self.shard_id = shard_id
+        self.captured: dict[int, list] = {}
+        self.captured_pk: dict[int, tuple] = {}
+        # shard-local segment writers exist only to hold LZ contexts for
+        # estimates; they never touch an archive
+        for gid in range(NO_RAW_GROUPS):
+            self.v_segments[gid] = self._make_writer(gid)
+
+    def _make_writer(self, gid):
+        from ..core.segment import SegmentWriter
+
+        class _NullArchive:
+            def add_part_buffered(self, *a, **k):
+                pass
+
+            def add_part(self, *a, **k):
+                pass
+
+            def register_stream(self, name):
+                return 0
+
+        return SegmentWriter(
+            ss_base(self.archive_version, gid),
+            _NullArchive(),
+            self.p.pack_cardinality,
+            self.p.min_match_len,
+            self.archive_version,
+        )
+
+    def _synchronize(self) -> None:
+        """Shard-local barrier: registration + capture only (the global
+        metadata/archive writes happen in the merge phase)."""
+        self._register_segments()
+        self._store_segments()
+        self._merge_fallback_mappings()
+        self.processed_samples += 1
+
+    def _register_segments(self) -> None:
+        super()._register_segments()
+        for gid in self._buf_known:
+            if gid >= NO_RAW_GROUPS:
+                self.captured_pk.setdefault(gid, self._pk_of(gid))
+
+    def _pk_of(self, gid):
+        for pk, g in self.map_segments.items():
+            if g == gid:
+                return pk
+        return PK_EMPTY
+
+    def _store_segments(self) -> None:
+        for gid in sorted(self._buf_known):
+            items = self._buf_known[gid]
+            items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
+            seg = self.v_segments[gid]
+            if seg is None:
+                seg = self._make_writer(gid)
+                self.v_segments[gid] = seg
+            cap = self.captured.setdefault(gid, [])
+            for it in items:
+                # feed the LZ context so estimates stay meaningful, but
+                # capture the raw member for the global merge
+                if gid >= NO_RAW_GROUPS and seg.no_seqs == 0:
+                    seg.lz.prepare(it.data)
+                    seg.ref_size = len(it.data) + 1
+                    seg.no_seqs = 1
+                cap.append((it.sample, it.contig, it.part_no, it.data, it.is_rc))
+        self._buf_known = {}
+
+    def result(self) -> _ShardResult:
+        res = _ShardResult(self.shard_id, [s.name for s in self.collection.samples])
+        res.groups = self.captured
+        res.group_pk = {
+            gid: self._pk_of(gid) for gid in self.captured if gid >= NO_RAW_GROUPS
+        }
+        res.splitter_set = self._splitter_set
+        return res
+
+
+def create_archive_sharded(
+    out_path: str,
+    input_files: list[str],
+    params: CompressorParams | None = None,
+    n_shards: int = 2,
+) -> None:
+    """Data-parallel create: shard samples, compress, merge into one archive.
+
+    Extraction output is byte-identical regardless of ``n_shards``.
+    """
+    params = params or CompressorParams()
+    if params.adaptive_compression or params.concatenated_genomes:
+        raise NotImplementedError(
+            "sharded create currently supports the default mode"
+        )
+    seen = set()
+    files = [f for f in input_files if not (f in seen or seen.add(f))]
+    sample_files = [(sample_name_from_path(f), f) for f in files]
+
+    # Phase 1: splitters from the reference genome (shared by every shard)
+    boot = Compressor(out_path + ".tmp0", params, reference_file=files[0])
+    splitter_set = set(boot.splitter_set_snapshot())
+    boot.writer.close()
+    os.unlink(out_path + ".tmp0")
+
+    # Phase 2: shard the samples round-robin and compress independently
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for i, sf in enumerate(sample_files):
+        shards[i % n_shards].append(sf)
+
+    def run_shard(shard_id):
+        comp = _CapturingCompressor(params, splitter_set, shard_id)
+        comp.add_sample_files(shards[shard_id])
+        return comp.result()
+
+    if n_shards > 1:
+        with ThreadPoolExecutor(max_workers=n_shards) as pool:
+            results = list(pool.map(run_shard, range(n_shards)))
+    else:
+        results = [run_shard(0)]
+
+    # Phase 3: deterministic merge on the writer host
+    _merge_shards(out_path, params, sample_files, splitter_set, results)
+
+
+def _merge_shards(out_path, params, sample_files, splitter_set, results):
+    from ..core.compressor import Compressor as _C
+
+    merged = _C.__new__(_C)
+    merged.p = params
+    merged.k = params.kmer_length
+    from ..version import AGC_FILE_MAJOR, AGC_FILE_MINOR
+
+    merged.archive_version = AGC_FILE_MAJOR * 1000 + AGC_FILE_MINOR
+    merged.writer = ArchiveWriter(out_path)
+    merged.collection = CollectionV3(
+        params.pack_cardinality, params.segment_size, params.kmer_length
+    )
+    merged.map_segments = {PK_EMPTY: 0}
+    merged.terminators = {}
+    merged.v_segments = []
+    merged.no_segments = 0
+    merged._splitter_set = set(splitter_set)
+    merged.processed_samples = 0
+    merged.processed_bases = 0
+    merged._closed = False
+    merged._mode = "create"
+    merged._n_threads = max(1, (os.cpu_count() or 2) // 2)
+    merged._buf_known = {}
+    merged._buf_new = []
+    from ..core.compressor import _FallbackFilter
+
+    merged.fallback_filter = _FallbackFilter(0.0)
+    merged.map_fallback = {}
+    merged._pending_fallback = []
+    merged._pending_new_splitters = []
+    merged._raw_contigs = []
+    merged.cand_singletons = np.empty(0, dtype=np.uint64)
+    merged.cand_duplicated = np.empty(0, dtype=np.uint64)
+    merged._cand_singletons_dev = None
+    from ..version import COMMENT, PRODUCER, PRODUCER_BUILD, PRODUCER_VERSION
+
+    merged.file_type_info = {
+        "producer": PRODUCER,
+        "producer_version_major": str(PRODUCER_VERSION[0]),
+        "producer_version_minor": str(PRODUCER_VERSION[1]),
+        "producer_version_build": PRODUCER_BUILD,
+        "file_version_major": str(AGC_FILE_MAJOR),
+        "file_version_minor": str(AGC_FILE_MINOR),
+        "comment": COMMENT,
+    }
+    merged._refresh_splitter_table()
+
+    # raw groups first (shared id space 0..15)
+    for gid in range(NO_RAW_GROUPS):
+        merged.writer.register_stream(ss_delta_name(merged.archive_version, gid))
+        seg = merged._make_writer(gid)
+        merged.v_segments.append(seg)
+        seg.add_raw(b"\x7f")
+    merged.no_segments = NO_RAW_GROUPS
+
+    # global group numbering: shards in order, local gid order within
+    gid_map: dict[tuple[int, int], int] = {}
+    for res in sorted(results, key=lambda r: r.shard_id):
+        for local_gid in sorted(res.group_pk):
+            g = merged.no_segments
+            merged.no_segments += 1
+            gid_map[(res.shard_id, local_gid)] = g
+            merged.writer.register_stream(ss_ref_name(merged.archive_version, g))
+            merged.writer.register_stream(ss_delta_name(merged.archive_version, g))
+            merged.v_segments.append(None)
+            pk = res.group_pk[local_gid]
+            if pk not in merged.map_segments:
+                merged.map_segments[pk] = g
+                k1, k2 = pk
+                if k1 != EMPTY and k2 != EMPTY:
+                    merged.terminators.setdefault(k1, []).append(k2)
+                    if k1 != k2:
+                        merged.terminators.setdefault(k2, []).append(k1)
+    for v in merged.terminators.values():
+        v.sort()
+
+    # replay samples in global order, one sample barrier at a time
+    # (so collection batches and in-group ids follow the reference schedule)
+    per_sample: dict[str, list[tuple[int, tuple]]] = {}
+    for res in results:
+        for local_gid, members in res.groups.items():
+            for m in members:
+                sample = m[0]
+                if local_gid < NO_RAW_GROUPS:
+                    g = 0  # raw members are re-distributed at the barrier
+                else:
+                    g = gid_map[(res.shard_id, local_gid)]
+                per_sample.setdefault(sample, []).append((g, m))
+
+    from ..core.genome_io import read_contigs_raw
+
+    for sample_name, path in sample_files:
+        merged.collection.reset_prev_sample_name()
+        for cid, raw in read_contigs_raw(path):
+            merged.collection.register_sample_contig(sample_name, cid)
+        from ..core.compressor import _PendingSeg
+
+        for g, (s, contig, part_no, data, is_rc) in per_sample.get(
+            sample_name, []
+        ):
+            merged._buf_known.setdefault(g, []).append(
+                _PendingSeg(s, contig, part_no, data, is_rc)
+            )
+        merged._register_segments()
+        merged._store_segments()
+        merged.processed_samples += 1
+        if merged.processed_samples % params.pack_cardinality == 0:
+            merged.collection.store_contig_batch(
+                merged.writer,
+                merged.processed_samples - params.pack_cardinality,
+                merged.processed_samples,
+            )
+        merged.writer.flush_buffers()
+
+    merged.close()

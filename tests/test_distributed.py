@@ -1,0 +1,47 @@
+"""Sharded (multi-host) create: extraction must be byte-identical for any
+shard count (BASELINE.json config: N>=2 hosts with collective merge)."""
+
+import filecmp
+
+import pytest
+
+from agc_tpu.core.compressor import CompressorParams
+from agc_tpu.core.decompressor import Decompressor
+from agc_tpu.parallel.distributed import create_archive_sharded
+
+from util import make_collection
+
+PARAMS = CompressorParams(
+    kmer_length=17, segment_size=1000, pack_cardinality=2, min_match_len=15
+)
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 3])
+def test_sharded_create_roundtrip(tmp_path, n_shards):
+    files = make_collection(tmp_path, n_samples=4, contig_lens=(30000, 12000))
+    archive = str(tmp_path / f"sh{n_shards}.agc")
+    create_archive_sharded(
+        archive, [p for _, p in files], PARAMS, n_shards=n_shards
+    )
+    d = Decompressor(archive)
+    assert sorted(d.list_samples()) == sorted(s for s, _ in files)
+    for sample, path in files:
+        out = str(tmp_path / f"out{n_shards}_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), (n_shards, sample)
+    d.close()
+
+
+def test_shard_count_invariant_extraction(tmp_path):
+    files = make_collection(tmp_path, n_samples=3, contig_lens=(20000,))
+    outs = []
+    for n in (1, 3):
+        archive = str(tmp_path / f"inv{n}.agc")
+        create_archive_sharded(archive, [p for _, p in files], PARAMS, n_shards=n)
+        d = Decompressor(archive)
+        text = []
+        for sample, _ in files:
+            text.append(d.get_contig_seq(sample, "c1"))
+        outs.append(text)
+        d.close()
+    assert outs[0] == outs[1]

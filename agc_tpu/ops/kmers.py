@@ -110,7 +110,7 @@ def contig_kmers_with_membership(codes, k, sorted_set):
     return canon, valid, dir_oriented, member
 
 
-SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +181,7 @@ def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
     )
 
 
-_POS_INF = jnp.uint64(0x7FFFFFFFFFFFFFFF)
+_POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 @partial(jax.jit, static_argnums=(2, 4, 5))

@@ -115,7 +115,11 @@ def _out_stream(path: str):
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     t0 = time.time()
-    rc = _dispatch(args)
+    try:
+        rc = _dispatch(args)
+    except (KeyError, FileNotFoundError, ValueError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     if getattr(args, "verbosity", 0) > 0:
         print(f"***\nCompleted in           : {time.time() - t0:.3f} s", file=sys.stderr)
     return rc
@@ -232,6 +236,8 @@ def _dispatch(args) -> int:
         print(f"Batch size       : {p['pack_cardinality']}", file=sys.stderr)
         print(f"Reference name   : {d.get_reference_sample()}", file=sys.stderr)
         print("Command lines:", file=sys.stderr)
+        for cmd, when in getattr(d.collection, "cmd_lines", []):
+            print(f"{when} : {cmd}", file=sys.stderr)
         if args.verbosity > 0:
             print("File type info:", file=sys.stderr)
             for k in sorted(d.file_type_info):

@@ -172,6 +172,9 @@ class Compressor:
         self._closed = False
         self._mode = None
         self._n_threads = max(1, (os.cpu_count() or 2) // 2)
+        from ..utils.profiling import StageTimers
+
+        self.timers = StageTimers()
 
         if in_path is not None:
             self._init_append(in_path, prefetch)
@@ -185,7 +188,8 @@ class Compressor:
 
     def _init_create(self, reference_file: str) -> None:
         self._mode = "create"
-        self.determine_splitters(reference_file)
+        with self.timers.stage("splitter_discovery"):
+            self.determine_splitters(reference_file)
         self.collection = CollectionV3(
             self.p.pack_cardinality, self.p.segment_size, self.k
         )
@@ -495,8 +499,10 @@ class Compressor:
                 pipeline.append((sname, cid, codes, token))
             if pipeline:
                 sname, cid, codes, token = pipeline.popleft()
-                hits = collect_scan_hits(token) if token is not None else None
-                self._process_contig(sname, cid, codes, hits=hits)
+                with self.timers.stage("scan_collect"):
+                    hits = collect_scan_hits(token) if token is not None else None
+                with self.timers.stage("match_contig", len(codes)):
+                    self._process_contig(sname, cid, codes, hits=hits)
 
     def add_sample_files(self, sample_files: list[tuple[str, str]]) -> bool:
         """reference: CAGCCompressor::AddSampleFiles (agc_compressor.cpp:2118).
@@ -562,7 +568,8 @@ class Compressor:
             for sample_name, cid, codes in hard:
                 self._process_contig(sample_name, cid, codes, hard_contig=True)
         self._register_segments()
-        self._store_segments()
+        with self.timers.stage("store_segments"):
+            self._store_segments()
         self._merge_fallback_mappings()
         # advance sample counter & flush metadata batch
         if not self.p.concatenated_genomes:
@@ -1189,6 +1196,10 @@ class Compressor:
         self.writer.close()
         if self._mode == "append":
             self._append_src.close()
+        if self.p.verbosity > 0:
+            import sys
+
+            print(self.timers.report(), file=sys.stderr)
         return True
 
     def _store_metadata(self) -> None:

@@ -112,6 +112,9 @@ class _CapturingCompressor(Compressor):
         self._closed = False
         self._mode = "shard"
         self._n_threads = max(1, (os.cpu_count() or 2) // 2)
+        from ..utils.profiling import StageTimers
+
+        self.timers = StageTimers()
         self._splitter_set = set(splitter_set)
         self._refresh_splitter_table()
         self.shard_id = shard_id

@@ -125,6 +125,13 @@ def main(argv: list[str] | None = None) -> int:
     return rc
 
 
+def _threads(args) -> int:
+    import os
+
+    t = getattr(args, "threads", 0)
+    return t if t > 0 else max(1, (os.cpu_count() or 2) // 2)
+
+
 def _dispatch(args) -> int:
     mode = args.mode
 
@@ -156,6 +163,7 @@ def _dispatch(args) -> int:
         d.get_collection_files(
             args.output,
             line_length=_clamp(args.line_length, 40, 2_000_000_000),
+            no_threads=_threads(args),
             gzip_level=_clamp(args.gzip_level, 0, 9),
             no_ref=args.no_ref,
         )
@@ -176,6 +184,7 @@ def _dispatch(args) -> int:
                 args.output or None,
                 args.samples,
                 line_length=_clamp(args.line_length, 40, 2_000_000_000),
+                no_threads=_threads(args),
                 gzip_level=_clamp(args.gzip_level, 0, 9),
             )
         d.close()

@@ -327,6 +327,17 @@ class Compressor:
             if len(device_chunks) > 1
             else device_chunks[0]
         )
+        # pad the pool to a power of two (sentinel tail) so the sort /
+        # filter kernels compile for a bounded set of shapes
+        b = 1 << 14
+        while b < pool.shape[0]:
+            b <<= 1
+        if b != pool.shape[0]:
+            from ..ops.kmers import SENTINEL
+
+            pool = jnp.concatenate(
+                [pool, jnp.full(b - pool.shape[0], SENTINEL, dtype=jnp.uint64)]
+            )
         singles, n_singles, dups, n_dups = candidate_tables(pool)
         self._cand_singletons_dev = singles  # sentinel-tailed, sorted
         self.n_cand_singletons = int(n_singles)

@@ -639,9 +639,12 @@ def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set):
 def _padded_table(sorted_set: np.ndarray) -> np.ndarray:
     """Pad the sorted membership table to a power-of-two length with the
     all-ones sentinel (never a canonical k-mer: the canonical code is
-    min(dir, rc) and the two orientations cannot both be all-T)."""
+    min(dir, rc) and the two orientations cannot both be all-T).
+
+    Minimum 16K entries so small splitter sets of different sizes share
+    one compiled kernel shape (binary-search cost is logarithmic)."""
     n = len(sorted_set)
-    b = 8
+    b = 1 << 14
     while b < n:
         b <<= 1
     if b == n:

@@ -547,20 +547,73 @@ class Compressor:
             self._synchronize()
             return True
 
-        for sample_name, path in sample_files:
-            self.collection.reset_prev_sample_name()
-            batch = []
-            for cid, raw in read_contigs_raw(path):
-                if not self.collection.register_sample_contig(sample_name, cid):
-                    print(
-                        f"Error: Pair sample_name:contig_name "
-                        f"{sample_name}:{cid} is already in the archive!"
-                    )
-                    continue
-                batch.append((sample_name, cid, preprocess_raw_contig(raw)))
-            if batch:
-                self._process_contig_batch(batch)
+        if self.p.adaptive_compression:
+            # the splitter table changes at each barrier: no cross-sample
+            # scan prefetch
+            for sample_name, path in sample_files:
+                self.collection.reset_prev_sample_name()
+                batch = []
+                for cid, raw in read_contigs_raw(path):
+                    if not self.collection.register_sample_contig(
+                        sample_name, cid
+                    ):
+                        print(
+                            f"Error: Pair sample_name:contig_name "
+                            f"{sample_name}:{cid} is already in the archive!"
+                        )
+                        continue
+                    batch.append((sample_name, cid, preprocess_raw_contig(raw)))
+                if batch:
+                    self._process_contig_batch(batch)
+                    self._synchronize()
+            return True
+
+        # non-adaptive: the splitter table is immutable, so scans may be
+        # dispatched across sample barriers; the barrier only gates the
+        # registration/store of the finished sample
+        from collections import deque
+
+        from ..ops.kmers import collect_scan_hits, submit_scan_hits
+
+        def gen():
+            for si, (sample_name, path) in enumerate(sample_files):
+                self.collection.reset_prev_sample_name()
+                for cid, raw in read_contigs_raw(path):
+                    if not self.collection.register_sample_contig(
+                        sample_name, cid
+                    ):
+                        print(
+                            f"Error: Pair sample_name:contig_name "
+                            f"{sample_name}:{cid} is already in the archive!"
+                        )
+                        continue
+                    yield si, sample_name, cid, preprocess_raw_contig(raw)
+
+        pipeline: deque = deque()
+        prev_si = None
+
+        def drain_one():
+            nonlocal prev_si
+            si, sname, cid, codes, token = pipeline.popleft()
+            if prev_si is not None and si != prev_si:
                 self._synchronize()
+            prev_si = si
+            with self.timers.stage("scan_collect"):
+                hits = collect_scan_hits(token) if token is not None else None
+            with self.timers.stage("match_contig", len(codes)):
+                self._process_contig(sname, cid, codes, hits=hits)
+
+        for si, sname, cid, codes in gen():
+            token = None
+            if len(codes) >= self.k and self._splitters_dev is not None:
+                token = submit_scan_hits(codes, self.k, self._splitters_dev)
+            pipeline.append((si, sname, cid, codes, token))
+            while len(pipeline) >= self._PIPELINE_DEPTH:
+                drain_one()
+        while pipeline:
+            drain_one()
+        if prev_si is not None:
+            self._synchronize()
         return True
 
     def add_sample_file(self, path: str, sample_name: str | None = None) -> bool:

@@ -439,7 +439,9 @@ def singleton_filter(sorted_kmers: jnp.ndarray):
 # host-side helpers around the kernels
 # ---------------------------------------------------------------------------
 
-CHUNK = 1 << 20  # positions per device dispatch
+# Positions per device dispatch. Large chunks amortize per-dispatch RPC
+# overhead (dominant on remote-tunneled chips; still material on PCIe).
+CHUNK = 4 << 20
 _MIN_BUCKET = 1 << 12
 _PAD_SYMBOL = 255  # invalid -> windows touching padding are masked out
 

@@ -489,11 +489,13 @@ class Compressor:
     def _process_contig_batch(self, items: list[tuple[str, str, np.ndarray]]) -> None:
         """Run one barrier-delimited batch of contigs through the device
         scan pipeline: scans for up to _PIPELINE_DEPTH contigs are in
-        flight while earlier contigs are matched on the host."""
+        flight (small contigs grouped into batched dispatches) while
+        earlier contigs are matched on the host."""
         from collections import deque
 
-        from ..ops.kmers import collect_scan_hits, submit_scan_hits
+        from ..ops.kmers import ScanBatcher
 
+        batcher = ScanBatcher(self.k, self._splitters_dev)
         pipeline: deque = deque()
         it = iter(items)
         exhausted = False
@@ -504,14 +506,12 @@ class Compressor:
                 except StopIteration:
                     exhausted = True
                     break
-                token = None
-                if len(codes) >= self.k and self._splitters_dev is not None:
-                    token = submit_scan_hits(codes, self.k, self._splitters_dev)
-                pipeline.append((sname, cid, codes, token))
+                pipeline.append((sname, cid, codes, batcher.add(codes)))
+            batcher.flush()
             if pipeline:
                 sname, cid, codes, token = pipeline.popleft()
                 with self.timers.stage("scan_collect"):
-                    hits = collect_scan_hits(token) if token is not None else None
+                    hits = batcher.collect(token)
                 with self.timers.stage("match_contig", len(codes)):
                     self._process_contig(sname, cid, codes, hits=hits)
 
@@ -573,7 +573,9 @@ class Compressor:
         # registration/store of the finished sample
         from collections import deque
 
-        from ..ops.kmers import collect_scan_hits, submit_scan_hits
+        from ..ops.kmers import ScanBatcher
+
+        batcher = ScanBatcher(self.k, self._splitters_dev)
 
         def gen():
             for si, (sample_name, path) in enumerate(sample_files):
@@ -599,17 +601,17 @@ class Compressor:
                 self._synchronize()
             prev_si = si
             with self.timers.stage("scan_collect"):
-                hits = collect_scan_hits(token) if token is not None else None
+                hits = batcher.collect(token)
             with self.timers.stage("match_contig", len(codes)):
                 self._process_contig(sname, cid, codes, hits=hits)
 
         for si, sname, cid, codes in gen():
-            token = None
-            if len(codes) >= self.k and self._splitters_dev is not None:
-                token = submit_scan_hits(codes, self.k, self._splitters_dev)
-            pipeline.append((si, sname, cid, codes, token))
-            while len(pipeline) >= self._PIPELINE_DEPTH:
-                drain_one()
+            pipeline.append((si, sname, cid, codes, batcher.add(codes)))
+            if len(pipeline) >= self._PIPELINE_DEPTH:
+                batcher.flush()
+                while len(pipeline) >= self._PIPELINE_DEPTH:
+                    drain_one()
+        batcher.flush()
         while pipeline:
             drain_one()
         if prev_si is not None:

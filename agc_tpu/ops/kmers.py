@@ -157,11 +157,7 @@ def canon_kmers_packed_window(packed, invbits, k, lo, hi):
     return jnp.where(keep, canon, SENTINEL)
 
 
-@partial(jax.jit, static_argnums=(2, 4))
-def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
-    """Packed-transfer scan returning ONE u64 vector so the host pays a
-    single link round-trip per chunk: [count, pos[cap], udir[cap], urc[cap]]
-    (pos fill = u64 max)."""
+def _scan_compact_body(packed, invbits, k, table, cap: int):
     codes = _unpack_codes_dev(packed, invbits)
     udir, urc, valid = _kmer_core(codes, k)
     canon = jnp.minimum(udir, urc)
@@ -179,6 +175,14 @@ def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
             urc[safe],
         ]
     )
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
+    """Packed-transfer scan returning ONE u64 vector so the host pays a
+    single link round-trip per chunk: [count, pos[cap], udir[cap], urc[cap]]
+    (pos fill = u64 max)."""
+    return _scan_compact_body(packed, invbits, k, table, cap)
 
 
 _POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
@@ -552,6 +556,121 @@ def scan_chunk_compact(codes, k, table, cap: int):
 
 
 _SCAN_CAP = 4096
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def scan_batch_compact_packed(packed, invbits, k, table, cap: int):
+    """Batched scan: B contigs per dispatch (amortizes per-dispatch RPC
+    overhead for many-small-contig collections). packed: u8[B, n/4],
+    invbits: u8[B, n/8]; returns u64[B, 1 + 3*cap] rows in
+    scan_chunk_compact_packed layout."""
+
+    def one(p, i):
+        return _scan_compact_body(p, i, k, table, cap)
+
+    return jax.vmap(one)(packed, invbits)
+
+
+_BATCH_ROWS = (1, 2, 4, 8, 16, 32)
+
+
+class ScanBatcher:
+    """Groups small-contig scans into batched dispatches.
+
+    add() buffers items; flush() dispatches one kernel per (bucket, up to
+    32 rows) group and resolves each item's token to (vec, row, cap).
+    Items larger than CHUNK fall back to the chunked single-contig path.
+    """
+
+    def __init__(self, k: int, table):
+        self.k = k
+        self.table = table
+        self._buf: list[tuple[dict, np.ndarray]] = []
+
+    def add(self, codes: np.ndarray):
+        """Returns a token dict resolved at flush time."""
+        token = {"kind": "batch", "n": len(codes), "k": self.k}
+        if len(codes) < self.k or self.table is None:
+            token["kind"] = "empty"
+            return token
+        if len(codes) > CHUNK:
+            token["kind"] = "single"
+            token["inner"] = submit_scan_hits(codes, self.k, self.table)
+            return token
+        self._buf.append((token, codes))
+        return token
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        by_bucket: dict[int, list] = {}
+        for token, codes in self._buf:
+            b = _bucket_size(len(codes))
+            by_bucket.setdefault(b, []).append((token, codes))
+        self._buf = []
+        for b, items in by_bucket.items():
+            for start in range(0, len(items), _BATCH_ROWS[-1]):
+                group = items[start : start + _BATCH_ROWS[-1]]
+                rows = 1
+                for r in _BATCH_ROWS:
+                    if r >= len(group):
+                        rows = r
+                        break
+                packed = np.zeros((rows, b // 4), dtype=np.uint8)
+                invbits = np.full((rows, b // 8), 0xFF, dtype=np.uint8)
+                for row, (token, codes) in enumerate(group):
+                    buf = np.full(b, _PAD_SYMBOL, dtype=np.uint8)
+                    buf[: len(codes)] = codes
+                    p, iv = pack_codes(buf)
+                    packed[row] = p
+                    invbits[row] = iv
+                cap = min(_SCAN_CAP, b)
+                out = scan_batch_compact_packed(
+                    jnp.asarray(packed), jnp.asarray(invbits), self.k,
+                    self.table, cap,
+                )
+                for row, (token, codes) in enumerate(group):
+                    token["out"] = out
+                    token["row"] = row
+                    token["cap"] = cap
+                    token["packed"] = packed[row]
+                    token["invbits"] = invbits[row]
+                    token["bucket"] = b
+
+    def collect(self, token):
+        """Resolve a token to (pos, udir, urc)."""
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint64),
+        )
+        if token["kind"] == "empty":
+            return empty
+        if token["kind"] == "single":
+            return collect_scan_hits(token["inner"])
+        if "out" not in token:
+            self.flush()
+        vec = np.asarray(token["out"][token["row"]])
+        cap = token["cap"]
+        count = int(vec[0])
+        if count > cap and cap < token["bucket"]:
+            vec = np.asarray(
+                scan_chunk_compact_packed(
+                    jnp.asarray(token["packed"]),
+                    jnp.asarray(token["invbits"]),
+                    self.k,
+                    self.table,
+                    token["bucket"],
+                )
+            )
+            cap = token["bucket"]
+            count = int(vec[0])
+        n = token["n"]
+        pos = vec[1 : 1 + cap][:count].astype(np.int64)
+        udir = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+        urc = vec[1 + 2 * cap : 1 + 3 * cap][:count].astype(np.uint64)
+        m = pos < n
+        return pos[m], udir[m], urc[m]
 
 
 def submit_scan_hits(contig_codes: np.ndarray, k: int, table):

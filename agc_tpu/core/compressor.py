@@ -400,10 +400,9 @@ class Compressor:
         (uploaded once per change, not per contig)."""
         self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
         if len(self.splitters):
-            from ..ops.kmers import _padded_table
-            import jax.numpy as jnp
+            from ..ops.kmers import make_scan_table
 
-            self._splitters_dev = jnp.asarray(_padded_table(self.splitters))
+            self._splitters_dev = make_scan_table(self.splitters, self.k)
         else:
             self._splitters_dev = None
 

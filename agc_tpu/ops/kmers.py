@@ -30,31 +30,65 @@ def _shift_for(k: int) -> int:
     return 64 - 2 * k
 
 
-def _kmer_core(codes: jnp.ndarray, k: int):
-    """Shared body: per-position (udir, urc, valid)."""
+def _kmer_halves(codes: jnp.ndarray, k: int):
+    """Per-position k-mer codes as native 32-bit halves.
+
+    The TPU VPU has 32-bit lanes; uint64 arithmetic is emulated as pairs,
+    so the rolling window sums are computed directly in u32 halves:
+
+        dir = sum_j w[j] * 4^(k-1-j)   ->  (dhi, dlo)   (unshifted)
+        rc  = sum_j (3-w[j]) * 4^j     ->  (rhi, rlo)
+
+    for window w[0..k-1] ending at each position. Returns
+    (dlo, dhi, rlo, rhi, valid); halves are garbage where ~valid.
+    """
     n = codes.shape[0]
-    c = codes.astype(jnp.uint64)
-    inv = (codes > 3).astype(jnp.int32)
-    c_pad = jnp.concatenate([jnp.zeros(k - 1, dtype=jnp.uint64), c])
-    udir = jnp.zeros(n, dtype=jnp.uint64)
-    urc = jnp.zeros(n, dtype=jnp.uint64)
-    three = jnp.uint64(3)
+    sym = jnp.where(codes > 3, jnp.uint32(0), codes.astype(jnp.uint32))
+    c_pad = jnp.concatenate([jnp.zeros(k - 1, dtype=jnp.uint32), sym])
+    dlo = jnp.zeros(n, dtype=jnp.uint32)
+    dhi = jnp.zeros(n, dtype=jnp.uint32)
+    rlo = jnp.zeros(n, dtype=jnp.uint32)
+    rhi = jnp.zeros(n, dtype=jnp.uint32)
+    three = jnp.uint32(3)
     for j in range(k):
-        shifted = jax.lax.dynamic_slice(c_pad, (k - 1 - j,), (n,))
-        udir = udir + (shifted << jnp.uint64(2 * j))
-        urc = urc + ((three - shifted) << jnp.uint64(2 * (k - 1 - j)))
-    shift = jnp.uint64(_shift_for(k))
-    udir <<= shift
-    urc <<= shift
+        # w[j] of the window ending at i is codes[i-k+1+j] = c_pad[i+j]
+        s = jax.lax.dynamic_slice(c_pad, (j,), (n,))
+        comp = three - s
+        m = k - 1 - j
+        if m < 16:
+            dlo = dlo + (s << jnp.uint32(2 * m))
+        else:
+            dhi = dhi + (s << jnp.uint32(2 * (m - 16)))
+        if j < 16:
+            rlo = rlo + (comp << jnp.uint32(2 * j))
+        else:
+            rhi = rhi + (comp << jnp.uint32(2 * (j - 16)))
+    inv = (codes > 3).astype(jnp.int32)
     csum = jnp.cumsum(inv)
     if n >= k:
         csum_shift = jnp.concatenate([jnp.zeros(k, dtype=jnp.int32), csum[:-k]])
     else:
         csum_shift = jnp.zeros(n, jnp.int32)
-    window_invalid = csum - csum_shift
     idx = jnp.arange(n)
-    valid = (window_invalid == 0) & (idx >= k - 1)
-    return udir, urc, valid
+    valid = ((csum - csum_shift) == 0) & (idx >= k - 1)
+    return dlo, dhi, rlo, rhi, valid
+
+
+def _halves_to_u64(hi: jnp.ndarray, lo: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(hi, lo) u32 halves of an unshifted code -> left-aligned u64."""
+    return (
+        (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    ) << jnp.uint64(_shift_for(k))
+
+
+def _kmer_core(codes: jnp.ndarray, k: int):
+    """Shared body: per-position (udir, urc, valid), left-aligned u64."""
+    dlo, dhi, rlo, rhi, valid = _kmer_halves(codes, k)
+    return (
+        _halves_to_u64(dhi, dlo, k),
+        _halves_to_u64(rhi, rlo, k),
+        valid,
+    )
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -157,35 +191,95 @@ def canon_kmers_packed_window(packed, invbits, k, lo, hi):
     return jnp.where(keep, canon, SENTINEL)
 
 
-def _scan_compact_body(packed, invbits, k, table, cap: int):
+def _scan_compact_body(packed, invbits, k, tlo, thi, cap: int):
+    """Membership scan against a small table, gather-free.
+
+    TPU gathers serialize (a searchsorted over N positions costs ~N*log T
+    scalar cycles), so membership is a broadcast compare-all against the
+    (tiny) splitter table on the VPU, and hit positions are extracted with
+    top_k instead of nonzero's scatter. Output is ONE u32 vector:
+
+        [count, pos[cap] (ascending, leading fills = 0xFFFFFFFF),
+         dlo[cap], dhi[cap], rlo[cap], rhi[cap]]
+
+    where the halves are the unshifted dir/rc codes at the hit positions
+    (host reassembles left-aligned u64; see _decode_scan_vec).
+    """
     codes = _unpack_codes_dev(packed, invbits)
-    udir, urc, valid = _kmer_core(codes, k)
-    canon = jnp.minimum(udir, urc)
-    idx = jnp.searchsorted(table, canon)
-    idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
-    member = valid & (table[idx_c] == canon)
-    count = jnp.sum(member.astype(jnp.uint64))
-    (pos,) = jnp.nonzero(member, size=cap, fill_value=-1)
-    safe = jnp.clip(pos, 0, codes.shape[0] - 1)
+    n = codes.shape[0]
+    dlo, dhi, rlo, rhi, valid = _kmer_halves(codes, k)
+    dir_le = (dhi < rhi) | ((dhi == rhi) & (dlo <= rlo))
+    clo = jnp.where(dir_le, dlo, rlo)
+    chi = jnp.where(dir_le, dhi, rhi)
+    member = valid & jnp.any(
+        (clo[:, None] == tlo[None, :]) & (chi[:, None] == thi[None, :]),
+        axis=1,
+    )
+    count = jnp.sum(member.astype(jnp.int32))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    desc = jax.lax.top_k(jnp.where(member, iota, -1), cap)[0]
+    pos = desc[::-1]  # ascending; -1 fills lead
+    safe = jnp.clip(pos, 0, n - 1)
     return jnp.concatenate(
         [
-            count[None],
-            pos.astype(jnp.uint64),
-            udir[safe],
-            urc[safe],
+            count[None].astype(jnp.uint32),
+            pos.astype(jnp.uint32),
+            dlo[safe],
+            dhi[safe],
+            rlo[safe],
+            rhi[safe],
         ]
     )
 
 
-@partial(jax.jit, static_argnums=(2, 4))
-def scan_chunk_compact_packed(packed, invbits, k, table, cap: int):
-    """Packed-transfer scan returning ONE u64 vector so the host pays a
-    single link round-trip per chunk: [count, pos[cap], udir[cap], urc[cap]]
-    (pos fill = u64 max)."""
-    return _scan_compact_body(packed, invbits, k, table, cap)
+@partial(jax.jit, static_argnums=(2, 5))
+def scan_chunk_compact_packed(packed, invbits, k, tlo, thi, cap: int):
+    """Packed-transfer scan: one small u32 vector per chunk round-trip."""
+    return _scan_compact_body(packed, invbits, k, tlo, thi, cap)
+
+
+def _decode_scan_vec(vec: np.ndarray, cap: int, k: int):
+    """Host decode of a _scan_compact_body vector ->
+    (count, pos i64[H], udir u64[H], urc u64[H])."""
+    count = int(vec[0])
+    cnt = min(count, cap)
+    sl = slice(cap - cnt, cap)
+    pos = vec[1 : 1 + cap][sl].astype(np.int64)
+    dlo = vec[1 + cap : 1 + 2 * cap][sl].astype(np.uint64)
+    dhi = vec[1 + 2 * cap : 1 + 3 * cap][sl].astype(np.uint64)
+    rlo = vec[1 + 3 * cap : 1 + 4 * cap][sl].astype(np.uint64)
+    rhi = vec[1 + 4 * cap : 1 + 5 * cap][sl].astype(np.uint64)
+    shift = np.uint64(_shift_for(k))
+    udir = ((dhi << np.uint64(32)) | dlo) << shift
+    urc = ((rhi << np.uint64(32)) | rlo) << shift
+    return count, pos, udir, urc
+
+
+def make_scan_table(sorted_u64, k: int):
+    """Build the device membership table from sorted left-aligned u64
+    splitter codes: a pair of u32 half arrays (unshifted), sentinel-padded
+    to a power of two (min 128) so kernel shapes stay bucketed.
+
+    Returns (tlo, thi, k) or None for an empty set.
+    """
+    arr = np.asarray(sorted_u64, dtype=np.uint64)
+    if arr.size == 0:
+        return None
+    u = arr >> np.uint64(_shift_for(k))
+    b = 128
+    while b < arr.size:
+        b <<= 1
+    tlo = np.full(b, 0xFFFFFFFF, dtype=np.uint32)
+    thi = np.full(b, 0xFFFFFFFF, dtype=np.uint32)
+    tlo[: arr.size] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    thi[: arr.size] = (u >> np.uint64(32)).astype(np.uint32)
+    return (jnp.asarray(tlo), jnp.asarray(thi), k)
 
 
 _POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+_GREEDY_W = 2048  # probe window length for the greedy chain
 
 
 @partial(jax.jit, static_argnums=(2, 4, 5))
@@ -193,29 +287,38 @@ def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t
     """Whole-contig greedy splitter emission on device.
 
     Device analogue of the reference's sequential find_splitters_in_contig
-    walk (agc_compressor.cpp:762-825): membership hits against the
-    singleton-candidate table are dense (most genome k-mers are unique),
-    so instead of downloading hits, the greedy 'emit one splitter every
-    >= seg_size bases' chain runs on device via a next-hit jump table:
-
-        next_hit = reverse-cummin over hit positions
-        e_0 = next_hit[0];  e_{i+1} = next_hit[e_i + seg_size]
+    walk (agc_compressor.cpp:762-825). The candidate table is large
+    (~one entry per reference base), so a full-contig membership scan
+    would cost n*log T serialized gathers. Hits against the singleton
+    table are DENSE (most genome k-mers are unique), so the greedy
+    'emit one splitter every >= seg_size bases' chain instead probes only
+    a _GREEDY_W-wide window per emission: searchsorted over W positions,
+    first hit emitted, jump seg_size. Total gathers ~ (n/seg_size)*W*log T
+    instead of n*log T.
 
     Returns one u64 vector:
         [count, pos[cap], kmer[cap], tail_pos, tail_kmer]
-    where tail_* is the rightmost hit (the rightmost-candidate fallback,
-    agc_compressor.cpp:817-824), tail_pos = 2^63-1 when absent.
+    where tail_* is the rightmost hit of the whole contig (the
+    rightmost-candidate fallback, agc_compressor.cpp:817-824), found by
+    probing windows backward from the end; tail_pos = 2^63-1 when absent.
     """
     codes = _unpack_codes_dev(packed, invbits)
     n = codes.shape[0]
-    udir, urc, valid = _kmer_core(codes, k)
-    canon = jnp.minimum(udir, urc)
-    idx = jnp.searchsorted(table, canon)
-    idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
-    member = valid & (table[idx_c] == canon)
+    dlo, dhi, rlo, rhi, valid = _kmer_halves(codes, k)
+    dir_le = (dhi < rhi) | ((dhi == rhi) & (dlo <= rlo))
+    canon = _halves_to_u64(
+        jnp.where(dir_le, dhi, rhi), jnp.where(dir_le, dlo, rlo), k
+    )
+    canon = jnp.where(valid, canon, SENTINEL)
+    W = _GREEDY_W
+    canon_pad = jnp.concatenate([canon, jnp.full(W, SENTINEL, dtype=jnp.uint64)])
+    T = max(table.shape[0], 1)
 
-    pos64 = jnp.arange(n, dtype=jnp.uint64)
-    idx_i64 = jnp.arange(n, dtype=jnp.int64)
+    def probe(off):
+        """Hit mask + codes for window [off, off+W) (off: i64 >= 0)."""
+        w = jax.lax.dynamic_slice(canon_pad, (off,), (W,))
+        ix = jnp.clip(jnp.searchsorted(table, w), 0, T - 1)
+        return (table[ix] == w) & (w != SENTINEL), w
 
     out_pos = jnp.full(cap, _POS_INF, dtype=jnp.uint64)
     out_kmer = jnp.zeros(cap, dtype=jnp.uint64)
@@ -226,30 +329,41 @@ def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t
 
     def body(state):
         t, count, out_pos, out_kmer = state
-        # first hit at position >= t (argmax of bool returns first True);
-        # emissions are ~n/seg_size, so the O(n) sweep per emission is
-        # cheap on the VPU and keeps the compiled program tiny
-        mask = member & (idx_i64 >= t)
-        found = jnp.any(mask)
-        p_i = jnp.argmax(mask).astype(jnp.int64)
+        hit, w = probe(t)
+        found = jnp.any(hit)
+        p_rel = jnp.argmax(hit).astype(jnp.int64)
+        p = t + p_rel
         out_pos = jnp.where(
-            found, out_pos.at[count].set(p_i.astype(jnp.uint64)), out_pos
+            found, out_pos.at[count].set(p.astype(jnp.uint64)), out_pos
         )
-        out_kmer = jnp.where(
-            found, out_kmer.at[count].set(canon[p_i]), out_kmer
-        )
+        out_kmer = jnp.where(found, out_kmer.at[count].set(w[p_rel]), out_kmer)
         count = count + jnp.where(found, 1, 0)
-        t = jnp.where(found, p_i + seg_size, jnp.int64(n))
+        t = jnp.where(found, p + seg_size, t + W)
         return t, count, out_pos, out_kmer
 
     _, count, out_pos, out_kmer = jax.lax.while_loop(
         cond, body, (jnp.asarray(t0, jnp.int64), jnp.int64(0), out_pos, out_kmer)
     )
 
-    tail_pos = jnp.max(jnp.where(member, pos64, jnp.uint64(0)))
-    has_tail = jnp.any(member)
-    tail_pos = jnp.where(has_tail, tail_pos, _POS_INF)
-    tail_kmer = canon[jnp.clip(tail_pos, 0, jnp.uint64(n - 1)).astype(jnp.int64)]
+    # rightmost hit: backward windows from the end (dense hits -> 1 probe)
+    def tail_cond(state):
+        s, best = state
+        return (best < 0) & (s > -W)
+
+    def tail_body(state):
+        s, _ = state
+        off = jnp.maximum(s, jnp.int64(0))
+        hit, _ = probe(off)
+        found = jnp.any(hit)
+        r_rel = jnp.int64(W - 1) - jnp.argmax(hit[::-1]).astype(jnp.int64)
+        best = jnp.where(found, off + r_rel, jnp.int64(-1))
+        return s - W, best
+
+    _, best = jax.lax.while_loop(
+        tail_cond, tail_body, (jnp.int64(n - W), jnp.int64(-1))
+    )
+    tail_pos = jnp.where(best >= 0, best.astype(jnp.uint64), _POS_INF)
+    tail_kmer = canon[jnp.clip(best, 0, n - 1)]
 
     return jnp.concatenate(
         [
@@ -533,40 +647,18 @@ def scan_contig(
     return canon, udir, urc, valid, member
 
 
-@partial(jax.jit, static_argnums=(1, 3))
-def scan_chunk_compact(codes, k, table, cap: int):
-    """Scan + compact: return only splitter-hit positions.
-
-    Designed for narrow host<->device links (remote-tunneled TPU): instead
-    of shipping per-position u64 arrays back, returns
-        count  (i32 scalar)      -- number of hits (may exceed cap)
-        pos    (i32[cap])        -- hit positions, fill = -1
-        udir   (u64[cap])        -- direct-orientation codes at hits
-        urc    (u64[cap])        -- rev-comp codes at hits
-    """
-    udir, urc, valid = _kmer_core(codes, k)
-    canon = jnp.minimum(udir, urc)
-    idx = jnp.searchsorted(table, canon)
-    idx_c = jnp.clip(idx, 0, max(table.shape[0] - 1, 0))
-    member = valid & (table[idx_c] == canon)
-    count = jnp.sum(member.astype(jnp.int32))
-    (pos,) = jnp.nonzero(member, size=cap, fill_value=-1)
-    safe = jnp.clip(pos, 0, codes.shape[0] - 1)
-    return count, pos.astype(jnp.int32), udir[safe], urc[safe]
+_SCAN_CAP = 512
 
 
-_SCAN_CAP = 4096
-
-
-@partial(jax.jit, static_argnums=(2, 4))
-def scan_batch_compact_packed(packed, invbits, k, table, cap: int):
+@partial(jax.jit, static_argnums=(2, 5))
+def scan_batch_compact_packed(packed, invbits, k, tlo, thi, cap: int):
     """Batched scan: B contigs per dispatch (amortizes per-dispatch RPC
     overhead for many-small-contig collections). packed: u8[B, n/4],
-    invbits: u8[B, n/8]; returns u64[B, 1 + 3*cap] rows in
-    scan_chunk_compact_packed layout."""
+    invbits: u8[B, n/8]; returns u32[B, 1 + 5*cap] rows in
+    _scan_compact_body layout."""
 
     def one(p, i):
-        return _scan_compact_body(p, i, k, table, cap)
+        return _scan_compact_body(p, i, k, tlo, thi, cap)
 
     return jax.vmap(one)(packed, invbits)
 
@@ -580,6 +672,8 @@ class ScanBatcher:
     add() buffers items; flush() dispatches one kernel per (bucket, up to
     32 rows) group and resolves each item's token to (vec, row, cap).
     Items larger than CHUNK fall back to the chunked single-contig path.
+
+    ``table`` is a make_scan_table() tuple (or None for no splitters).
     """
 
     def __init__(self, k: int, table):
@@ -603,6 +697,7 @@ class ScanBatcher:
     def flush(self) -> None:
         if not self._buf:
             return
+        tlo, thi, _ = self.table
         by_bucket: dict[int, list] = {}
         for token, codes in self._buf:
             b = _bucket_size(len(codes))
@@ -627,7 +722,7 @@ class ScanBatcher:
                 cap = min(_SCAN_CAP, b)
                 out = scan_batch_compact_packed(
                     jnp.asarray(packed), jnp.asarray(invbits), self.k,
-                    self.table, cap,
+                    tlo, thi, cap,
                 )
                 for row, (token, codes) in enumerate(group):
                     token["out"] = out
@@ -650,25 +745,26 @@ class ScanBatcher:
             return collect_scan_hits(token["inner"])
         if "out" not in token:
             self.flush()
+        tlo, thi, _ = self.table
         vec = np.asarray(token["out"][token["row"]])
         cap = token["cap"]
-        count = int(vec[0])
+        count, pos, udir, urc = _decode_scan_vec(vec, cap, self.k)
         if count > cap and cap < token["bucket"]:
+            # rare cap overflow: retry at the next power-of-two >= count
+            cap = 1 << int(np.ceil(np.log2(count)))
+            cap = min(cap, token["bucket"])
             vec = np.asarray(
                 scan_chunk_compact_packed(
                     jnp.asarray(token["packed"]),
                     jnp.asarray(token["invbits"]),
                     self.k,
-                    self.table,
-                    token["bucket"],
+                    tlo,
+                    thi,
+                    cap,
                 )
             )
-            cap = token["bucket"]
-            count = int(vec[0])
+            count, pos, udir, urc = _decode_scan_vec(vec, cap, self.k)
         n = token["n"]
-        pos = vec[1 : 1 + cap][:count].astype(np.int64)
-        udir = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
-        urc = vec[1 + 2 * cap : 1 + 3 * cap][:count].astype(np.uint64)
         m = pos < n
         return pos[m], udir[m], urc[m]
 
@@ -676,14 +772,15 @@ class ScanBatcher:
 def submit_scan_hits(contig_codes: np.ndarray, k: int, table):
     """Asynchronously dispatch splitter-hit scans for a whole contig.
 
-    Returns an opaque token for collect_scan_hits. JAX queues the
-    dispatches; nothing blocks here, so scans for many contigs can be in
-    flight at once (hides the host<->device round-trip latency of a
-    remote-tunneled chip)."""
+    ``table`` is a make_scan_table() tuple. Returns an opaque token for
+    collect_scan_hits. JAX queues the dispatches; nothing blocks here, so
+    scans for many contigs can be in flight at once (hides the
+    host<->device round-trip latency of a remote-tunneled chip)."""
     n = len(contig_codes)
     pending = []
     if n < k or table is None:
         return (pending, k, table)
+    tlo, thi, _ = table
     start = 0
     while start < n:
         lo = max(0, start - (k - 1))
@@ -692,7 +789,7 @@ def submit_scan_hits(contig_codes: np.ndarray, k: int, table):
         packed, invbits = pack_codes(padded)
         packed = jnp.asarray(packed)
         invbits = jnp.asarray(invbits)
-        out = scan_chunk_compact_packed(packed, invbits, k, table, _SCAN_CAP)
+        out = scan_chunk_compact_packed(packed, invbits, k, tlo, thi, _SCAN_CAP)
         pending.append((out, packed, invbits, start, lo, real, len(padded)))
         start = end
     return (pending, k, table)
@@ -706,18 +803,16 @@ def collect_scan_hits(token):
     all_rc = []
     for out, packed, invbits, start, lo, real, padded_len in pending:
         vec = np.asarray(out)  # single transfer
-        count = int(vec[0])
         cap = _SCAN_CAP
+        count, pos, udir, urc = _decode_scan_vec(vec, cap, k)
         if count > cap and cap < padded_len:
-            # rare overflow: re-run this chunk with a full-size cap
+            # rare overflow: retry at the next power-of-two >= count
+            tlo, thi, _ = table
+            cap = min(1 << int(np.ceil(np.log2(count))), padded_len)
             vec = np.asarray(
-                scan_chunk_compact_packed(packed, invbits, k, table, padded_len)
+                scan_chunk_compact_packed(packed, invbits, k, tlo, thi, cap)
             )
-            cap = padded_len
-            count = int(vec[0])
-        pos = vec[1 : 1 + cap][:count].astype(np.int64)
-        udir = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
-        urc = vec[1 + 2 * cap : 1 + 3 * cap][:count].astype(np.uint64)
+            count, pos, udir, urc = _decode_scan_vec(vec, cap, k)
         keep_from = start - lo
         m = (pos >= keep_from) & (pos < real)
         all_pos.append(pos[m] - keep_from + start)
@@ -739,21 +834,22 @@ def collect_scan_hits(token):
 def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set):
     """Positions + (udir, urc) of all splitter hits in a contig.
 
-    Minimal-transfer path: uploads packed codes, downloads one compact
-    vector per chunk. Returns (pos i64[H] ascending, udir u64[H],
+    ``sorted_set``: host np.uint64 sorted codes, or a make_scan_table()
+    tuple. Minimal-transfer path: uploads packed codes, downloads one
+    compact vector per chunk. Returns (pos i64[H] ascending, udir u64[H],
     urc u64[H]).
     """
     n = len(contig_codes)
-    if n < k or (isinstance(sorted_set, np.ndarray) and len(sorted_set) == 0):
+    if isinstance(sorted_set, np.ndarray):
+        table = make_scan_table(sorted_set, k)
+    else:
+        table = sorted_set  # make_scan_table tuple or None
+    if n < k or table is None:
         return (
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.uint64),
             np.empty(0, dtype=np.uint64),
         )
-    if isinstance(sorted_set, np.ndarray):
-        table = jnp.asarray(_padded_table(sorted_set))
-    else:
-        table = sorted_set  # already device-resident (and sentinel-padded)
     return collect_scan_hits(submit_scan_hits(contig_codes, k, table))
 
 

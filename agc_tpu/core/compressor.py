@@ -577,18 +577,47 @@ class Compressor:
         batcher = ScanBatcher(self.k, self._splitters_dev)
 
         def gen():
-            for si, (sample_name, path) in enumerate(sample_files):
-                self.collection.reset_prev_sample_name()
-                for cid, raw in read_contigs_raw(path):
-                    if not self.collection.register_sample_contig(
-                        sample_name, cid
-                    ):
-                        print(
-                            f"Error: Pair sample_name:contig_name "
-                            f"{sample_name}:{cid} is already in the archive!"
-                        )
-                        continue
-                    yield si, sample_name, cid, preprocess_raw_contig(raw)
+            """Producer thread: FASTA read + ASCII->numeric conversion run
+            ahead of matching (reference: the AddSampleFiles producer
+            thread, agc_compressor.cpp:2160-2251)."""
+            import queue as _queue
+            import threading
+
+            q: _queue.Queue = _queue.Queue(maxsize=4)
+
+            def producer():
+                try:
+                    for si, (sample_name, path) in enumerate(sample_files):
+                        for cid, raw in read_contigs_raw(path):
+                            # ASCII->numeric here: the native converter
+                            # releases the GIL, so this genuinely overlaps
+                            # the consumer's matching work
+                            q.put((si, sample_name, cid,
+                                   preprocess_raw_contig(raw)))
+                    q.put(None)
+                except BaseException as e:  # surfaced by the consumer
+                    q.put(e)
+
+            threading.Thread(target=producer, daemon=True).start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                si, sample_name, cid, codes = item
+                # collection registration must stay on the consumer thread
+                # (deterministic order w.r.t. barriers)
+                if si != getattr(gen, "_cur_si", None):
+                    self.collection.reset_prev_sample_name()
+                    gen._cur_si = si
+                if not self.collection.register_sample_contig(sample_name, cid):
+                    print(
+                        f"Error: Pair sample_name:contig_name "
+                        f"{sample_name}:{cid} is already in the archive!"
+                    )
+                    continue
+                yield si, sample_name, cid, codes
 
         pipeline: deque = deque()
         prev_si = None

@@ -83,7 +83,23 @@ def read_contigs_raw(path: str):
 
 def preprocess_raw_contig(raw: bytes) -> np.ndarray:
     """ASCII FASTA body -> numeric codes; keeps only bytes >= 64
-    (reference: agc_compressor.cpp:907-951)."""
+    (reference: agc_compressor.cpp:907-951). Uses the GIL-free C++ fast
+    path when the native library is available."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        n = len(raw)
+        out = np.empty(n, dtype=np.uint8)
+        m = lib.fasta_preprocess(
+            raw,
+            n,
+            CNV_ASCII.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:m]
     arr = np.frombuffer(raw, dtype=np.uint8)
     arr = arr[arr >= 64]
     return CNV_ASCII[arr]

@@ -92,6 +92,13 @@ def get_lib():
             ctypes.c_int,
             u32p,
         ]
+        lib.fasta_preprocess.restype = ctypes.c_uint64
+        lib.fasta_preprocess.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+            u8p,
+            u8p,
+        ]
         for fn in (lib.lz_decode_v2, lib.lz_decode_v1):
             fn.restype = ctypes.c_int64
             fn.argtypes = [

@@ -575,4 +575,19 @@ int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
   return static_cast<int64_t>(n_out);
 }
 
+// FASTA body preprocessing: keep bytes >= 64 (drops \n, \r, digits,
+// spaces), map through a 256-entry ASCII->numeric LUT (reference:
+// preprocess_raw_contig, agc_compressor.cpp:907-951). Returns the number
+// of symbols written. GIL-free under ctypes -> overlaps device compute.
+uint64_t fasta_preprocess(const uint8_t* raw, uint64_t n, const uint8_t* lut,
+                          uint8_t* out) {
+  uint64_t m = 0;
+  for (uint64_t i = 0; i < n; ++i) {
+    uint8_t c = raw[i];
+    out[m] = lut[c];
+    m += (c >= 64);
+  }
+  return m;
+}
+
 }  // extern "C"

@@ -30,39 +30,69 @@ def _shift_for(k: int) -> int:
     return 64 - 2 * k
 
 
-def _kmer_halves(codes: jnp.ndarray, k: int):
-    """Per-position k-mer codes as native 32-bit halves.
+def _shift_index(arr: jnp.ndarray, p: int) -> jnp.ndarray:
+    """arr[i - p] with zero fill (static p): prepend p zeros, drop tail."""
+    if p == 0:
+        return arr
+    return jnp.concatenate([jnp.zeros(p, dtype=arr.dtype), arr[: arr.shape[0] - p]])
 
-    The TPU VPU has 32-bit lanes; uint64 arithmetic is emulated as pairs,
-    so the rolling window sums are computed directly in u32 halves:
 
-        dir = sum_j w[j] * 4^(k-1-j)   ->  (dhi, dlo)   (unshifted)
-        rc  = sum_j (3-w[j]) * 4^j     ->  (rhi, rlo)
+def _shl64_pair(lo: jnp.ndarray, hi: jnp.ndarray, s: int):
+    """(lo, hi) u32 pair << s (static s, 0 <= s < 64)."""
+    if s == 0:
+        return lo, hi
+    if s < 32:
+        return lo << jnp.uint32(s), (hi << jnp.uint32(s)) | (lo >> jnp.uint32(32 - s))
+    z = jnp.zeros_like(lo)
+    if s == 32:
+        return z, lo
+    return z, lo << jnp.uint32(s - 32)
 
-    for window w[0..k-1] ending at each position. Returns
-    (dlo, dhi, rlo, rhi, valid); halves are garbage where ~valid.
+
+def _dir_halves(codes: jnp.ndarray, k: int):
+    """Per-position direct-orientation k-mer codes as u32 halves, via
+    log-doubling.
+
+    dir[i] = sum_{t=0..k-1} codes[i-t] * 4^t  (the reference's
+    insert-symbol chain, kmer.h:284-301, unshifted). Built in
+    O(log k + popcount k) vector steps instead of k: with
+    D_m[i] = last-m-symbols code, D_{2m}[i] = D_m[i] | D_m[i-m] << 2m,
+    and the remaining bits of k composed the same way. Every step is a
+    static slice + shift/or on native u32 lanes (the TPU VPU has no u64).
+
+    Returns (dlo, dhi, valid). The reverse-complement code is NOT
+    computed here: rc = complement(bit-pair-reverse(dir)) (see
+    _revcomp_u64 / host _revcomp_np), so scan kernels only need dir.
     """
     n = codes.shape[0]
     sym = jnp.where(codes > 3, jnp.uint32(0), codes.astype(jnp.uint32))
-    c_pad = jnp.concatenate([jnp.zeros(k - 1, dtype=jnp.uint32), sym])
-    dlo = jnp.zeros(n, dtype=jnp.uint32)
-    dhi = jnp.zeros(n, dtype=jnp.uint32)
-    rlo = jnp.zeros(n, dtype=jnp.uint32)
-    rhi = jnp.zeros(n, dtype=jnp.uint32)
-    three = jnp.uint32(3)
-    for j in range(k):
-        # w[j] of the window ending at i is codes[i-k+1+j] = c_pad[i+j]
-        s = jax.lax.dynamic_slice(c_pad, (j,), (n,))
-        comp = three - s
-        m = k - 1 - j
-        if m < 16:
-            dlo = dlo + (s << jnp.uint32(2 * m))
-        else:
-            dhi = dhi + (s << jnp.uint32(2 * (m - 16)))
-        if j < 16:
-            rlo = rlo + (comp << jnp.uint32(2 * j))
-        else:
-            rhi = rhi + (comp << jnp.uint32(2 * (j - 16)))
+    zeros = jnp.zeros(n, dtype=jnp.uint32)
+    # doubling ladder: D_1, D_2, D_4, ...
+    powers = {1: (sym, zeros)}
+    m = 1
+    while 2 * m <= k:
+        lo, hi = powers[m]
+        blo = _shift_index(lo, m)
+        bhi = _shift_index(hi, m)
+        slo, shi = _shl64_pair(blo, bhi, 2 * m)
+        powers[2 * m] = (lo | slo, hi | shi)
+        m *= 2
+    # compose k = m + remaining powers of two
+    res_lo, res_hi = powers[m]
+    acc = m
+    rem = k - m
+    b = 1
+    while rem:
+        if rem & b:
+            plo, phi = powers[b]
+            slo, shi = _shl64_pair(
+                _shift_index(plo, acc), _shift_index(phi, acc), 2 * acc
+            )
+            res_lo = res_lo | slo
+            res_hi = res_hi | shi
+            acc += b
+            rem &= ~b
+        b <<= 1
     inv = (codes > 3).astype(jnp.int32)
     csum = jnp.cumsum(inv)
     if n >= k:
@@ -71,6 +101,54 @@ def _kmer_halves(codes: jnp.ndarray, k: int):
         csum_shift = jnp.zeros(n, jnp.int32)
     idx = jnp.arange(n)
     valid = ((csum - csum_shift) == 0) & (idx >= k - 1)
+    return res_lo, res_hi, valid
+
+
+def _revcomp_u64(dir_u: jnp.ndarray, k: int) -> jnp.ndarray:
+    """rc code from an UNSHIFTED dir code (both u64):
+    rc = (4^k - 1) - bitpair_reverse(dir): the rc symbol at exponent
+    k-1-t is the complement of dir's symbol at exponent t."""
+    x = dir_u
+    m32 = jnp.uint64(0xFFFFFFFF00000000)
+    x = ((x & m32) >> jnp.uint64(32)) | ((x & ~m32) << jnp.uint64(32))
+    m16 = jnp.uint64(0xFFFF0000FFFF0000)
+    x = ((x & m16) >> jnp.uint64(16)) | ((x & ~m16) << jnp.uint64(16))
+    m8 = jnp.uint64(0xFF00FF00FF00FF00)
+    x = ((x & m8) >> jnp.uint64(8)) | ((x & ~m8) << jnp.uint64(8))
+    m4 = jnp.uint64(0xF0F0F0F0F0F0F0F0)
+    x = ((x & m4) >> jnp.uint64(4)) | ((x & ~m4) << jnp.uint64(4))
+    m2 = jnp.uint64(0xCCCCCCCCCCCCCCCC)
+    x = ((x & m2) >> jnp.uint64(2)) | ((x & ~m2) << jnp.uint64(2))
+    x = x >> jnp.uint64(64 - 2 * k)  # align pair-reversed code
+    return (jnp.uint64((1 << (2 * k)) - 1) if k < 32 else jnp.uint64(2**64 - 1)) - x
+
+
+def _revcomp_np(dir_u: np.ndarray, k: int) -> np.ndarray:
+    """Host-side _revcomp_u64 (numpy), for decoding scan hits."""
+    x = dir_u.astype(np.uint64)
+    for bits, mask in (
+        (32, 0xFFFFFFFF00000000),
+        (16, 0xFFFF0000FFFF0000),
+        (8, 0xFF00FF00FF00FF00),
+        (4, 0xF0F0F0F0F0F0F0F0),
+        (2, 0xCCCCCCCCCCCCCCCC),
+    ):
+        m = np.uint64(mask)
+        x = ((x & m) >> np.uint64(bits)) | ((x & ~m) << np.uint64(bits))
+    x >>= np.uint64(64 - 2 * k)
+    full = np.uint64((1 << (2 * k)) - 1) if k < 32 else np.uint64(2**64 - 1)
+    return full - x
+
+
+def _kmer_halves(codes: jnp.ndarray, k: int):
+    """Per-position k-mer codes as native 32-bit halves:
+    (dlo, dhi, rlo, rhi, valid), all unshifted. dir via log-doubling,
+    rc via the complement-of-pair-reverse identity."""
+    dlo, dhi, valid = _dir_halves(codes, k)
+    dir_u = (dhi.astype(jnp.uint64) << jnp.uint64(32)) | dlo.astype(jnp.uint64)
+    rc_u = _revcomp_u64(dir_u, k)
+    rlo = (rc_u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    rhi = (rc_u >> jnp.uint64(32)).astype(jnp.uint32)
     return dlo, dhi, rlo, rhi, valid
 
 
@@ -147,43 +225,10 @@ def contig_kmers_with_membership(codes, k, sorted_set):
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-# ---------------------------------------------------------------------------
-# 2-bit packed transfer: 4 bases/byte + 1 invalid-bit/base (0.375 B/base on
-# the host->device link instead of 1 B/base). The device unpacks in-kernel.
-# ---------------------------------------------------------------------------
-
-
-def pack_codes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side pack of numeric symbols: (packed u8[N/4], invalid u8[N/8]).
-
-    ``codes`` length must be a multiple of 8 (bucket sizes always are).
-    Invalid symbols (>3) are packed as 0 with their invalid bit set.
-    """
-    n = len(codes)
-    inv = codes > 3
-    sym = np.where(inv, 0, codes).astype(np.uint8)
-    q = sym.reshape(n // 4, 4)
-    packed = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
-    invbits = np.packbits(inv, bitorder="little")
-    return packed, invbits
-
-
-def _unpack_codes_dev(packed: jnp.ndarray, invbits: jnp.ndarray) -> jnp.ndarray:
-    """In-kernel unpack: u8[N/4] + u8[N/8] -> u8[N] (invalid -> 255)."""
-    n4 = packed.shape[0]
-    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
-    sym = (packed[:, None] >> shifts[None, :]) & jnp.uint8(3)
-    sym = sym.reshape(n4 * 4)
-    bit = jnp.arange(8, dtype=jnp.uint8)
-    inv = (invbits[:, None] >> bit[None, :]) & jnp.uint8(1)
-    inv = inv.reshape(invbits.shape[0] * 8).astype(bool)
-    return jnp.where(inv, jnp.uint8(255), sym)
-
-
-@partial(jax.jit, static_argnums=(2,))
-def canon_kmers_packed_window(packed, invbits, k, lo, hi):
-    """Packed-transfer variant of canon_kmers_chunk_window."""
-    codes = _unpack_codes_dev(packed, invbits)
+@partial(jax.jit, static_argnums=(1,))
+def canon_kmers_window_u8(codes, k, lo, hi):
+    """canon_kmers_chunk with positions outside [lo, hi) masked to the
+    sentinel; traced lo/hi so one compiled shape serves all chunks."""
     udir, urc, valid = _kmer_core(codes, k)
     canon = jnp.minimum(udir, urc)
     idx = jnp.arange(codes.shape[0])
@@ -191,30 +236,11 @@ def canon_kmers_packed_window(packed, invbits, k, lo, hi):
     return jnp.where(keep, canon, SENTINEL)
 
 
-def _scan_compact_body(packed, invbits, k, tlo, thi, cap: int):
-    """Membership scan against a small table, gather-free.
-
-    TPU gathers serialize (a searchsorted over N positions costs ~N*log T
-    scalar cycles), so membership is a broadcast compare-all against the
-    (tiny) splitter table on the VPU, and hit positions are extracted with
-    top_k instead of nonzero's scatter. Output is ONE u32 vector:
-
-        [count, pos[cap] (ascending, leading fills = 0xFFFFFFFF),
-         dlo[cap], dhi[cap], rlo[cap], rhi[cap]]
-
-    where the halves are the unshifted dir/rc codes at the hit positions
-    (host reassembles left-aligned u64; see _decode_scan_vec).
-    """
-    codes = _unpack_codes_dev(packed, invbits)
-    n = codes.shape[0]
-    dlo, dhi, rlo, rhi, valid = _kmer_halves(codes, k)
-    dir_le = (dhi < rhi) | ((dhi == rhi) & (dlo <= rlo))
-    clo = jnp.where(dir_le, dlo, rlo)
-    chi = jnp.where(dir_le, dhi, rhi)
-    member = valid & jnp.any(
-        (clo[:, None] == tlo[None, :]) & (chi[:, None] == thi[None, :]),
-        axis=1,
-    )
+def _hits_out_vec(member, dlo, dhi, cap: int):
+    """Shared hit extraction: top_k positions (gather-free) + dir halves
+    at hits. ONE u32 vector: [count, pos[cap] (ascending, leading fills),
+    dlo[cap], dhi[cap]]."""
+    n = member.shape[0]
     count = jnp.sum(member.astype(jnp.int32))
     iota = jnp.arange(n, dtype=jnp.int32)
     desc = jax.lax.top_k(jnp.where(member, iota, -1), cap)[0]
@@ -226,54 +252,126 @@ def _scan_compact_body(packed, invbits, k, tlo, thi, cap: int):
             pos.astype(jnp.uint32),
             dlo[safe],
             dhi[safe],
-            rlo[safe],
-            rhi[safe],
         ]
     )
 
 
-@partial(jax.jit, static_argnums=(2, 5))
-def scan_chunk_compact_packed(packed, invbits, k, tlo, thi, cap: int):
-    """Packed-transfer scan: one small u32 vector per chunk round-trip."""
-    return _scan_compact_body(packed, invbits, k, tlo, thi, cap)
+def _scan_compact_body(codes, k, tlo, cap: int):
+    """Membership scan against a small table, gather-free.
+
+    TPU gathers serialize (a searchsorted over N positions costs ~N*log T
+    scalar cycles), so membership is a broadcast compare-all on the VPU.
+    The compared value is the XOR-MIX of the direct code's two halves
+    (lo ^ hi: depends on all k symbols — a suffix-only prefilter would
+    flood on repetitive sequence like poly-A runs), against a table of
+    mixes for both orientations (make_scan_table). ~T/2^32 false-positive
+    rate; the host verifies exact canonical membership when decoding
+    (_decode_scan_vec). Only the dir rolling chain runs (no rc chain) and
+    the compare is one u32 wide.
+    """
+    dlo, dhi, valid = _dir_halves(codes, k)
+    mix = dlo ^ dhi
+    member = valid & jnp.any(mix[:, None] == tlo[None, :], axis=1)
+    return _hits_out_vec(member, dlo, dhi, cap)
 
 
-def _decode_scan_vec(vec: np.ndarray, cap: int, k: int):
-    """Host decode of a _scan_compact_body vector ->
-    (count, pos i64[H], udir u64[H], urc u64[H])."""
+def _scan_sorted_body(codes, k, table, cap: int):
+    """Membership scan against a LARGE sorted table (binary search;
+    gathers serialize, so this is the slow path — only used when the
+    splitter set outgrows the compare-all budget)."""
+    dlo, dhi, valid = _dir_halves(codes, k)
+    dir_u = (dhi.astype(jnp.uint64) << jnp.uint64(32)) | dlo.astype(jnp.uint64)
+    canon = jnp.minimum(dir_u, _revcomp_u64(dir_u, k)) << jnp.uint64(_shift_for(k))
+    canon = jnp.where(valid, canon, SENTINEL)
+    ix = jnp.clip(jnp.searchsorted(table, canon), 0, max(table.shape[0] - 1, 0))
+    member = valid & (table[ix] == canon)
+    return _hits_out_vec(member, dlo, dhi, cap)
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def scan_chunk_compact_u8(codes, k, tlo, cap: int):
+    """Single-chunk scan: one small u32 vector per chunk round-trip."""
+    return _scan_compact_body(codes, k, tlo, cap)
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def scan_chunk_sorted_u8(codes, k, table, cap: int):
+    return _scan_sorted_body(codes, k, table, cap)
+
+
+def _decode_scan_vec(vec: np.ndarray, cap: int, table: "ScanTable"):
+    """Host decode + exact verification of a scan vector ->
+    (count, pos i64[H], udir u64[H], urc u64[H]).
+
+    ``count`` is the device's candidate count (drives cap-overflow retry);
+    the returned hits are exact (prefilter false positives removed by a
+    binary search in the original canonical table)."""
+    k = table.k
     count = int(vec[0])
     cnt = min(count, cap)
     sl = slice(cap - cnt, cap)
     pos = vec[1 : 1 + cap][sl].astype(np.int64)
     dlo = vec[1 + cap : 1 + 2 * cap][sl].astype(np.uint64)
     dhi = vec[1 + 2 * cap : 1 + 3 * cap][sl].astype(np.uint64)
-    rlo = vec[1 + 3 * cap : 1 + 4 * cap][sl].astype(np.uint64)
-    rhi = vec[1 + 4 * cap : 1 + 5 * cap][sl].astype(np.uint64)
+    dir_u = (dhi << np.uint64(32)) | dlo
+    rc_u = _revcomp_np(dir_u, k)
     shift = np.uint64(_shift_for(k))
-    udir = ((dhi << np.uint64(32)) | dlo) << shift
-    urc = ((rhi << np.uint64(32)) | rlo) << shift
-    return count, pos, udir, urc
+    canon = np.minimum(dir_u, rc_u) << shift
+    tbl = table.canon_np
+    ix = np.searchsorted(tbl, canon)
+    ok = (ix < tbl.size) & (tbl[np.minimum(ix, tbl.size - 1)] == canon)
+    return count, pos[ok], (dir_u << shift)[ok], (rc_u << shift)[ok]
+
+
+# tables with more entries than this use the sorted (binary search) kernel
+_COMPARE_ALL_MAX = 8192
+
+
+class ScanTable:
+    """Device membership table for the scan kernels.
+
+    kind 'cmp': compare-all prefilter table — unique low halves of the
+    canonical AND rc orientations, padded to a power of two (min 128).
+    kind 'sorted': the full sorted left-aligned canonical array on device
+    (sentinel-tailed), for large splitter sets.
+    canon_np: the original host canonical array, for exact verification.
+    """
+
+    __slots__ = ("kind", "k", "canon_np", "tlo", "dev")
+
+    def __init__(self, kind, k, canon_np, tlo=None, dev=None):
+        self.kind = kind
+        self.k = k
+        self.canon_np = canon_np
+        self.tlo = tlo
+        self.dev = dev
 
 
 def make_scan_table(sorted_u64, k: int):
     """Build the device membership table from sorted left-aligned u64
-    splitter codes: a pair of u32 half arrays (unshifted), sentinel-padded
-    to a power of two (min 128) so kernel shapes stay bucketed.
-
-    Returns (tlo, thi, k) or None for an empty set.
-    """
+    canonical splitter codes. Returns a ScanTable or None for an empty
+    set."""
     arr = np.asarray(sorted_u64, dtype=np.uint64)
     if arr.size == 0:
         return None
-    u = arr >> np.uint64(_shift_for(k))
-    b = 128
-    while b < arr.size:
-        b <<= 1
-    tlo = np.full(b, 0xFFFFFFFF, dtype=np.uint32)
-    thi = np.full(b, 0xFFFFFFFF, dtype=np.uint32)
-    tlo[: arr.size] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    thi[: arr.size] = (u >> np.uint64(32)).astype(np.uint32)
-    return (jnp.asarray(tlo), jnp.asarray(thi), k)
+    if arr.size <= _COMPARE_ALL_MAX:
+        u = arr >> np.uint64(_shift_for(k))
+        rc = _revcomp_np(u, k)
+        low = np.uint64(0xFFFFFFFF)
+        mixes = np.unique(
+            np.concatenate(
+                [(u & low) ^ (u >> np.uint64(32)), (rc & low) ^ (rc >> np.uint64(32))]
+            )
+        ).astype(np.uint32)
+        b = 128
+        while b < mixes.size:
+            b <<= 1
+        # pad value: arbitrary constant; a padding match is just another
+        # prefilter false positive, removed by host verification
+        tmix = np.full(b, 0xDEADBEEF, dtype=np.uint32)
+        tmix[: mixes.size] = mixes
+        return ScanTable("cmp", k, arr, tlo=jnp.asarray(tmix))
+    return ScanTable("sorted", k, arr, dev=jnp.asarray(_padded_table(arr)))
 
 
 _POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
@@ -282,8 +380,8 @@ _POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
 _GREEDY_W = 2048  # probe window length for the greedy chain
 
 
-@partial(jax.jit, static_argnums=(2, 4, 5))
-def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t0=0):
+@partial(jax.jit, static_argnums=(1, 3, 4))
+def splitter_greedy_kernel(codes, k, table, seg_size: int, cap: int, t0=0):
     """Whole-contig greedy splitter emission on device.
 
     Device analogue of the reference's sequential find_splitters_in_contig
@@ -302,13 +400,10 @@ def splitter_greedy_kernel(packed, invbits, k, table, seg_size: int, cap: int, t
     rightmost-candidate fallback, agc_compressor.cpp:817-824), found by
     probing windows backward from the end; tail_pos = 2^63-1 when absent.
     """
-    codes = _unpack_codes_dev(packed, invbits)
     n = codes.shape[0]
-    dlo, dhi, rlo, rhi, valid = _kmer_halves(codes, k)
-    dir_le = (dhi < rhi) | ((dhi == rhi) & (dlo <= rlo))
-    canon = _halves_to_u64(
-        jnp.where(dir_le, dhi, rhi), jnp.where(dir_le, dlo, rlo), k
-    )
+    dlo, dhi, valid = _dir_halves(codes, k)
+    dir_u = (dhi.astype(jnp.uint64) << jnp.uint64(32)) | dlo.astype(jnp.uint64)
+    canon = jnp.minimum(dir_u, _revcomp_u64(dir_u, k)) << jnp.uint64(_shift_for(k))
     canon = jnp.where(valid, canon, SENTINEL)
     W = _GREEDY_W
     canon_pad = jnp.concatenate([canon, jnp.full(W, SENTINEL, dtype=jnp.uint64)])
@@ -396,12 +491,9 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
             b <<= 1
         padded = np.full(b, _PAD_SYMBOL, dtype=np.uint8)
         padded[:n] = contig_codes
-        packed, invbits = pack_codes(padded)
         cap = b // seg_size + 2
         vec = np.asarray(
-            splitter_greedy_kernel(
-                jnp.asarray(packed), jnp.asarray(invbits), k, table, seg_size, cap
-            )
+            splitter_greedy_kernel(jnp.asarray(padded), k, table, seg_size, cap)
         )
         count = int(vec[0])
         pos = vec[1 : 1 + cap][:count].astype(np.int64)
@@ -428,15 +520,13 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
             b <<= 1
         padded = np.full(b, _PAD_SYMBOL, dtype=np.uint8)
         padded[: len(sub)] = sub
-        packed, invbits = pack_codes(padded)
         cap = b // seg_size + 2
         # chain start within this chunk (global carry -> local coordinates)
         t_global = start if e is None else e + seg_size
         t0 = max(t_global - lo, 0)
         vec = np.asarray(
             splitter_greedy_kernel(
-                jnp.asarray(packed), jnp.asarray(invbits), k, table,
-                seg_size, cap, t0,
+                jnp.asarray(padded), k, table, seg_size, cap, t0,
             )
         )
         count = int(vec[0])
@@ -493,11 +583,8 @@ def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
         end = min(lo + CHUNK, n)
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
         keep_from = start - lo
-        packed, invbits = pack_codes(padded)
         out.append(
-            canon_kmers_packed_window(
-                jnp.asarray(packed), jnp.asarray(invbits), k, keep_from, real
-            )
+            canon_kmers_window_u8(jnp.asarray(padded), k, keep_from, real)
         )
         start = end
     return out
@@ -650,123 +737,176 @@ def scan_contig(
 _SCAN_CAP = 512
 
 
-@partial(jax.jit, static_argnums=(2, 5))
-def scan_batch_compact_packed(packed, invbits, k, tlo, thi, cap: int):
-    """Batched scan: B contigs per dispatch (amortizes per-dispatch RPC
-    overhead for many-small-contig collections). packed: u8[B, n/4],
-    invbits: u8[B, n/8]; returns u32[B, 1 + 5*cap] rows in
+@partial(jax.jit, static_argnums=(1, 3))
+def scan_batch_compact_u8(codes2d, k, tlo, cap: int):
+    """Batched scan: B contig chunks per dispatch (amortizes per-dispatch
+    RPC overhead). codes2d: u8[B, n]; returns u32[B, 1 + 3*cap] rows in
     _scan_compact_body layout."""
 
-    def one(p, i):
-        return _scan_compact_body(p, i, k, tlo, thi, cap)
+    def one(c):
+        return _scan_compact_body(c, k, tlo, cap)
 
-    return jax.vmap(one)(packed, invbits)
+    return jax.vmap(one)(codes2d)
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def scan_batch_sorted_u8(codes2d, k, table, cap: int):
+    def one(c):
+        return _scan_sorted_body(c, k, table, cap)
+
+    return jax.vmap(one)(codes2d)
+
+
+def _dispatch_scan_batch(mat, table: "ScanTable", cap: int):
+    if table.kind == "cmp":
+        return scan_batch_compact_u8(jnp.asarray(mat), table.k, table.tlo, cap)
+    return scan_batch_sorted_u8(jnp.asarray(mat), table.k, table.dev, cap)
+
+
+def _dispatch_scan_chunk(codes_dev, table: "ScanTable", cap: int):
+    if table.kind == "cmp":
+        return scan_chunk_compact_u8(codes_dev, table.k, table.tlo, cap)
+    return scan_chunk_sorted_u8(codes_dev, table.k, table.dev, cap)
 
 
 _BATCH_ROWS = (1, 2, 4, 8, 16, 32)
 
 
-class ScanBatcher:
-    """Groups small-contig scans into batched dispatches.
+_BATCH_SYMBOL_BUDGET = 32 << 20  # max symbols per batched dispatch
 
-    add() buffers items; flush() dispatches one kernel per (bucket, up to
-    32 rows) group and resolves each item's token to (vec, row, cap).
-    Items larger than CHUNK fall back to the chunked single-contig path.
+
+class ScanBatcher:
+    """Groups contig scans into batched multi-row dispatches.
+
+    add() splits each contig into <=CHUNK pieces (k-1 overlap) and buffers
+    them; flush() packs pieces of equal bucket size into one vmapped
+    dispatch (up to 32 rows / 32 Mbase per dispatch). collect() downloads
+    each dispatch's full result matrix ONCE (cached) and resolves every
+    piece from its row — so a whole batch of contigs costs one kernel
+    launch and one device->host transfer, which is what matters on a
+    high-RTT tunneled TPU.
 
     ``table`` is a make_scan_table() tuple (or None for no splitters).
     """
 
+    # auto-flush threshold: dispatch as soon as this many symbols are
+    # buffered, so device compute overlaps host-side matching of earlier
+    # contigs instead of accumulating into one barrier-sized dispatch
+    _FLUSH_SYMBOLS = 8 << 20
+
     def __init__(self, k: int, table):
         self.k = k
         self.table = table
-        self._buf: list[tuple[dict, np.ndarray]] = []
+        self._buf: list[dict] = []
+        self._pending_syms = 0
+        self._dl_cache: dict[int, np.ndarray] = {}
 
     def add(self, codes: np.ndarray):
-        """Returns a token dict resolved at flush time."""
-        token = {"kind": "batch", "n": len(codes), "k": self.k}
-        if len(codes) < self.k or self.table is None:
+        """Returns a token dict resolved at flush/collect time."""
+        n = len(codes)
+        token = {"kind": "parts", "n": n, "parts": []}
+        if n < self.k or self.table is None:
             token["kind"] = "empty"
             return token
-        if len(codes) > CHUNK:
-            token["kind"] = "single"
-            token["inner"] = submit_scan_hits(codes, self.k, self.table)
-            return token
-        self._buf.append((token, codes))
+        start = 0
+        while start < n:
+            lo = max(0, start - (self.k - 1))
+            end = min(lo + CHUNK, n)
+            part = {
+                "start": start,
+                "lo": lo,
+                "real": end - lo,
+                "codes": np.ascontiguousarray(codes[lo:end]),
+            }
+            token["parts"].append(part)
+            self._buf.append(part)
+            self._pending_syms += end - lo
+            start = end
+        if self._pending_syms >= self._FLUSH_SYMBOLS:
+            self.flush()
         return token
 
     def flush(self) -> None:
         if not self._buf:
             return
-        tlo, thi, _ = self.table
+        self._pending_syms = 0
         by_bucket: dict[int, list] = {}
-        for token, codes in self._buf:
-            b = _bucket_size(len(codes))
-            by_bucket.setdefault(b, []).append((token, codes))
+        for part in self._buf:
+            b = _bucket_size(len(part["codes"]))
+            by_bucket.setdefault(b, []).append(part)
         self._buf = []
         for b, items in by_bucket.items():
-            for start in range(0, len(items), _BATCH_ROWS[-1]):
-                group = items[start : start + _BATCH_ROWS[-1]]
+            max_rows = max(1, min(_BATCH_ROWS[-1], _BATCH_SYMBOL_BUDGET // b))
+            for start in range(0, len(items), max_rows):
+                group = items[start : start + max_rows]
                 rows = 1
                 for r in _BATCH_ROWS:
                     if r >= len(group):
                         rows = r
                         break
-                packed = np.zeros((rows, b // 4), dtype=np.uint8)
-                invbits = np.full((rows, b // 8), 0xFF, dtype=np.uint8)
-                for row, (token, codes) in enumerate(group):
-                    buf = np.full(b, _PAD_SYMBOL, dtype=np.uint8)
-                    buf[: len(codes)] = codes
-                    p, iv = pack_codes(buf)
-                    packed[row] = p
-                    invbits[row] = iv
+                mat = np.empty((rows, b), dtype=np.uint8)
+                for row, part in enumerate(group):
+                    c = part.pop("codes")
+                    mat[row, : len(c)] = c
+                    mat[row, len(c):] = _PAD_SYMBOL
+                if len(group) < rows:
+                    mat[len(group):] = _PAD_SYMBOL
                 cap = min(_SCAN_CAP, b)
-                out = scan_batch_compact_packed(
-                    jnp.asarray(packed), jnp.asarray(invbits), self.k,
-                    tlo, thi, cap,
-                )
-                for row, (token, codes) in enumerate(group):
-                    token["out"] = out
-                    token["row"] = row
-                    token["cap"] = cap
-                    token["packed"] = packed[row]
-                    token["invbits"] = invbits[row]
-                    token["bucket"] = b
+                out = _dispatch_scan_batch(mat, self.table, cap)
+                for row, part in enumerate(group):
+                    part["out"] = out
+                    part["row"] = row
+                    part["cap"] = cap
+                    part["bucket"] = b
+                    part["mat"] = mat
+
+    def _resolve(self, out) -> np.ndarray:
+        """Download a dispatch's full result matrix once; cache briefly."""
+        key = id(out)
+        mat = self._dl_cache.get(key)
+        if mat is None:
+            mat = np.asarray(out)
+            if len(self._dl_cache) >= 8:
+                self._dl_cache.pop(next(iter(self._dl_cache)))
+            self._dl_cache[key] = mat
+        return mat
 
     def collect(self, token):
         """Resolve a token to (pos, udir, urc)."""
-        empty = (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.uint64),
-            np.empty(0, dtype=np.uint64),
-        )
         if token["kind"] == "empty":
-            return empty
-        if token["kind"] == "single":
-            return collect_scan_hits(token["inner"])
-        if "out" not in token:
-            self.flush()
-        tlo, thi, _ = self.table
-        vec = np.asarray(token["out"][token["row"]])
-        cap = token["cap"]
-        count, pos, udir, urc = _decode_scan_vec(vec, cap, self.k)
-        if count > cap and cap < token["bucket"]:
-            # rare cap overflow: retry at the next power-of-two >= count
-            cap = 1 << int(np.ceil(np.log2(count)))
-            cap = min(cap, token["bucket"])
-            vec = np.asarray(
-                scan_chunk_compact_packed(
-                    jnp.asarray(token["packed"]),
-                    jnp.asarray(token["invbits"]),
-                    self.k,
-                    tlo,
-                    thi,
-                    cap,
-                )
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.uint64),
             )
-            count, pos, udir, urc = _decode_scan_vec(vec, cap, self.k)
-        n = token["n"]
-        m = pos < n
-        return pos[m], udir[m], urc[m]
+        all_pos, all_dir, all_rc = [], [], []
+        for part in token["parts"]:
+            if "out" not in part:
+                self.flush()
+            vec = self._resolve(part["out"])[part["row"]]
+            cap = part["cap"]
+            count, pos, udir, urc = _decode_scan_vec(vec, cap, self.table)
+            if count > cap and cap < part["bucket"]:
+                # rare cap overflow: retry at the next power-of-two >= count
+                cap = min(1 << int(np.ceil(np.log2(count))), part["bucket"])
+                vec = np.asarray(
+                    _dispatch_scan_chunk(
+                        jnp.asarray(part["mat"][part["row"]]), self.table, cap
+                    )
+                )
+                count, pos, udir, urc = _decode_scan_vec(vec, cap, self.table)
+            part.pop("mat", None)
+            part.pop("out", None)
+            keep_from = part["start"] - part["lo"]
+            m = (pos >= keep_from) & (pos < part["real"])
+            all_pos.append(pos[m] - keep_from + part["start"])
+            all_dir.append(udir[m])
+            all_rc.append(urc[m])
+        return (
+            np.concatenate(all_pos),
+            np.concatenate(all_dir),
+            np.concatenate(all_rc),
+        )
 
 
 def submit_scan_hits(contig_codes: np.ndarray, k: int, table):
@@ -780,17 +920,14 @@ def submit_scan_hits(contig_codes: np.ndarray, k: int, table):
     pending = []
     if n < k or table is None:
         return (pending, k, table)
-    tlo, thi, _ = table
     start = 0
     while start < n:
         lo = max(0, start - (k - 1))
         end = min(lo + CHUNK, n)
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
-        packed, invbits = pack_codes(padded)
-        packed = jnp.asarray(packed)
-        invbits = jnp.asarray(invbits)
-        out = scan_chunk_compact_packed(packed, invbits, k, tlo, thi, _SCAN_CAP)
-        pending.append((out, packed, invbits, start, lo, real, len(padded)))
+        dev = jnp.asarray(padded)
+        out = _dispatch_scan_chunk(dev, table, _SCAN_CAP)
+        pending.append((out, dev, start, lo, real, len(padded)))
         start = end
     return (pending, k, table)
 
@@ -801,18 +938,15 @@ def collect_scan_hits(token):
     all_pos = []
     all_dir = []
     all_rc = []
-    for out, packed, invbits, start, lo, real, padded_len in pending:
+    for out, dev, start, lo, real, padded_len in pending:
         vec = np.asarray(out)  # single transfer
         cap = _SCAN_CAP
-        count, pos, udir, urc = _decode_scan_vec(vec, cap, k)
+        count, pos, udir, urc = _decode_scan_vec(vec, cap, table)
         if count > cap and cap < padded_len:
             # rare overflow: retry at the next power-of-two >= count
-            tlo, thi, _ = table
             cap = min(1 << int(np.ceil(np.log2(count))), padded_len)
-            vec = np.asarray(
-                scan_chunk_compact_packed(packed, invbits, k, tlo, thi, cap)
-            )
-            count, pos, udir, urc = _decode_scan_vec(vec, cap, k)
+            vec = np.asarray(_dispatch_scan_chunk(dev, table, cap))
+            count, pos, udir, urc = _decode_scan_vec(vec, cap, table)
         keep_from = start - lo
         m = (pos >= keep_from) & (pos < real)
         all_pos.append(pos[m] - keep_from + start)
@@ -834,16 +968,16 @@ def collect_scan_hits(token):
 def scan_contig_hits(contig_codes: np.ndarray, k: int, sorted_set):
     """Positions + (udir, urc) of all splitter hits in a contig.
 
-    ``sorted_set``: host np.uint64 sorted codes, or a make_scan_table()
-    tuple. Minimal-transfer path: uploads packed codes, downloads one
-    compact vector per chunk. Returns (pos i64[H] ascending, udir u64[H],
-    urc u64[H]).
+    ``sorted_set``: host np.uint64 sorted canonical codes, or a
+    make_scan_table() ScanTable. Minimal-transfer path: uploads codes,
+    downloads one compact vector per chunk. Returns (pos i64[H]
+    ascending, udir u64[H], urc u64[H]).
     """
     n = len(contig_codes)
     if isinstance(sorted_set, np.ndarray):
         table = make_scan_table(sorted_set, k)
     else:
-        table = sorted_set  # make_scan_table tuple or None
+        table = sorted_set  # ScanTable or None
     if n < k or table is None:
         return (
             np.empty(0, dtype=np.int64),

@@ -14,37 +14,97 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "lz_native.cpp")
+_SRC_CAPI = os.path.join(_DIR, "agc_capi.cpp")
 _LIB = os.path.join(_DIR, "liblznative.so")
+_LIB_CAPI = os.path.join(_DIR, "libagcnative.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_capi_lib = None
+_capi_tried = False
 
 
-def _build() -> bool:
+def _compile(srcs: list[str], out: str, extra: list[str]) -> bool:
     try:
-        cmd = [
-            "g++",
-            "-O3",
-            "-std=c++17",
-            "-shared",
-            "-fPIC",
-            "-march=native",
-            _SRC,
-            "-o",
-            _LIB + ".tmp",
-        ]
-        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-march=native", *srcs, "-o", out + ".tmp", *extra]
+        res = subprocess.run(cmd, capture_output=True, timeout=240)
         if res.returncode != 0:
-            # retry without -march=native
             cmd.remove("-march=native")
-            res = subprocess.run(cmd, capture_output=True, timeout=120)
+            res = subprocess.run(cmd, capture_output=True, timeout=240)
             if res.returncode != 0:
                 return False
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(out + ".tmp", out)
         return True
     except Exception:
         return False
+
+
+def _build() -> bool:
+    return _compile([_SRC], _LIB, [])
+
+
+def _build_capi() -> bool:
+    return _compile([_SRC, _SRC_CAPI], _LIB_CAPI, ["-lzstd"])
+
+
+def get_capi_path() -> str | None:
+    """Build (if needed) and return the path of the C-API shared library
+    (the reference's libagc equivalent: agc_open/agc_get_ctg_seq/...)."""
+    global _capi_tried
+    with _lock:
+        stale = not os.path.exists(_LIB_CAPI) or os.path.getmtime(
+            _LIB_CAPI
+        ) < max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_CAPI))
+        if stale:
+            if _capi_tried:
+                return None
+            _capi_tried = True
+            if not _build_capi():
+                return None
+        return _LIB_CAPI
+
+
+def get_capi():
+    """ctypes handle to the C API library (or None)."""
+    global _capi_lib
+    path = get_capi_path()
+    if path is None:
+        return None
+    with _lock:
+        if _capi_lib is not None:
+            return _capi_lib
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        lib.agc_open.restype = ctypes.c_void_p
+        lib.agc_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.agc_close.argtypes = [ctypes.c_void_p]
+        lib.agc_n_sample.argtypes = [ctypes.c_void_p]
+        lib.agc_n_ctg.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.agc_get_ctg_len.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.agc_get_ctg_seq.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.agc_reference_sample.restype = ctypes.c_void_p
+        lib.agc_reference_sample.argtypes = [ctypes.c_void_p]
+        lib.agc_list_sample.restype = ctypes.POINTER(ctypes.c_char_p)
+        lib.agc_list_sample.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.agc_list_ctg.restype = ctypes.POINTER(ctypes.c_char_p)
+        lib.agc_list_ctg.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.agc_list_destroy.argtypes = [ctypes.POINTER(ctypes.c_char_p)]
+        lib.agc_string_destroy.argtypes = [ctypes.c_void_p]
+        _capi_lib = lib
+        return _capi_lib
 
 
 def get_lib():

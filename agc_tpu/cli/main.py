@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("out_archive")
     p.add_argument("inputs", nargs="+", help="FASTA files (plain or gzipped)")
     _add_create_opts(p)
+    p.add_argument(
+        "--shards", type=int, default=1,
+        help="data-parallel shards (multi-host scale-out; output archives "
+        "extract identically for any shard count)",
+    )
 
     p = sub.add_parser("append", help="append FASTA files to an existing archive")
     p.add_argument("in_archive")
@@ -149,7 +154,14 @@ def _dispatch(args) -> int:
             params.kmer_length = _clamp(args.kmer_len, 17, 32)
             params.min_match_len = _clamp(args.min_match_len, 15, 32)
             params.segment_size = _clamp(args.segment_size, 100, 1_000_000)
-            create_archive(args.out_archive, args.inputs, params)
+            if getattr(args, "shards", 1) > 1:
+                from ..parallel.distributed import create_archive_sharded
+
+                create_archive_sharded(
+                    args.out_archive, args.inputs, params, n_shards=args.shards
+                )
+            else:
+                create_archive(args.out_archive, args.inputs, params)
         else:
             append_archive(args.in_archive, args.out_archive, args.inputs, params)
         return 0

@@ -45,3 +45,22 @@ def test_shard_count_invariant_extraction(tmp_path):
         outs.append(text)
         d.close()
     assert outs[0] == outs[1]
+
+
+def test_cli_create_shards(tmp_path):
+    """agc-tpu create --shards N produces a normal, fully-extractable
+    archive through the CLI driver."""
+    from agc_tpu.cli.main import main as cli_main
+
+    files = make_collection(tmp_path, n_samples=3, contig_lens=(15000,))
+    archive = str(tmp_path / "cli_sharded.agc")
+    rc = cli_main(
+        ["create", archive, *[p for _, p in files], "--shards", "2", "-s", "1000"]
+    )
+    assert rc == 0
+    d = Decompressor(archive)
+    for sample, path in files:
+        out = str(tmp_path / f"cli_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()

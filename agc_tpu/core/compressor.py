@@ -128,6 +128,11 @@ class _FallbackFilter:
 class Compressor:
     """Create or append to an AGC archive."""
 
+    # class-level defaults so subclasses with reduced __init__ (e.g. the
+    # distributed capturing shard) inherit safe values
+    _store_pool = None
+    _pending_store = None
+
     def __init__(
         self,
         out_path: str,
@@ -172,6 +177,8 @@ class Compressor:
         self._closed = False
         self._mode = None
         self._n_threads = max(1, (os.cpu_count() or 2) // 2)
+        self._store_pool = None  # persistent pool for async barrier stores
+        self._pending_store = None  # list of in-flight store futures
         from ..utils.profiling import StageTimers
 
         self.timers = StageTimers()
@@ -663,7 +670,7 @@ class Compressor:
                 self._process_contig(sample_name, cid, codes, hard_contig=True)
         self._register_segments()
         with self.timers.stage("store_segments"):
-            self._store_segments()
+            self._store_segments(async_ok=True)
         self._merge_fallback_mappings()
         # advance sample counter & flush metadata batch
         if not self.p.concatenated_genomes:
@@ -675,6 +682,8 @@ class Compressor:
                 self.collection.get_no_samples(),
             )
         if self.processed_samples % self.p.pack_cardinality == 0:
+            # batch metadata serializes placements: in-flight stores must land
+            self._join_pending_store()
             self.collection.store_contig_batch(
                 self.writer,
                 self.processed_samples - self.p.pack_cardinality,
@@ -826,6 +835,9 @@ class Compressor:
         kmer_back: Kmer,
     ) -> int:
         """Returns 1 when the segment was split into two parts, else 0."""
+        # the matcher estimates against group writers: in-flight stores from
+        # the previous barrier must land first
+        self._join_pending_store()
         pk = PK_EMPTY
         store_rc = False
         segment_rc: np.ndarray | None = None
@@ -1176,6 +1188,7 @@ class Compressor:
         """Assign ids to new groups (deterministic by splitter pair) and
         merge into the known buffers (reference: process_new,
         agc_compressor.h:384-415)."""
+        self._join_pending_store()
         if self._buf_new:
             new_pks = sorted({(k1, k2) for k1, k2, _ in self._buf_new})
             assigned: dict[tuple[int, int], int] = {}
@@ -1217,17 +1230,34 @@ class Compressor:
                 dest = (dest + 1) % NO_RAW_GROUPS
             self._buf_known[0] = keep
 
-    def _store_segments(self) -> None:
+    def _join_pending_store(self) -> None:
+        """Wait for the previous barrier's async store and apply its
+        placements to the collection."""
+        if self._pending_store is None:
+            return
+        futures = self._pending_store
+        self._pending_store = None
+        for fut in futures:
+            for args in fut.result():
+                self.collection.add_segment_placed(*args)
+
+    def _store_segments(self, async_ok: bool = False) -> None:
         """Drain the per-group buffers: LZ-encode + store members, record
         placements (reference: store_segments, agc_compressor.cpp:974-1050).
 
         Groups are independent, so they are encoded on a worker pool; the
-        native LZ and zstd calls release the GIL. Placements are applied
-        serially afterwards (the collection registry is not concurrent)."""
-        groups = sorted(self._buf_known)
+        native LZ and zstd calls release the GIL. With ``async_ok`` (the
+        non-adaptive path) the jobs run PAST the barrier, overlapping the
+        next sample's device scans; they are joined before anything reads
+        the group writers again (_register_segments / first _add_segment /
+        metadata batches / close). Placements are applied serially (the
+        collection registry is not concurrent)."""
+        buf = self._buf_known
+        self._buf_known = {}
+        groups = sorted(buf)
 
         def store_group(gid):
-            items = self._buf_known[gid]
+            items = buf[gid]
             items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
             seg = self.v_segments[gid]
             if seg is None:
@@ -1245,6 +1275,23 @@ class Compressor:
                 )
             return placements
 
+        use_async = (
+            async_ok
+            and not self.p.adaptive_compression
+            and self._n_threads > 1
+            and groups
+        )
+        if use_async:
+            if self._store_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._store_pool = ThreadPoolExecutor(
+                    max_workers=self._n_threads
+                )
+            self._pending_store = [
+                self._store_pool.submit(store_group, g) for g in groups
+            ]
+            return
         if len(groups) > 4 and self._n_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -1255,7 +1302,6 @@ class Compressor:
         for placements in all_placements:
             for args in placements:
                 self.collection.add_segment_placed(*args)
-        self._buf_known = {}
 
     # ==================================================================
     # finalization (reference: close_compression, store_metadata)
@@ -1265,6 +1311,10 @@ class Compressor:
         if self._closed:
             return False
         self._closed = True
+        self._join_pending_store()
+        if self._store_pool is not None:
+            self._store_pool.shutdown(wait=True)
+            self._store_pool = None
         live = [seg for seg in self.v_segments if seg is not None]
         if len(live) > 8 and self._n_threads > 1:
             from concurrent.futures import ThreadPoolExecutor

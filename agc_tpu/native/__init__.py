@@ -159,6 +159,8 @@ def get_lib():
             u8p,
             u8p,
         ]
+        lib.pack_nibbles.restype = None
+        lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
         for fn in (lib.lz_decode_v2, lib.lz_decode_v1):
             fn.restype = ctypes.c_int64
             fn.argtypes = [

@@ -590,4 +590,21 @@ uint64_t fasta_preprocess(const uint8_t* raw, uint64_t n, const uint8_t* lut,
   return m;
 }
 
+// Nibble-pack numeric symbols for the host->device link: 2 symbols/byte,
+// any symbol > 3 (non-ACGT) collapses to 15 (the scan kernels only need
+// an invalid marker). n may be odd; the trailing nibble of the last byte
+// is 15. out size = (n + 1) / 2.
+void pack_nibbles(const uint8_t* in, uint64_t n, uint8_t* out) {
+  uint64_t i = 0, o = 0;
+  for (; i + 2 <= n; i += 2, ++o) {
+    uint8_t a = in[i] > 3 ? 15 : in[i];
+    uint8_t b = in[i + 1] > 3 ? 15 : in[i + 1];
+    out[o] = (uint8_t)(a | (b << 4));
+  }
+  if (i < n) {
+    uint8_t a = in[i] > 3 ? 15 : in[i];
+    out[o] = (uint8_t)(a | 0xF0);
+  }
+}
+
 }  // extern "C"

@@ -225,10 +225,48 @@ def contig_kmers_with_membership(codes, k, sorted_set):
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+# ---------------------------------------------------------------------------
+# nibble-packed transfer: 2 symbols/byte on the host->device link. Only the
+# invalid marker matters beyond ACGT, so symbols > 3 collapse to 15.
+# ---------------------------------------------------------------------------
+
+
+def pack4_np(codes: np.ndarray) -> np.ndarray:
+    """Host pack: u8[n] -> u8[(n+1)//2], low nibble first; >3 -> 15.
+    Uses the GIL-free C++ packer when available."""
+    from ..native import get_lib
+
+    n = len(codes)
+    out = np.empty((n + 1) // 2, dtype=np.uint8)
+    lib = get_lib()
+    if lib is not None and n:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pack_nibbles(
+            np.ascontiguousarray(codes).ctypes.data_as(u8p),
+            n,
+            out.ctypes.data_as(u8p),
+        )
+        return out
+    c = np.where(codes > 3, 15, codes).astype(np.uint8)
+    if n % 2:
+        c = np.concatenate([c, np.full(1, 15, np.uint8)])
+    return (c[0::2] | (c[1::2] << 4)).astype(np.uint8)
+
+
+def _unpack4_dev(packed: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel unpack: u8[m] -> u8[2m] numeric symbols (15 = invalid)."""
+    lo = packed & jnp.uint8(15)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0] * 2)
+
+
 @partial(jax.jit, static_argnums=(1,))
-def canon_kmers_window_u8(codes, k, lo, hi):
+def canon_kmers_window_p4(packed, k, lo, hi):
     """canon_kmers_chunk with positions outside [lo, hi) masked to the
     sentinel; traced lo/hi so one compiled shape serves all chunks."""
+    codes = _unpack4_dev(packed)
     udir, urc, valid = _kmer_core(codes, k)
     canon = jnp.minimum(udir, urc)
     idx = jnp.arange(codes.shape[0])
@@ -289,14 +327,14 @@ def _scan_sorted_body(codes, k, table, cap: int):
 
 
 @partial(jax.jit, static_argnums=(1, 3))
-def scan_chunk_compact_u8(codes, k, tlo, cap: int):
+def scan_chunk_compact_p4(packed, k, tlo, cap: int):
     """Single-chunk scan: one small u32 vector per chunk round-trip."""
-    return _scan_compact_body(codes, k, tlo, cap)
+    return _scan_compact_body(_unpack4_dev(packed), k, tlo, cap)
 
 
 @partial(jax.jit, static_argnums=(1, 3))
-def scan_chunk_sorted_u8(codes, k, table, cap: int):
-    return _scan_sorted_body(codes, k, table, cap)
+def scan_chunk_sorted_p4(packed, k, table, cap: int):
+    return _scan_sorted_body(_unpack4_dev(packed), k, table, cap)
 
 
 def _decode_scan_vec(vec: np.ndarray, cap: int, table: "ScanTable"):
@@ -381,7 +419,7 @@ _GREEDY_W = 2048  # probe window length for the greedy chain
 
 
 @partial(jax.jit, static_argnums=(1, 3, 4))
-def splitter_greedy_kernel(codes, k, table, seg_size: int, cap: int, t0=0):
+def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
     """Whole-contig greedy splitter emission on device.
 
     Device analogue of the reference's sequential find_splitters_in_contig
@@ -400,6 +438,7 @@ def splitter_greedy_kernel(codes, k, table, seg_size: int, cap: int, t0=0):
     rightmost-candidate fallback, agc_compressor.cpp:817-824), found by
     probing windows backward from the end; tail_pos = 2^63-1 when absent.
     """
+    codes = _unpack4_dev(packed)
     n = codes.shape[0]
     dlo, dhi, valid = _dir_halves(codes, k)
     dir_u = (dhi.astype(jnp.uint64) << jnp.uint64(32)) | dlo.astype(jnp.uint64)
@@ -493,7 +532,9 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
         padded[:n] = contig_codes
         cap = b // seg_size + 2
         vec = np.asarray(
-            splitter_greedy_kernel(jnp.asarray(padded), k, table, seg_size, cap)
+            splitter_greedy_kernel(
+                jnp.asarray(pack4_np(padded)), k, table, seg_size, cap
+            )
         )
         count = int(vec[0])
         pos = vec[1 : 1 + cap][:count].astype(np.int64)
@@ -526,7 +567,7 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
         t0 = max(t_global - lo, 0)
         vec = np.asarray(
             splitter_greedy_kernel(
-                jnp.asarray(padded), k, table, seg_size, cap, t0,
+                jnp.asarray(pack4_np(padded)), k, table, seg_size, cap, t0,
             )
         )
         count = int(vec[0])
@@ -584,7 +625,7 @@ def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
         keep_from = start - lo
         out.append(
-            canon_kmers_window_u8(jnp.asarray(padded), k, keep_from, real)
+            canon_kmers_window_p4(jnp.asarray(pack4_np(padded)), k, keep_from, real)
         )
         start = end
     return out
@@ -738,35 +779,49 @@ _SCAN_CAP = 512
 
 
 @partial(jax.jit, static_argnums=(1, 3))
-def scan_batch_compact_u8(codes2d, k, tlo, cap: int):
+def scan_batch_compact_p4(packed2d, k, tlo, cap: int):
     """Batched scan: B contig chunks per dispatch (amortizes per-dispatch
-    RPC overhead). codes2d: u8[B, n]; returns u32[B, 1 + 3*cap] rows in
-    _scan_compact_body layout."""
+    RPC overhead). packed2d: u8[B, n/2] nibble-packed; returns
+    u32[B, 1 + 3*cap] rows in _scan_compact_body layout."""
 
-    def one(c):
-        return _scan_compact_body(c, k, tlo, cap)
+    def one(p):
+        return _scan_compact_body(_unpack4_dev(p), k, tlo, cap)
 
-    return jax.vmap(one)(codes2d)
+    return jax.vmap(one)(packed2d)
 
 
 @partial(jax.jit, static_argnums=(1, 3))
-def scan_batch_sorted_u8(codes2d, k, table, cap: int):
-    def one(c):
-        return _scan_sorted_body(c, k, table, cap)
+def scan_batch_sorted_p4(packed2d, k, table, cap: int):
+    def one(p):
+        return _scan_sorted_body(_unpack4_dev(p), k, table, cap)
 
-    return jax.vmap(one)(codes2d)
+    return jax.vmap(one)(packed2d)
 
 
 def _dispatch_scan_batch(mat, table: "ScanTable", cap: int):
     if table.kind == "cmp":
-        return scan_batch_compact_u8(jnp.asarray(mat), table.k, table.tlo, cap)
-    return scan_batch_sorted_u8(jnp.asarray(mat), table.k, table.dev, cap)
+        return scan_batch_compact_p4(jnp.asarray(mat), table.k, table.tlo, cap)
+    return scan_batch_sorted_p4(jnp.asarray(mat), table.k, table.dev, cap)
 
 
-def _dispatch_scan_chunk(codes_dev, table: "ScanTable", cap: int):
+def _dispatch_scan_chunk(packed_dev, table: "ScanTable", cap: int):
     if table.kind == "cmp":
-        return scan_chunk_compact_u8(codes_dev, table.k, table.tlo, cap)
-    return scan_chunk_sorted_u8(codes_dev, table.k, table.dev, cap)
+        return scan_chunk_compact_p4(packed_dev, table.k, table.tlo, cap)
+    return scan_chunk_sorted_p4(packed_dev, table.k, table.dev, cap)
+
+
+_XFER_POOL = None
+
+
+def _xfer_pool():
+    """Single background thread for mat assembly + pack + upload +
+    dispatch: keeps the main thread matching while transfers stage."""
+    global _XFER_POOL
+    if _XFER_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _XFER_POOL = ThreadPoolExecutor(1, thread_name_prefix="agc-xfer")
+    return _XFER_POOL
 
 
 _BATCH_ROWS = (1, 2, 4, 8, 16, 32)
@@ -844,32 +899,37 @@ class ScanBatcher:
                     if r >= len(group):
                         rows = r
                         break
-                mat = np.empty((rows, b), dtype=np.uint8)
-                for row, part in enumerate(group):
-                    c = part.pop("codes")
-                    mat[row, : len(c)] = c
-                    mat[row, len(c):] = _PAD_SYMBOL
-                if len(group) < rows:
-                    mat[len(group):] = _PAD_SYMBOL
                 cap = min(_SCAN_CAP, b)
-                out = _dispatch_scan_batch(mat, self.table, cap)
+
+                def job(group=group, rows=rows, b=b, cap=cap):
+                    # runs on the transfer thread: nibble-pack rows
+                    # (GIL-free C++), upload, dispatch. Returns
+                    # (out_device_array, packed_mat).
+                    mat = np.full((rows, b // 2), 0xFF, dtype=np.uint8)
+                    for row, part in enumerate(group):
+                        pk = pack4_np(part.pop("codes"))
+                        mat[row, : len(pk)] = pk
+                    return _dispatch_scan_batch(mat, self.table, cap), mat
+
+                fut = _xfer_pool().submit(job)
                 for row, part in enumerate(group):
-                    part["out"] = out
+                    part["out"] = fut
                     part["row"] = row
                     part["cap"] = cap
                     part["bucket"] = b
-                    part["mat"] = mat
 
-    def _resolve(self, out) -> np.ndarray:
-        """Download a dispatch's full result matrix once; cache briefly."""
-        key = id(out)
-        mat = self._dl_cache.get(key)
-        if mat is None:
-            mat = np.asarray(out)
+    def _resolve(self, fut):
+        """Wait for a dispatch job, download its result matrix once
+        (cached briefly); returns (result_np, packed_mat)."""
+        key = id(fut)
+        hit = self._dl_cache.get(key)
+        if hit is None:
+            out, packed_mat = fut.result()
+            hit = (np.asarray(out), packed_mat)
             if len(self._dl_cache) >= 8:
                 self._dl_cache.pop(next(iter(self._dl_cache)))
-            self._dl_cache[key] = mat
-        return mat
+            self._dl_cache[key] = hit
+        return hit
 
     def collect(self, token):
         """Resolve a token to (pos, udir, urc)."""
@@ -883,7 +943,8 @@ class ScanBatcher:
         for part in token["parts"]:
             if "out" not in part:
                 self.flush()
-            vec = self._resolve(part["out"])[part["row"]]
+            res, packed_mat = self._resolve(part["out"])
+            vec = res[part["row"]]
             cap = part["cap"]
             count, pos, udir, urc = _decode_scan_vec(vec, cap, self.table)
             if count > cap and cap < part["bucket"]:
@@ -891,11 +952,10 @@ class ScanBatcher:
                 cap = min(1 << int(np.ceil(np.log2(count))), part["bucket"])
                 vec = np.asarray(
                     _dispatch_scan_chunk(
-                        jnp.asarray(part["mat"][part["row"]]), self.table, cap
+                        jnp.asarray(packed_mat[part["row"]]), self.table, cap
                     )
                 )
                 count, pos, udir, urc = _decode_scan_vec(vec, cap, self.table)
-            part.pop("mat", None)
             part.pop("out", None)
             keep_from = part["start"] - part["lo"]
             m = (pos >= keep_from) & (pos < part["real"])
@@ -925,7 +985,7 @@ def submit_scan_hits(contig_codes: np.ndarray, k: int, table):
         lo = max(0, start - (k - 1))
         end = min(lo + CHUNK, n)
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
-        dev = jnp.asarray(padded)
+        dev = jnp.asarray(pack4_np(padded))
         out = _dispatch_scan_chunk(dev, table, _SCAN_CAP)
         pending.append((out, dev, start, lo, real, len(padded)))
         start = end

@@ -584,47 +584,51 @@ class Compressor:
         batcher = ScanBatcher(self.k, self._splitters_dev)
 
         def gen():
-            """Producer thread: FASTA read + ASCII->numeric conversion run
-            ahead of matching (reference: the AddSampleFiles producer
-            thread, agc_compressor.cpp:2160-2251)."""
-            import queue as _queue
-            import threading
+            """Producer pool: FASTA read + ASCII->numeric conversion run
+            ahead of matching on a small worker pool with a bounded
+            prefetch window (reference: the AddSampleFiles producer
+            thread, agc_compressor.cpp:2160-2251; the native converter
+            releases the GIL, so files genuinely parse in parallel)."""
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
 
-            q: _queue.Queue = _queue.Queue(maxsize=4)
+            def load_file(path):
+                return [
+                    (cid, preprocess_raw_contig(raw))
+                    for cid, raw in read_contigs_raw(path)
+                ]
 
-            def producer():
-                try:
-                    for si, (sample_name, path) in enumerate(sample_files):
-                        for cid, raw in read_contigs_raw(path):
-                            # ASCII->numeric here: the native converter
-                            # releases the GIL, so this genuinely overlaps
-                            # the consumer's matching work
-                            q.put((si, sample_name, cid,
-                                   preprocess_raw_contig(raw)))
-                    q.put(None)
-                except BaseException as e:  # surfaced by the consumer
-                    q.put(e)
+            window = 3  # samples read ahead (bounds memory)
+            with ThreadPoolExecutor(max_workers=window) as pool:
+                pending: deque = deque()
+                idx = 0
 
-            threading.Thread(target=producer, daemon=True).start()
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                si, sample_name, cid, codes = item
-                # collection registration must stay on the consumer thread
-                # (deterministic order w.r.t. barriers)
-                if si != getattr(gen, "_cur_si", None):
+                def top_up():
+                    nonlocal idx
+                    while idx < len(sample_files) and len(pending) < window:
+                        sname, path = sample_files[idx]
+                        pending.append((idx, sname, pool.submit(load_file, path)))
+                        idx += 1
+
+                top_up()
+                while pending:
+                    si, sample_name, fut = pending.popleft()
+                    contigs = fut.result()
+                    top_up()
+                    # collection registration stays on the consumer thread
+                    # (deterministic order w.r.t. barriers)
                     self.collection.reset_prev_sample_name()
-                    gen._cur_si = si
-                if not self.collection.register_sample_contig(sample_name, cid):
-                    print(
-                        f"Error: Pair sample_name:contig_name "
-                        f"{sample_name}:{cid} is already in the archive!"
-                    )
-                    continue
-                yield si, sample_name, cid, codes
+                    for cid, codes in contigs:
+                        if not self.collection.register_sample_contig(
+                            sample_name, cid
+                        ):
+                            print(
+                                f"Error: Pair sample_name:contig_name "
+                                f"{sample_name}:{cid} is already in the "
+                                "archive!"
+                            )
+                            continue
+                        yield si, sample_name, cid, codes
 
         pipeline: deque = deque()
         prev_si = None

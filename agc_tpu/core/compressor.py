@@ -316,6 +316,27 @@ class Compressor:
     # splitter discovery (device kernels + host greedy)
     # ==================================================================
 
+    def _sorted_pool(self, device_chunks: list):
+        """Concatenate per-chunk device k-mer arrays and sort (sentinel-
+        tailed power-of-two shape); replaces raduls::RadixSortMSD
+        (agc_compressor.cpp:490)."""
+        from ..ops.kmers import SENTINEL, sort_kmers
+        import jax.numpy as jnp
+
+        pool = (
+            jnp.concatenate(device_chunks)
+            if len(device_chunks) > 1
+            else device_chunks[0]
+        )
+        b = 1 << 14
+        while b < pool.shape[0]:
+            b <<= 1
+        if b != pool.shape[0]:
+            pool = jnp.concatenate(
+                [pool, jnp.full(b - pool.shape[0], SENTINEL, dtype=jnp.uint64)]
+            )
+        return sort_kmers(pool)
+
     def _set_candidates(self, device_chunks: list) -> None:
         """Pool per-chunk device k-mer arrays into sorted singleton /
         duplicated tables. The pool never leaves the device; only counts
@@ -361,15 +382,50 @@ class Compressor:
         from ..ops.kmers import collect_kmers_device
 
         contigs = []
+        contig_recs = []
         dev_chunks = []
         for cid, raw in read_contigs_raw(reference_file):
             codes = preprocess_raw_contig(raw)
+            recs = collect_kmers_device(codes, self.k)
             contigs.append(codes)
-            dev_chunks.extend(collect_kmers_device(codes, self.k))
-        self._set_candidates(dev_chunks)
+            contig_recs.append(recs)
+            dev_chunks.extend(r[0] for r in recs)
 
-        table = self._cand_singletons_dev
         splitters: list[int] = []
+        if (
+            not self.fallback_filter
+            and not self.p.adaptive_compression
+            and dev_chunks
+        ):
+            # fast path: one pool sort; the greedy probes singletons
+            # directly in the sorted pool over the ALREADY-resident
+            # canonical chunks (no singleton-table sorts, no re-upload)
+            from ..ops.kmers import find_splitter_emissions_from_chunks
+
+            pool = self._sorted_pool(dev_chunks)
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+            self._cand_singletons_dev = None
+            for codes, recs in zip(contigs, contig_recs):
+                pos, kmers, tail_pos, tail_kmer = (
+                    find_splitter_emissions_from_chunks(
+                        recs, len(codes), self.k, pool, self.p.segment_size
+                    )
+                )
+                splitters.extend(int(x) for x in kmers)
+                last = int(pos[-1]) if len(pos) else None
+                if tail_pos is not None and (
+                    last is None or tail_pos >= last + self.k
+                ):
+                    splitters.append(int(tail_kmer))
+            self._splitter_set = set(splitters)
+            self._refresh_splitter_table()
+            if self.p.verbosity > 1:
+                print(f"No. of splitters: {len(self._splitter_set)}")
+            return
+
+        self._set_candidates(dev_chunks)
+        table = self._cand_singletons_dev
         if not self.fallback_filter and table is not None:
             # hits against the singleton table are dense; the greedy
             # emission chain runs on device (one dispatch per contig)

@@ -439,12 +439,26 @@ def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
     probing windows backward from the end; tail_pos = 2^63-1 when absent.
     """
     codes = _unpack4_dev(packed)
-    n = codes.shape[0]
     dlo, dhi, valid = _dir_halves(codes, k)
     dir_u = (dhi.astype(jnp.uint64) << jnp.uint64(32)) | dlo.astype(jnp.uint64)
     canon = jnp.minimum(dir_u, _revcomp_u64(dir_u, k)) << jnp.uint64(_shift_for(k))
     canon = jnp.where(valid, canon, SENTINEL)
+    return _greedy_over_canon(
+        canon, codes.shape[0], table, seg_size, cap, t0, singleton=False
+    )
+
+
+def _greedy_over_canon(canon, n_real, table, seg_size, cap, t0, singleton):
+    """Shared greedy chain over a per-position canonical-code array.
+
+    ``singleton=False``: hit = membership in ``table``. ``singleton=True``:
+    ``table`` is the full sorted k-mer pool; hit = value occurs EXACTLY
+    once (sorted-neighbor check — replaces the separate singleton-table
+    sorts of remove_non_singletons, agc_compressor.cpp:664-705).
+    ``n_real`` may be traced (loops stop there, not at the padded length).
+    """
     W = _GREEDY_W
+    n_real = jnp.asarray(n_real, jnp.int64)
     canon_pad = jnp.concatenate([canon, jnp.full(W, SENTINEL, dtype=jnp.uint64)])
     T = max(table.shape[0], 1)
 
@@ -452,14 +466,20 @@ def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
         """Hit mask + codes for window [off, off+W) (off: i64 >= 0)."""
         w = jax.lax.dynamic_slice(canon_pad, (off,), (W,))
         ix = jnp.clip(jnp.searchsorted(table, w), 0, T - 1)
-        return (table[ix] == w) & (w != SENTINEL), w
+        hit = (table[ix] == w) & (w != SENTINEL)
+        if singleton:
+            # searchsorted('left') => table[ix-1] < w, so only the right
+            # neighbor can be a duplicate
+            nxt = table[jnp.clip(ix + 1, 0, T - 1)]
+            hit &= (nxt != w) | (ix + 1 >= T)
+        return hit, w
 
     out_pos = jnp.full(cap, _POS_INF, dtype=jnp.uint64)
     out_kmer = jnp.zeros(cap, dtype=jnp.uint64)
 
     def cond(state):
         t, count, _, _ = state
-        return (t < n) & (count < cap)
+        return (t < n_real) & (count < cap)
 
     def body(state):
         t, count, out_pos, out_kmer = state
@@ -467,6 +487,7 @@ def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
         found = jnp.any(hit)
         p_rel = jnp.argmax(hit).astype(jnp.int64)
         p = t + p_rel
+        found &= p < n_real
         out_pos = jnp.where(
             found, out_pos.at[count].set(p.astype(jnp.uint64)), out_pos
         )
@@ -488,16 +509,17 @@ def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
         s, _ = state
         off = jnp.maximum(s, jnp.int64(0))
         hit, _ = probe(off)
+        hit &= (off + jnp.arange(W, dtype=jnp.int64)) < n_real
         found = jnp.any(hit)
         r_rel = jnp.int64(W - 1) - jnp.argmax(hit[::-1]).astype(jnp.int64)
         best = jnp.where(found, off + r_rel, jnp.int64(-1))
         return s - W, best
 
     _, best = jax.lax.while_loop(
-        tail_cond, tail_body, (jnp.int64(n - W), jnp.int64(-1))
+        tail_cond, tail_body, (n_real - W, jnp.int64(-1))
     )
     tail_pos = jnp.where(best >= 0, best.astype(jnp.uint64), _POS_INF)
-    tail_kmer = canon[jnp.clip(best, 0, n - 1)]
+    tail_kmer = canon[jnp.clip(best, 0, canon.shape[0] - 1)]
 
     return jnp.concatenate(
         [
@@ -510,7 +532,81 @@ def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
     )
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def splitter_greedy_canon_kernel(canon, n_real, pool, seg_size: int, cap: int,
+                                 t0=0):
+    """Greedy chain over an already-resident canonical array, probing the
+    full sorted k-mer pool with exactly-once (singleton) semantics."""
+    return _greedy_over_canon(
+        canon, n_real, pool, seg_size, cap, t0, singleton=True
+    )
+
+
 MAX_WHOLE_CONTIG = 1 << 25  # whole-contig greedy bucket ceiling (32 Mbase)
+
+
+def find_splitter_emissions_from_chunks(chunk_recs, n: int, k: int, pool,
+                                        seg_size: int):
+    """Greedy splitter emissions driven by ALREADY-RESIDENT canonical
+    chunk records (collect_kmers_device output) probing the full sorted
+    k-mer ``pool`` with singleton semantics — no re-upload and no separate
+    singleton-table sorts. Returns (positions, kmers, tail_pos|None,
+    tail_kmer) like find_splitter_emissions.
+    """
+    if n < k or not chunk_recs:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), None, 0
+    positions: list[int] = []
+    kmers: list[int] = []
+    tail_pos = None
+    tail_kmer = np.uint64(0)
+    e = None  # last emission (global position)
+
+    # group chunk slices into <= MAX_WHOLE_CONTIG spans (contiguous in
+    # global coordinates; halo overlap was handled at canon build time)
+    groups: list[list] = [[]]
+    acc = 0
+    for rec in chunk_recs:
+        _, kf, real, _ = rec
+        ln = real - kf
+        if acc + ln > MAX_WHOLE_CONTIG and groups[-1]:
+            groups.append([])
+            acc = 0
+        groups[-1].append(rec)
+        acc += ln
+
+    for group in groups:
+        g_start = group[0][3]
+        slices = [arr[kf:real] for arr, kf, real, _ in group]
+        total = sum(real - kf for _, kf, real, _ in group)
+        b = _MIN_BUCKET
+        while b < total:
+            b <<= 1
+        if b != total:
+            slices.append(jnp.full(b - total, SENTINEL, dtype=jnp.uint64))
+        canon = jnp.concatenate(slices) if len(slices) > 1 else slices[0]
+        t_global = g_start if e is None else e + seg_size
+        t0 = max(t_global - g_start, 0)
+        cap = b // seg_size + 2
+        vec = np.asarray(
+            splitter_greedy_canon_kernel(canon, total, pool, seg_size, cap, t0)
+        )
+        count = int(vec[0])
+        pos = vec[1 : 1 + cap][:count].astype(np.int64) + g_start
+        kms = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+        for pp, kk in zip(pos.tolist(), kms.tolist()):
+            positions.append(pp)
+            kmers.append(np.uint64(kk))
+            e = pp
+        t_tail = int(vec[1 + 2 * cap])
+        if t_tail < total:
+            tail_pos = t_tail + g_start
+            tail_kmer = np.uint64(vec[2 + 2 * cap])
+    return (
+        np.asarray(positions, dtype=np.int64),
+        np.asarray(kmers, dtype=np.uint64),
+        tail_pos,
+        tail_kmer,
+    )
 
 
 def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: int):
@@ -613,7 +709,11 @@ def canon_kmers_chunk_window(codes, k, lo, hi):
 
 def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
     """Upload a contig and return its canonical k-mers as device-resident
-    chunk arrays (sentinel-masked); nothing is transferred back."""
+    chunk records (sentinel-masked); nothing is transferred back.
+
+    Each record is (canon_dev, keep_from, real, start): canon_dev[j] is
+    the canonical code of the window ending at global position
+    start - keep_from + j, valid for j in [keep_from, real)."""
     n = len(contig_codes)
     out = []
     if n < k:
@@ -624,9 +724,10 @@ def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
         end = min(lo + CHUNK, n)
         padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
         keep_from = start - lo
-        out.append(
-            canon_kmers_window_p4(jnp.asarray(pack4_np(padded)), k, keep_from, real)
+        arr = canon_kmers_window_p4(
+            jnp.asarray(pack4_np(padded)), k, keep_from, real
         )
+        out.append((arr, keep_from, real, start))
         start = end
     return out
 
@@ -775,7 +876,7 @@ def scan_contig(
     return canon, udir, urc, valid, member
 
 
-_SCAN_CAP = 512
+_SCAN_CAP = 256
 
 
 @partial(jax.jit, static_argnums=(1, 3))
@@ -820,7 +921,8 @@ def _xfer_pool():
     if _XFER_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _XFER_POOL = ThreadPoolExecutor(1, thread_name_prefix="agc-xfer")
+        # 2 threads: pack+upload of the next batch overlaps device execute
+        _XFER_POOL = ThreadPoolExecutor(2, thread_name_prefix="agc-xfer")
     return _XFER_POOL
 
 

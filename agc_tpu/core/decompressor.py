@@ -389,13 +389,27 @@ class Decompressor:
         samples = self.collection.get_samples_list(sorted_=False)
         if no_ref and samples:
             samples = samples[1:]
+
+        def emit_sample(s: str) -> None:
+            suffix = ".fa.gz" if gzip_level else ".fa"
+            path = f"{out_dir.rstrip('/')}/{s}{suffix}"
+            writer = FastaWriter(path, gzip_level)
+            desc = self.collection.get_sample_desc(s)
+            for name, segments in desc:
+                self._emit_contig(writer, name, segments, line_length)
+            writer.close()
+
+        if out_dir and no_threads > 1 and len(samples) > 1:
+            # whole samples decode+write in parallel (decode and file IO
+            # release the GIL); stdout output stays ordered/serial
+            with ThreadPoolExecutor(max_workers=no_threads) as pool:
+                list(pool.map(emit_sample, samples))
+            return True
         for s in samples:
             if out_dir:
-                suffix = ".fa.gz" if gzip_level else ".fa"
-                path = f"{out_dir.rstrip('/')}/{s}{suffix}"
-            else:
-                path = None
-            writer = FastaWriter(path, gzip_level)
+                emit_sample(s)
+                continue
+            writer = FastaWriter(None, gzip_level)
             desc = self.collection.get_sample_desc(s)
             self._emit_contigs_parallel(writer, desc, line_length, no_threads)
             writer.close()

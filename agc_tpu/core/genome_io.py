@@ -111,14 +111,27 @@ def contig_to_ascii(ctg: np.ndarray) -> bytes:
 
 def wrap_lines(seq_ascii: bytes, line_len: int) -> bytes:
     """Split into lines of ``line_len``, each (incl. the last) newline-
-    terminated (reference: agc_decompressor_lib.cpp:562-645)."""
+    terminated (reference: agc_decompressor_lib.cpp:562-645).
+
+    Vectorized: full lines are emitted via one (rows, line_len+1) matrix
+    write instead of a per-line Python loop."""
     if not seq_ascii:
         return b""
     if line_len == 0:
         return seq_ascii
-    arr = memoryview(seq_ascii)
-    parts = [bytes(arr[i : i + line_len]) for i in range(0, len(arr), line_len)]
-    return b"\n".join(parts) + b"\n"
+    arr = np.frombuffer(seq_ascii, dtype=np.uint8)
+    n = len(arr)
+    rows = n // line_len
+    body = b""
+    if rows:
+        mat = np.empty((rows, line_len + 1), dtype=np.uint8)
+        mat[:, :line_len] = arr[: rows * line_len].reshape(rows, line_len)
+        mat[:, line_len] = ord("\n")
+        body = mat.tobytes()
+    tail = arr[rows * line_len :]
+    if len(tail):
+        body += tail.tobytes() + b"\n"
+    return body
 
 
 class FastaWriter:

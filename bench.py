@@ -96,11 +96,16 @@ def main() -> None:
     create_archive(os.path.join(tmp, "warm.agc"), files, CompressorParams())
     print(f"# warmup (incl. compiles): {time.time() - t0:.2f}s", file=sys.stderr)
 
-    # -- measured run ----------------------------------------------------
+    # -- measured runs: median of 3 (the remote-tunneled chip's RTT and
+    #    bandwidth vary run to run; a single sample is +/-20% noise) -----
     archive = os.path.join(tmp, "bench.agc")
-    t0 = time.time()
-    create_archive(archive, files, CompressorParams())
-    dt = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        create_archive(archive, files, CompressorParams())
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
+    print(f"# runs: {['%.2f' % t for t in times]}", file=sys.stderr)
 
     # correctness spot check: extract one sample, compare
     d = Decompressor(archive)

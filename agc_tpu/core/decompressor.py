@@ -15,7 +15,13 @@ import numpy as np
 from .archive import ArchiveReader
 from .codecs import fixed_u32, ss_base
 from .collection import CollectionV3, SegmentDesc, extract_contig_name
-from .genome_io import CNV_NUM, FastaWriter, contig_to_ascii, wrap_lines
+from .genome_io import (
+    CNV_NUM,
+    FastaWriter,
+    contig_to_ascii,
+    contig_to_fasta_body,
+    wrap_lines,
+)
 from .segment import SegmentReader, zstd_decompress_tolerant
 
 NO_RAW_GROUPS = 16  # reference: agc_basic.h:81
@@ -343,7 +349,7 @@ class Decompressor:
     ) -> bytes:
         """Decode + convert + wrap (+ optional gzip); thread-safe worker."""
         ctg = self.decompress_contig(segments, from_, to)
-        body = wrap_lines(contig_to_ascii(ctg), line_len)
+        body = contig_to_fasta_body(ctg, line_len)
         if gzip_writer is not None and gzip_writer.gzip_level:
             body = gzip_writer.gzip_body(body)
         return body

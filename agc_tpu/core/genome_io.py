@@ -106,7 +106,32 @@ def preprocess_raw_contig(raw: bytes) -> np.ndarray:
 
 
 def contig_to_ascii(ctg: np.ndarray) -> bytes:
-    return CNV_NUM[ctg].tobytes()
+    return CNV_NUM[ctg & 0x7F].tobytes()
+
+
+def contig_to_fasta_body(ctg: np.ndarray, line_len: int) -> bytes:
+    """Numeric contig -> line-wrapped ASCII body in one pass (GIL-free C++
+    when available; reference: convert_and_split_into_lines,
+    agc_decompressor_lib.cpp:562-645)."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        n = len(ctg)
+        cap = n + (n // max(line_len, 1) if line_len else 0) + 2
+        out = np.empty(cap, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        m = lib.numeric_to_fasta(
+            np.ascontiguousarray(ctg).ctypes.data_as(u8p),
+            n,
+            CNV_NUM.ctypes.data_as(u8p),
+            line_len,
+            out.ctypes.data_as(u8p),
+        )
+        return out[:m].tobytes()
+    return wrap_lines(contig_to_ascii(ctg), line_len)
 
 
 def wrap_lines(seq_ascii: bytes, line_len: int) -> bytes:

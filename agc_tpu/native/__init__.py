@@ -161,6 +161,10 @@ def get_lib():
         ]
         lib.pack_nibbles.restype = None
         lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
+        lib.numeric_to_fasta.restype = ctypes.c_uint64
+        lib.numeric_to_fasta.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint32, u8p,
+        ]
         for fn in (lib.lz_decode_v2, lib.lz_decode_v1):
             fn.restype = ctypes.c_int64
             fn.argtypes = [

@@ -590,6 +590,29 @@ uint64_t fasta_preprocess(const uint8_t* raw, uint64_t n, const uint8_t* lut,
   return m;
 }
 
+// Numeric codes -> wrapped FASTA body in one pass (reference:
+// CNumAlphaConverter::convert_and_split_into_lines,
+// agc_decompressor_lib.cpp:562-645). line_len 0 = no wrapping. Every
+// line, including the last partial one, is newline-terminated. Returns
+// bytes written; caller allocates n + n/max(line_len,1) + 2.
+uint64_t numeric_to_fasta(const uint8_t* codes, uint64_t n,
+                          const uint8_t* cnv_num, uint32_t line_len,
+                          uint8_t* out) {
+  uint64_t o = 0;
+  if (line_len == 0) {
+    for (uint64_t i = 0; i < n; ++i) out[o++] = cnv_num[codes[i] & 0x7F];
+    return o;
+  }
+  uint64_t i = 0;
+  while (i < n) {
+    uint64_t take = n - i < line_len ? n - i : line_len;
+    for (uint64_t j = 0; j < take; ++j) out[o++] = cnv_num[codes[i + j] & 0x7F];
+    out[o++] = '\n';
+    i += take;
+  }
+  return o;
+}
+
 // Nibble-pack numeric symbols for the host->device link: 2 symbols/byte,
 // any symbol > 3 (non-ACGT) collapses to 15 (the scan kernels only need
 // an invalid marker). n may be odd; the trailing nibble of the last byte

@@ -1338,19 +1338,25 @@ class Compressor:
         use_async = (
             async_ok
             and not self.p.adaptive_compression
-            and self._n_threads > 1
             and groups
         )
         if use_async:
             if self._store_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 
-                self._store_pool = ThreadPoolExecutor(
-                    max_workers=self._n_threads
-                )
-            self._pending_store = [
-                self._store_pool.submit(store_group, g) for g in groups
-            ]
+                # one worker, one job per barrier: per-group submits would
+                # only add GIL churn (intra-barrier parallelism buys nothing
+                # on a single-core host; the native LZ/zstd calls release
+                # the GIL so the job overlaps the next sample's scans)
+                self._store_pool = ThreadPoolExecutor(max_workers=1)
+
+            def store_all(groups=groups):
+                out = []
+                for g in groups:
+                    out.extend(store_group(g))
+                return out
+
+            self._pending_store = [self._store_pool.submit(store_all)]
             return
         if len(groups) > 4 and self._n_threads > 1:
             from concurrent.futures import ThreadPoolExecutor

@@ -75,32 +75,40 @@ def read_contigs_raw(path: str):
         body_start = line_end + 1
         nxt = data.find(b">", body_start)
         body_end = nxt if nxt >= 0 else n
-        body = data[body_start:body_end]
         pos = body_end
-        if cid and body:
-            yield cid, body
+        if cid and body_end > body_start:
+            # zero-copy view; preprocess_raw_contig handles ndarray input
+            yield cid, np.frombuffer(
+                data, dtype=np.uint8, count=body_end - body_start,
+                offset=body_start,
+            )
 
 
-def preprocess_raw_contig(raw: bytes) -> np.ndarray:
-    """ASCII FASTA body -> numeric codes; keeps only bytes >= 64
-    (reference: agc_compressor.cpp:907-951). Uses the GIL-free C++ fast
-    path when the native library is available."""
+def preprocess_raw_contig(raw) -> np.ndarray:
+    """ASCII FASTA body (bytes or uint8 ndarray view) -> numeric codes;
+    keeps only bytes >= 64 (reference: agc_compressor.cpp:907-951). Uses
+    the GIL-free C++ fast path when the native library is available."""
     from ..native import get_lib
 
+    arr = (
+        raw
+        if isinstance(raw, np.ndarray)
+        else np.frombuffer(raw, dtype=np.uint8)
+    )
     lib = get_lib()
     if lib is not None:
         import ctypes
 
-        n = len(raw)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = len(arr)
         out = np.empty(n, dtype=np.uint8)
         m = lib.fasta_preprocess(
-            raw,
+            arr.ctypes.data_as(u8p),
             n,
-            CNV_ASCII.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            CNV_ASCII.ctypes.data_as(u8p),
+            out.ctypes.data_as(u8p),
         )
         return out[:m]
-    arr = np.frombuffer(raw, dtype=np.uint8)
     arr = arr[arr >= 64]
     return CNV_ASCII[arr]
 

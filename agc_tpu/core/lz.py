@@ -229,6 +229,7 @@ class LZDiff:
 
         self._lib = get_lib()
         self._ctx = None
+        self._enc_buf = None
 
     def __del__(self):
         if getattr(self, "_ctx", None) is not None and self._lib is not None:
@@ -342,15 +343,22 @@ class LZDiff:
     def encode(self, text_b: bytes) -> bytes:
         """Encode ``text_b``; returns b"" when identical to the reference."""
         if self._ctx is not None:
-            text = bytes(text_b)
+            text = text_b if isinstance(text_b, bytes) else bytes(text_b)
             cap = max(len(text) + 64, 1 << 12)
-            buf = (ctypes.c_uint8 * cap)()
-            n = self._lib.lz_encode(self._ctx, text, len(text), buf, cap)
+            buf = self._enc_buf
+            if buf is None or len(buf) < cap:
+                buf = self._enc_buf = np.empty(max(cap, 1 << 16), np.uint8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            n = self._lib.lz_encode(
+                self._ctx, text, len(text), buf.ctypes.data_as(u8p), len(buf)
+            )
             if n < 0:
-                cap = -n
-                buf = (ctypes.c_uint8 * cap)()
-                n = self._lib.lz_encode(self._ctx, text, len(text), buf, cap)
-            return bytes(bytearray(buf)[:n])
+                buf = self._enc_buf = np.empty(-n + 64, np.uint8)
+                n = self._lib.lz_encode(
+                    self._ctx, text, len(text),
+                    buf.ctypes.data_as(u8p), len(buf),
+                )
+            return buf[:n].tobytes()
         self.assure_index()
         text = np.frombuffer(text_b, dtype=np.uint8)
         n = len(text)

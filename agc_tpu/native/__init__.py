@@ -153,12 +153,7 @@ def get_lib():
             u32p,
         ]
         lib.fasta_preprocess.restype = ctypes.c_uint64
-        lib.fasta_preprocess.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-            u8p,
-            u8p,
-        ]
+        lib.fasta_preprocess.argtypes = [u8p, ctypes.c_uint64, u8p, u8p]
         lib.pack_nibbles.restype = None
         lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
         lib.numeric_to_fasta.restype = ctypes.c_uint64

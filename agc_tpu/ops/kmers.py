@@ -1007,10 +1007,13 @@ class ScanBatcher:
                     # runs on the transfer thread: nibble-pack rows
                     # (GIL-free C++), upload, dispatch. Returns
                     # (out_device_array, packed_mat).
-                    mat = np.full((rows, b // 2), 0xFF, dtype=np.uint8)
+                    mat = np.empty((rows, b // 2), dtype=np.uint8)
                     for row, part in enumerate(group):
                         pk = pack4_np(part.pop("codes"))
                         mat[row, : len(pk)] = pk
+                        mat[row, len(pk):] = 0xFF  # invalid padding
+                    if len(group) < rows:
+                        mat[len(group):] = 0xFF
                     return _dispatch_scan_batch(mat, self.table, cap), mat
 
                 fut = _xfer_pool().submit(job)

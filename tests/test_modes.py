@@ -110,3 +110,86 @@ def test_duplicate_sample_rejected(tmp_path):
     d = Decompressor(archive)
     assert sorted(d.list_samples()) == ["ref", "s0"]
     d.close()
+
+
+def test_gzipped_inputs(tmp_path):
+    """Gzipped FASTA inputs (the reference CI's create-from-gz matrix;
+    reference: genome_io gz stream wrappers)."""
+    import gzip
+
+    rng = random.Random(11)
+    base = random_seq(rng, 20000)
+    plain = str(tmp_path / "ref.fa")
+    write_fa(plain, [("c1", base)])
+    gz = str(tmp_path / "s0.fa.gz")
+    body = open(plain, "rb").read().replace(b">c1", b">c1")
+    with gzip.open(gz, "wb") as f:
+        f.write(b">c1\n")
+        mut = mutate(rng, base)
+        for i in range(0, len(mut), 70):
+            f.write(mut[i : i + 70].encode() + b"\n")
+    archive = str(tmp_path / "gz.agc")
+    p = CompressorParams()
+    p.segment_size = 2000
+    create_archive(archive, [plain, gz], p)
+    d = Decompressor(archive)
+    assert sorted(d.list_samples()) == ["ref", "s0"]
+    got = d.get_contig_seq("s0", "c1").decode()
+    assert got == mut
+    d.close()
+
+
+def test_append_chain_three_steps(tmp_path):
+    """create ref -> append a -> append b -> append c, extraction checked
+    at the end (the reference CI's append chain)."""
+    rng = random.Random(12)
+    base = random_seq(rng, 25000)
+    files = []
+    for name in ("ref", "a", "b", "c"):
+        p = str(tmp_path / f"{name}.fa")
+        write_fa(p, [("c1", base if name == "ref" else mutate(rng, base))])
+        files.append((name, p))
+    params = CompressorParams()
+    params.segment_size = 2000
+    arcs = [str(tmp_path / f"step{i}.agc") for i in range(4)]
+    create_archive(arcs[0], [files[0][1]], params)
+    for i, (name, path) in enumerate(files[1:], start=1):
+        append_archive(arcs[i - 1], arcs[i], [path], params)
+    _check(arcs[3], files, tmp_path)
+    # equivalent one-shot create also extracts identically
+    one = str(tmp_path / "one.agc")
+    create_archive(one, [p for _, p in files], params)
+    _check(one, files, tmp_path)
+
+
+def test_py_agc_api_shim(tmp_path):
+    """Smoke test mirroring the reference's py_agc_test.py
+    (reference: src/py_agc_api/py_agc_test.py)."""
+    from agc_tpu import py_agc_api
+
+    rng = random.Random(13)
+    base = random_seq(rng, 15000)
+    files = make_collection(tmp_path, rng=rng, n_samples=2,
+                            contig_lens=(15000,))
+    archive = str(tmp_path / "pyapi.agc")
+    params = CompressorParams()
+    params.segment_size = 2000
+    create_archive(archive, [p for _, p in files], params)
+
+    agc = py_agc_api.CAGCFile()
+    assert agc.Open(archive, True)
+    assert agc.NSample() == len(files)
+    samples = py_agc_api.StringVector()
+    agc.ListSample(samples)
+    assert sorted(samples) == sorted(s for s, _ in files)
+    s0 = files[0][0]
+    ctgs = py_agc_api.StringVector()
+    agc.ListCtg(s0, ctgs)
+    assert len(ctgs) == agc.NCtg(s0) > 0
+    name = f"{ctgs[0]}@{s0}"
+    ln = agc.GetCtgLen(name)
+    seq = agc.GetCtgSeq(name, 0, ln - 1)
+    assert len(seq) == ln
+    ref_name = agc.GetReferenceSample()
+    assert ref_name == files[0][0]
+    agc.Close()

@@ -132,6 +132,8 @@ class Compressor:
     # distributed capturing shard) inherit safe values
     _store_pool = None
     _pending_store = None
+    _splitter_log = ()  # immutable default; __init__ replaces with a list
+    _delta_table_cache = None
 
     def __init__(
         self,
@@ -159,6 +161,10 @@ class Compressor:
         self.cand_singletons = np.empty(0, dtype=np.uint64)
         self.cand_duplicated = np.empty(0, dtype=np.uint64)
         self._pending_new_splitters: list[int] = []
+        # append-only log of splitters added after create-time discovery
+        # (drives adaptive-mode delta scans; see _merge_delta_hits)
+        self._splitter_log: list[int] = []
+        self._delta_table_cache = None
         self._raw_contigs: list[tuple[str, str, np.ndarray]] = []
         # per-barrier buffers (CBufferedSegPart)
         self._buf_known: dict[int, list[_PendingSeg]] = {}
@@ -609,35 +615,21 @@ class Compressor:
             self._synchronize()
             return True
 
-        if self.p.adaptive_compression:
-            # the splitter table changes at each barrier: no cross-sample
-            # scan prefetch
-            for sample_name, path in sample_files:
-                self.collection.reset_prev_sample_name()
-                batch = []
-                for cid, raw in read_contigs_raw(path):
-                    if not self.collection.register_sample_contig(
-                        sample_name, cid
-                    ):
-                        print(
-                            f"Error: Pair sample_name:contig_name "
-                            f"{sample_name}:{cid} is already in the archive!"
-                        )
-                        continue
-                    batch.append((sample_name, cid, preprocess_raw_contig(raw)))
-                if batch:
-                    self._process_contig_batch(batch)
-                    self._synchronize()
-            return True
-
-        # non-adaptive: the splitter table is immutable, so scans may be
-        # dispatched across sample barriers; the barrier only gates the
-        # registration/store of the finished sample
+        # Pipelined path (both adaptive and non-adaptive): scans are
+        # dispatched across sample barriers against a SNAPSHOT of the
+        # splitter table. In adaptive mode the table grows at barriers;
+        # hits against splitters added after a contig's snapshot are
+        # recovered by scanning only the small DELTA table at collect time
+        # (hit sets are unions over disjoint tables, so the result is
+        # byte-identical to the reference's sequential schedule while the
+        # expensive full-table scans stay batched and speculative).
         from collections import deque
 
         from ..ops.kmers import ScanBatcher
 
         batcher = ScanBatcher(self.k, self._splitters_dev)
+        batcher_base = len(self._splitter_log)
+        _DELTA_REBUILD = 4096  # rebuild the snapshot when the delta grows
 
         def gen():
             """Producer pool: FASTA read + ASCII->numeric conversion run
@@ -690,28 +682,91 @@ class Compressor:
         prev_si = None
 
         def drain_one():
-            nonlocal prev_si
-            si, sname, cid, codes, token = pipeline.popleft()
+            nonlocal prev_si, batcher, batcher_base
+            si, sname, cid, codes, token, tok_batcher, tok_base = (
+                pipeline.popleft()
+            )
             if prev_si is not None and si != prev_si:
                 self._synchronize()
+                # adaptive: refresh the snapshot when the delta grows large
+                if (
+                    len(self._splitter_log) - batcher_base > _DELTA_REBUILD
+                    and tok_batcher is batcher
+                ):
+                    batcher.flush()  # in-flight tokens keep the old table
+                    batcher = ScanBatcher(self.k, self._splitters_dev)
+                    batcher_base = len(self._splitter_log)
             prev_si = si
             with self.timers.stage("scan_collect"):
-                hits = batcher.collect(token)
+                hits = tok_batcher.collect(token)
+            hits = self._merge_delta_hits(hits, codes, tok_base)
             with self.timers.stage("match_contig", len(codes)):
                 self._process_contig(sname, cid, codes, hits=hits)
 
+        def oldest_dispatched() -> bool:
+            token = pipeline[0][4]
+            return token["kind"] == "empty" or all(
+                "out" in p for p in token["parts"]
+            )
+
+        # drain policy: consume an entry once its scan has actually been
+        # DISPATCHED (the batcher auto-flushes every 8 Mbase); draining on
+        # a fixed count would force one tiny dispatch per contig for
+        # small-genome collections (e.g. SARS-CoV-2: one RTT per sample).
+        # pipeline_syms caps buffered memory for huge-contig inputs.
+        pipeline_syms = 0
+        _MAX_PIPELINE_SYMS = 64 << 20
+        _MIN_DEPTH = 4
+
         for si, sname, cid, codes in gen():
-            pipeline.append((si, sname, cid, codes, batcher.add(codes)))
-            if len(pipeline) >= self._PIPELINE_DEPTH:
-                batcher.flush()
-                while len(pipeline) >= self._PIPELINE_DEPTH:
-                    drain_one()
+            pipeline.append(
+                (si, sname, cid, codes, batcher.add(codes), batcher,
+                 batcher_base)
+            )
+            pipeline_syms += len(codes)
+            while pipeline and (
+                pipeline_syms > _MAX_PIPELINE_SYMS
+                or (len(pipeline) > _MIN_DEPTH and oldest_dispatched())
+            ):
+                if not oldest_dispatched():
+                    batcher.flush()
+                pipeline_syms -= len(pipeline[0][3])
+                drain_one()
         batcher.flush()
         while pipeline:
             drain_one()
         if prev_si is not None:
             self._synchronize()
         return True
+
+    def _merge_delta_hits(self, hits, codes: np.ndarray, base: int):
+        """Adaptive speculation repair: union the snapshot-table hits with
+        hits against splitters added after ``base`` (small delta table;
+        disjoint from the snapshot, so the union is exact)."""
+        if base >= len(self._splitter_log):
+            return hits
+        from ..ops.kmers import make_scan_table, scan_contig_hits
+
+        key = (base, len(self._splitter_log))
+        cached = self._delta_table_cache
+        if cached is None or cached[0] != key:
+            vals = np.array(
+                sorted(set(self._splitter_log[base:])), dtype=np.uint64
+            )
+            cached = (key, make_scan_table(vals, self.k))
+            self._delta_table_cache = cached
+        d_pos, d_dir, d_rc = scan_contig_hits(codes, self.k, cached[1])
+        if not len(d_pos):
+            return hits
+        pos, udir, urc = hits
+        if not len(pos):
+            return d_pos, d_dir, d_rc
+        order = np.argsort(np.concatenate([pos, d_pos]), kind="stable")
+        return (
+            np.concatenate([pos, d_pos])[order],
+            np.concatenate([udir, d_dir])[order],
+            np.concatenate([urc, d_rc])[order],
+        )
 
     def add_sample_file(self, path: str, sample_name: str | None = None) -> bool:
         if sample_name is None:
@@ -755,7 +810,9 @@ class Compressor:
         if not self._pending_new_splitters:
             return
         for d in self._pending_new_splitters:
-            self._splitter_set.add(d)
+            if d not in self._splitter_set:
+                self._splitter_set.add(d)
+                self._splitter_log.append(d)
         self._pending_new_splitters = []
         self._refresh_splitter_table()
 

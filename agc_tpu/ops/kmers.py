@@ -926,7 +926,7 @@ def _xfer_pool():
     return _XFER_POOL
 
 
-_BATCH_ROWS = (1, 2, 4, 8, 16, 32)
+_BATCH_ROWS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
 
 _BATCH_SYMBOL_BUDGET = 32 << 20  # max symbols per batched dispatch

@@ -1025,15 +1025,18 @@ class ScanBatcher:
 
     def _resolve(self, fut):
         """Wait for a dispatch job, download its result matrix once
-        (cached briefly); returns (result_np, packed_mat)."""
-        key = id(fut)
-        hit = self._dl_cache.get(key)
+        (cached briefly); returns (result_np, packed_mat).
+
+        Keyed by the future OBJECT (a strong reference): an id()-based key
+        would alias recycled ids after garbage collection and hand rows of
+        the wrong dispatch to a token."""
+        hit = self._dl_cache.get(fut)
         if hit is None:
             out, packed_mat = fut.result()
             hit = (np.asarray(out), packed_mat)
             if len(self._dl_cache) >= 8:
                 self._dl_cache.pop(next(iter(self._dl_cache)))
-            self._dl_cache[key] = hit
+            self._dl_cache[fut] = hit
         return hit
 
     def collect(self, token):

@@ -193,3 +193,37 @@ def test_py_agc_api_shim(tmp_path):
     ref_name = agc.GetReferenceSample()
     assert ref_name == files[0][0]
     agc.Close()
+
+
+def test_adaptive_delta_scan_across_samples(tmp_path):
+    """Splitters discovered from sample 1's novel sequence must cut the
+    SAME novel sequence in later samples even though their scans were
+    dispatched speculatively against the older table (the delta-scan
+    union in Compressor._merge_delta_hits)."""
+    rng = random.Random(21)
+    ref_seq = random_seq(rng, 20000)
+    novel = random_seq(rng, 15000)  # absent from the reference
+    files = []
+    p = str(tmp_path / "ref.fa")
+    write_fa(p, [("c1", ref_seq)])
+    files.append(("ref", p))
+    q = str(tmp_path / "s0.fa")
+    write_fa(q, [("c1", mutate(rng, ref_seq)), ("novel", novel)])
+    files.append(("s0", q))
+    for i in range(1, 6):
+        r = str(tmp_path / f"s{i}.fa")
+        write_fa(r, [("c1", mutate(rng, ref_seq)), ("novel", mutate(rng, novel))])
+        files.append((f"s{i}", r))
+    params = CompressorParams()
+    params.adaptive_compression = True
+    params.segment_size = 1500
+    archive = str(tmp_path / "delta.agc")
+    create_archive(archive, [f for _, f in files], params)
+    _check(archive, files, tmp_path)
+    # the novel contigs must share groups (delta hits found): storing six
+    # ~15 kb novel contigs must cost far less than raw 2-bit coding
+    d = Decompressor(archive)
+    import os as _os
+
+    assert _os.path.getsize(archive) < 20000 + 6 * 15000 // 4
+    d.close()

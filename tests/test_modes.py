@@ -227,3 +227,17 @@ def test_adaptive_delta_scan_across_samples(tmp_path):
 
     assert _os.path.getsize(archive) < 20000 + 6 * 15000 // 4
     d.close()
+
+
+def test_k32_boundary_create(tmp_path):
+    """k=32 uses the full 64-bit code space (shift 0): the halves math,
+    revcomp mask, and table prefilter must hold at the boundary."""
+    rng = random.Random(31)
+    files = make_collection(tmp_path, rng=rng, n_samples=2,
+                            contig_lens=(12000,))
+    params = CompressorParams()
+    params.kmer_length = 32
+    params.segment_size = 1000
+    archive = str(tmp_path / "k32.agc")
+    create_archive(archive, [p for _, p in files], params)
+    _check(archive, files, tmp_path)

@@ -456,8 +456,13 @@ def _greedy_over_canon(canon, n_real, table, seg_size, cap, t0, singleton):
     once (sorted-neighbor check — replaces the separate singleton-table
     sorts of remove_non_singletons, agc_compressor.cpp:664-705).
     ``n_real`` may be traced (loops stop there, not at the padded length).
+
+    Window width: singleton hits are dense (most genome k-mers are
+    unique), so a narrow window almost always contains the next emission
+    and each probe costs 8x fewer serialized gathers; the membership mode
+    keeps the wide window for sparse-hit tables.
     """
-    W = _GREEDY_W
+    W = 256 if singleton else _GREEDY_W
     n_real = jnp.asarray(n_real, jnp.int64)
     canon_pad = jnp.concatenate([canon, jnp.full(W, SENTINEL, dtype=jnp.uint64)])
     T = max(table.shape[0], 1)

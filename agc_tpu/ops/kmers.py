@@ -313,17 +313,67 @@ def _scan_compact_body(codes, k, tlo, cap: int):
     return _hits_out_vec(member, dlo, dhi, cap)
 
 
-def _scan_sorted_body(codes, k, table, cap: int):
-    """Membership scan against a LARGE sorted table (binary search;
-    gathers serialize, so this is the slow path — only used when the
-    splitter set outgrows the compare-all budget)."""
+def _scan_join_body(codes, k, thi, tlo, cap: int):
+    """Membership scan against a LARGE table via sort-merge join.
+
+    Compare-all scales linearly with table size and binary search
+    serializes on gathers, so big tables (adaptive collections grow the
+    splitter set into the 10^5 range) use a sort: table halves (both
+    orientations) and per-position dir halves are sorted together with
+    table rows ordered first inside equal-key runs; a boolean associative
+    scan then propagates 'run starts at a table row' to every run member.
+    O((n + T) log(n + T)) vectorized work, no serialized gathers.
+    """
+    n = codes.shape[0]
     dlo, dhi, valid = _dir_halves(codes, k)
-    dir_u = (dhi.astype(jnp.uint64) << jnp.uint64(32)) | dlo.astype(jnp.uint64)
-    canon = jnp.minimum(dir_u, _revcomp_u64(dir_u, k)) << jnp.uint64(_shift_for(k))
-    canon = jnp.where(valid, canon, SENTINEL)
-    ix = jnp.clip(jnp.searchsorted(table, canon), 0, max(table.shape[0] - 1, 0))
-    member = valid & (table[ix] == canon)
-    return _hits_out_vec(member, dlo, dhi, cap)
+    t = thi.shape[0]
+    keys_hi = jnp.concatenate([thi, dhi])
+    keys_lo = jnp.concatenate([tlo, dlo])
+    # payload: -1 for table rows (sorts before any position inside a run)
+    payload = jnp.concatenate(
+        [
+            jnp.full(t, -1, dtype=jnp.int32),
+            jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -2),
+        ]
+    )
+    s_hi, s_lo, s_pay = jax.lax.sort(
+        (keys_hi, keys_lo, payload), num_keys=3, is_stable=False
+    )
+    eq_prev = jnp.concatenate(
+        [
+            jnp.zeros(1, dtype=bool),
+            (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
+        ]
+    )
+    prev_is_table = jnp.concatenate(
+        [jnp.zeros(1, dtype=bool), s_pay[:-1] == -1]
+    )
+    # hit[i] = eq_prev[i] & (prev_is_table[i] | hit[i-1]); associative:
+    # (c2,m2)o(c1,m1) = (c2 | m2&c1, m2&m1)
+    c = eq_prev & prev_is_table
+    m = eq_prev
+
+    def combine(a, b):
+        c1, m1 = a
+        c2, m2 = b
+        return c2 | (m2 & c1), m2 & m1
+
+    hit_c, _ = jax.lax.associative_scan(combine, (c, m))
+    member_sorted = hit_c & (s_pay >= 0)
+    # top_k over original positions of sorted-domain hits
+    vals = jnp.where(member_sorted, s_pay, -1)
+    count = jnp.sum(member_sorted.astype(jnp.int32))
+    desc = jax.lax.top_k(vals, cap)[0]
+    pos = desc[::-1]
+    safe = jnp.clip(pos, 0, n - 1)
+    return jnp.concatenate(
+        [
+            count[None].astype(jnp.uint32),
+            pos.astype(jnp.uint32),
+            dlo[safe],
+            dhi[safe],
+        ]
+    )
 
 
 @partial(jax.jit, static_argnums=(1, 3))
@@ -332,9 +382,9 @@ def scan_chunk_compact_p4(packed, k, tlo, cap: int):
     return _scan_compact_body(_unpack4_dev(packed), k, tlo, cap)
 
 
-@partial(jax.jit, static_argnums=(1, 3))
-def scan_chunk_sorted_p4(packed, k, table, cap: int):
-    return _scan_sorted_body(_unpack4_dev(packed), k, table, cap)
+@partial(jax.jit, static_argnums=(1, 4))
+def scan_chunk_join_p4(packed, k, thi, tlo, cap: int):
+    return _scan_join_body(_unpack4_dev(packed), k, thi, tlo, cap)
 
 
 def _decode_scan_vec(vec: np.ndarray, cap: int, table: "ScanTable"):
@@ -368,21 +418,21 @@ _COMPARE_ALL_MAX = 8192
 class ScanTable:
     """Device membership table for the scan kernels.
 
-    kind 'cmp': compare-all prefilter table — unique low halves of the
-    canonical AND rc orientations, padded to a power of two (min 128).
-    kind 'sorted': the full sorted left-aligned canonical array on device
-    (sentinel-tailed), for large splitter sets.
+    kind 'cmp': compare-all prefilter table — unique XOR-mixes of both
+    orientations' halves, padded to a power of two (min 128).
+    kind 'join': (hi, lo) half pairs of both orientations for the
+    sort-merge join kernel (large splitter sets), power-of-two padded.
     canon_np: the original host canonical array, for exact verification.
     """
 
-    __slots__ = ("kind", "k", "canon_np", "tlo", "dev")
+    __slots__ = ("kind", "k", "canon_np", "tlo", "thi")
 
-    def __init__(self, kind, k, canon_np, tlo=None, dev=None):
+    def __init__(self, kind, k, canon_np, tlo=None, thi=None):
         self.kind = kind
         self.k = k
         self.canon_np = canon_np
         self.tlo = tlo
-        self.dev = dev
+        self.thi = thi
 
 
 def make_scan_table(sorted_u64, k: int):
@@ -392,10 +442,11 @@ def make_scan_table(sorted_u64, k: int):
     arr = np.asarray(sorted_u64, dtype=np.uint64)
     if arr.size == 0:
         return None
+    shift = np.uint64(_shift_for(k))
+    u = arr >> shift
+    rc = _revcomp_np(u, k)
+    low = np.uint64(0xFFFFFFFF)
     if arr.size <= _COMPARE_ALL_MAX:
-        u = arr >> np.uint64(_shift_for(k))
-        rc = _revcomp_np(u, k)
-        low = np.uint64(0xFFFFFFFF)
         mixes = np.unique(
             np.concatenate(
                 [(u & low) ^ (u >> np.uint64(32)), (rc & low) ^ (rc >> np.uint64(32))]
@@ -409,7 +460,17 @@ def make_scan_table(sorted_u64, k: int):
         tmix = np.full(b, 0xDEADBEEF, dtype=np.uint32)
         tmix[: mixes.size] = mixes
         return ScanTable("cmp", k, arr, tlo=jnp.asarray(tmix))
-    return ScanTable("sorted", k, arr, dev=jnp.asarray(_padded_table(arr)))
+    both = np.unique(np.concatenate([u, rc]))
+    b = 1 << 14
+    while b < both.size:
+        b <<= 1
+    # pad pairs: arbitrary constant pair (a fake table row; collisions are
+    # false positives removed by host verification)
+    thi = np.full(b, 0xDEADBEEF, dtype=np.uint32)
+    tlo = np.full(b, 0xDEADBEEF, dtype=np.uint32)
+    thi[: both.size] = (both >> np.uint64(32)).astype(np.uint32)
+    tlo[: both.size] = (both & low).astype(np.uint32)
+    return ScanTable("join", k, arr, tlo=jnp.asarray(tlo), thi=jnp.asarray(thi))
 
 
 _POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
@@ -896,10 +957,10 @@ def scan_batch_compact_p4(packed2d, k, tlo, cap: int):
     return jax.vmap(one)(packed2d)
 
 
-@partial(jax.jit, static_argnums=(1, 3))
-def scan_batch_sorted_p4(packed2d, k, table, cap: int):
+@partial(jax.jit, static_argnums=(1, 4))
+def scan_batch_join_p4(packed2d, k, thi, tlo, cap: int):
     def one(p):
-        return _scan_sorted_body(_unpack4_dev(p), k, table, cap)
+        return _scan_join_body(_unpack4_dev(p), k, thi, tlo, cap)
 
     return jax.vmap(one)(packed2d)
 
@@ -907,13 +968,15 @@ def scan_batch_sorted_p4(packed2d, k, table, cap: int):
 def _dispatch_scan_batch(mat, table: "ScanTable", cap: int):
     if table.kind == "cmp":
         return scan_batch_compact_p4(jnp.asarray(mat), table.k, table.tlo, cap)
-    return scan_batch_sorted_p4(jnp.asarray(mat), table.k, table.dev, cap)
+    return scan_batch_join_p4(
+        jnp.asarray(mat), table.k, table.thi, table.tlo, cap
+    )
 
 
 def _dispatch_scan_chunk(packed_dev, table: "ScanTable", cap: int):
     if table.kind == "cmp":
         return scan_chunk_compact_p4(packed_dev, table.k, table.tlo, cap)
-    return scan_chunk_sorted_p4(packed_dev, table.k, table.dev, cap)
+    return scan_chunk_join_p4(packed_dev, table.k, table.thi, table.tlo, cap)
 
 
 _XFER_POOL = None

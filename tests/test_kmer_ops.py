@@ -119,3 +119,76 @@ def test_contig_kmers_matches_reference_emulation():
         rc, rv = ref_kmers(codes, k)
         assert np.array_equal(v, rv)
         assert np.array_equal(c[v], rc[rv])
+
+
+def test_join_kernel_matches_compare_all():
+    """Tables beyond _COMPARE_ALL_MAX use the sort-merge join kernel; it
+    must find exactly the same hits as the compare-all path."""
+    from agc_tpu.ops import kmers as K
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=100000, dtype=np.uint8)
+    codes[rng.integers(0, len(codes), 60)] = 4
+    k = 21
+    all_kmers = np.unique(K.collect_kmers(codes, k))
+    table_vals = np.sort(all_kmers[:: 7])  # ~1/7 of positions hit
+    small = K.make_scan_table(table_vals, k)
+    assert small.kind in ("cmp", "join")
+    # force both kinds on the same values
+    import agc_tpu.ops.kmers as KM
+
+    old = KM._COMPARE_ALL_MAX
+    try:
+        KM._COMPARE_ALL_MAX = 1 << 30
+        t_cmp = K.make_scan_table(table_vals, k)
+        assert t_cmp.kind == "cmp"
+        KM._COMPARE_ALL_MAX = 0
+        t_join = K.make_scan_table(table_vals, k)
+        assert t_join.kind == "join"
+    finally:
+        KM._COMPARE_ALL_MAX = old
+    h_cmp = K.scan_contig_hits(codes, k, t_cmp)
+    h_join = K.scan_contig_hits(codes, k, t_join)
+    for a, b in zip(h_cmp, h_join):
+        assert np.array_equal(a, b)
+    assert len(h_cmp[0]) > 1000  # dense enough to be meaningful
+
+
+def test_large_splitter_table_create(tmp_path):
+    """End-to-end create with a splitter set beyond the compare-all
+    budget (tiny segment_size): exercises the join kernel in the real
+    pipeline."""
+    import filecmp
+    import random as _random
+
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from agc_tpu.core.decompressor import Decompressor
+
+    sys_rng = _random.Random(17)
+    from util import mutate, random_seq, write_fa
+
+    base = random_seq(sys_rng, 400000)
+    files = []
+    p = str(tmp_path / "ref.fa")
+    write_fa(p, [("c1", base)])
+    files.append(("ref", p))
+    q = str(tmp_path / "s0.fa")
+    write_fa(q, [("c1", mutate(sys_rng, base))])
+    files.append(("s0", q))
+    params = CompressorParams()
+    params.segment_size = 100  # ~4000 splitters; force join via cap
+    import agc_tpu.ops.kmers as KM
+
+    old = KM._COMPARE_ALL_MAX
+    try:
+        KM._COMPARE_ALL_MAX = 64
+        archive = str(tmp_path / "big.agc")
+        create_archive(archive, [f for _, f in files], params)
+    finally:
+        KM._COMPARE_ALL_MAX = old
+    d = Decompressor(archive)
+    for sample, path in files:
+        out = str(tmp_path / f"j_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()

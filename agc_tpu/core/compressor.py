@@ -105,6 +105,21 @@ class _PendingSeg:
     is_rc: bool
 
 
+def _union_hits(a, b):
+    """Union two disjoint (pos, udir, urc) hit sets, position-sorted."""
+    if not len(b[0]):
+        return a
+    if not len(a[0]):
+        return b
+    pos = np.concatenate([a[0], b[0]])
+    order = np.argsort(pos, kind="stable")
+    return (
+        pos[order],
+        np.concatenate([a[1], b[1]])[order],
+        np.concatenate([a[2], b[2]])[order],
+    )
+
+
 def _rc_numeric(arr: np.ndarray) -> np.ndarray:
     out = arr[::-1].copy()
     mask = out < 4
@@ -629,7 +644,6 @@ class Compressor:
 
         batcher = ScanBatcher(self.k, self._splitters_dev)
         batcher_base = len(self._splitter_log)
-        _DELTA_REBUILD = 4096  # rebuild the snapshot when the delta grows
 
         def gen():
             """Producer pool: FASTA read + ASCII->numeric conversion run
@@ -681,30 +695,48 @@ class Compressor:
         pipeline: deque = deque()
         prev_si = None
 
-        def drain_one():
-            nonlocal prev_si, batcher, batcher_base
-            si, sname, cid, codes, token, tok_batcher, tok_base = (
-                pipeline.popleft()
+        def attach_delta(entries) -> None:
+            """After a merge added splitters: scan all in-flight contigs
+            against a table of JUST the new splitters in batched
+            dispatches, then refresh the snapshot for future adds. Hit
+            sets union over disjoint tables, so results equal the
+            sequential schedule at a handful of dispatches per merge
+            instead of one per contig."""
+            nonlocal batcher, batcher_base
+            from ..ops.kmers import make_scan_table
+
+            if len(self._splitter_log) <= batcher_base:
+                return
+            vals = np.array(
+                sorted(set(self._splitter_log[batcher_base:])),
+                dtype=np.uint64,
             )
-            if prev_si is not None and si != prev_si:
+            dtable = make_scan_table(vals, self.k)
+            dbatcher = ScanBatcher(self.k, dtable)
+            for e in entries:
+                e["deltas"].append((dbatcher, dbatcher.add(e["codes"])))
+            dbatcher.flush()
+            batcher.flush()  # in-flight tokens keep the old table
+            batcher = ScanBatcher(self.k, self._splitters_dev)
+            batcher_base = len(self._splitter_log)
+
+        def drain_one():
+            nonlocal prev_si
+            e = pipeline.popleft()
+            if prev_si is not None and e["si"] != prev_si:
                 self._synchronize()
-                # adaptive: refresh the snapshot when the delta grows large
-                if (
-                    len(self._splitter_log) - batcher_base > _DELTA_REBUILD
-                    and tok_batcher is batcher
-                ):
-                    batcher.flush()  # in-flight tokens keep the old table
-                    batcher = ScanBatcher(self.k, self._splitters_dev)
-                    batcher_base = len(self._splitter_log)
-            prev_si = si
+                attach_delta([e, *pipeline])
+            prev_si = e["si"]
             with self.timers.stage("scan_collect"):
-                hits = tok_batcher.collect(token)
-            hits = self._merge_delta_hits(hits, codes, tok_base)
-            with self.timers.stage("match_contig", len(codes)):
-                self._process_contig(sname, cid, codes, hits=hits)
+                hits = e["batcher"].collect(e["token"])
+                for db, dt in e["deltas"]:
+                    hits = _union_hits(hits, db.collect(dt))
+            with self.timers.stage("match_contig", len(e["codes"])):
+                self._process_contig(e["sname"], e["cid"], e["codes"],
+                                     hits=hits)
 
         def oldest_dispatched() -> bool:
-            token = pipeline[0][4]
+            token = pipeline[0]["token"]
             return token["kind"] == "empty" or all(
                 "out" in p for p in token["parts"]
             )
@@ -720,8 +752,9 @@ class Compressor:
 
         for si, sname, cid, codes in gen():
             pipeline.append(
-                (si, sname, cid, codes, batcher.add(codes), batcher,
-                 batcher_base)
+                {"si": si, "sname": sname, "cid": cid, "codes": codes,
+                 "token": batcher.add(codes), "batcher": batcher,
+                 "deltas": []}
             )
             pipeline_syms += len(codes)
             while pipeline and (
@@ -730,7 +763,7 @@ class Compressor:
             ):
                 if not oldest_dispatched():
                     batcher.flush()
-                pipeline_syms -= len(pipeline[0][3])
+                pipeline_syms -= len(pipeline[0]["codes"])
                 drain_one()
         batcher.flush()
         while pipeline:
@@ -738,35 +771,6 @@ class Compressor:
         if prev_si is not None:
             self._synchronize()
         return True
-
-    def _merge_delta_hits(self, hits, codes: np.ndarray, base: int):
-        """Adaptive speculation repair: union the snapshot-table hits with
-        hits against splitters added after ``base`` (small delta table;
-        disjoint from the snapshot, so the union is exact)."""
-        if base >= len(self._splitter_log):
-            return hits
-        from ..ops.kmers import make_scan_table, scan_contig_hits
-
-        key = (base, len(self._splitter_log))
-        cached = self._delta_table_cache
-        if cached is None or cached[0] != key:
-            vals = np.array(
-                sorted(set(self._splitter_log[base:])), dtype=np.uint64
-            )
-            cached = (key, make_scan_table(vals, self.k))
-            self._delta_table_cache = cached
-        d_pos, d_dir, d_rc = scan_contig_hits(codes, self.k, cached[1])
-        if not len(d_pos):
-            return hits
-        pos, udir, urc = hits
-        if not len(pos):
-            return d_pos, d_dir, d_rc
-        order = np.argsort(np.concatenate([pos, d_pos]), kind="stable")
-        return (
-            np.concatenate([pos, d_pos])[order],
-            np.concatenate([udir, d_dir])[order],
-            np.concatenate([urc, d_rc])[order],
-        )
 
     def add_sample_file(self, path: str, sample_name: str | None = None) -> bool:
         if sample_name is None:

@@ -127,11 +127,11 @@ def test_join_kernel_matches_compare_all():
     from agc_tpu.ops import kmers as K
 
     rng = np.random.default_rng(7)
-    codes = rng.integers(0, 4, size=100000, dtype=np.uint8)
-    codes[rng.integers(0, len(codes), 60)] = 4
+    codes = rng.integers(0, 4, size=30000, dtype=np.uint8)
+    codes[rng.integers(0, len(codes), 40)] = 4
     k = 21
     all_kmers = np.unique(K.collect_kmers(codes, k))
-    table_vals = np.sort(all_kmers[:: 7])  # ~1/7 of positions hit
+    table_vals = np.sort(all_kmers[::17])  # sparse-ish hits
     small = K.make_scan_table(table_vals, k)
     assert small.kind in ("cmp", "join")
     # force both kinds on the same values
@@ -151,7 +151,7 @@ def test_join_kernel_matches_compare_all():
     h_join = K.scan_contig_hits(codes, k, t_join)
     for a, b in zip(h_cmp, h_join):
         assert np.array_equal(a, b)
-    assert len(h_cmp[0]) > 1000  # dense enough to be meaningful
+    assert len(h_cmp[0]) > 300  # dense enough to be meaningful
 
 
 def test_large_splitter_table_create(tmp_path):

@@ -444,24 +444,36 @@ class CollectionV3:
                         in_group_state[seg.group_id] = seg.in_group_id
         return [bytes(d) for d in v_data]
 
-    def store_contig_batch(self, writer, id_from: int, id_to: int) -> None:
-        """Write one batch of contig names + details (collection_v3.cpp:682-703)."""
+    def store_contig_batch(self, writer, id_from: int, id_to: int,
+                           executor=None):
+        """Write one batch of contig names + details (collection_v3.cpp:682-703).
+
+        Serialization (which reads live collection state) happens HERE,
+        synchronously; the zstd compression + archive writes run on
+        ``executor`` when given (the reference also compresses batches on
+        async futures; collection_v3.cpp:242-249). Returns the future (or
+        None) — callers must join it before closing the archive.
+        """
         names_raw = self.serialize_contig_names(id_from, id_to)
-        writer.add_part_buffered(
-            "collection-contigs", _zstd_c(names_raw, 18), len(names_raw)
-        )
         v_data = self.serialize_contig_details(id_from, id_to)
-        v_packed = [_zstd_c(d, 19) for d in v_data]
-        stream = bytearray()
-        for raw, packed in zip(v_data, v_packed):
-            enc_prefix_varint(stream, len(raw))
-            enc_prefix_varint(stream, len(packed))
-        for packed in v_packed:
-            stream.extend(packed)
-        writer.add_part_buffered("collection-details", bytes(stream), 0)
-        # free stored details (mirrors reference eviction)
-        for s in self.samples[id_from:id_to]:
-            pass  # keep in memory on the python side; cheap enough
+
+        def finish():
+            writer.add_part_buffered(
+                "collection-contigs", _zstd_c(names_raw, 18), len(names_raw)
+            )
+            v_packed = [_zstd_c(d, 19) for d in v_data]
+            stream = bytearray()
+            for raw, packed in zip(v_data, v_packed):
+                enc_prefix_varint(stream, len(raw))
+                enc_prefix_varint(stream, len(packed))
+            for packed in v_packed:
+                stream.extend(packed)
+            writer.add_part_buffered("collection-details", bytes(stream), 0)
+
+        if executor is not None:
+            return executor.submit(finish)
+        finish()
+        return None
 
     def complete_serialization(self, writer) -> None:
         raw = self.serialize_sample_names()

@@ -147,6 +147,7 @@ class Compressor:
     # distributed capturing shard) inherit safe values
     _store_pool = None
     _pending_store = None
+    _pending_meta = ()
     _splitter_log = ()  # immutable default; __init__ replaces with a list
     _delta_table_cache = None
 
@@ -200,6 +201,7 @@ class Compressor:
         self._n_threads = max(1, (os.cpu_count() or 2) // 2)
         self._store_pool = None  # persistent pool for async barrier stores
         self._pending_store = None  # list of in-flight store futures
+        self._pending_meta = []  # in-flight metadata batch compressions
         from ..utils.profiling import StageTimers
 
         self.timers = StageTimers()
@@ -803,11 +805,18 @@ class Compressor:
         if self.processed_samples % self.p.pack_cardinality == 0:
             # batch metadata serializes placements: in-flight stores must land
             self._join_pending_store()
-            self.collection.store_contig_batch(
+            if self._store_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._store_pool = ThreadPoolExecutor(max_workers=1)
+            fut = self.collection.store_contig_batch(
                 self.writer,
                 self.processed_samples - self.p.pack_cardinality,
                 self.processed_samples,
+                executor=self._store_pool,
             )
+            if fut is not None:
+                self._pending_meta.append(fut)
         self.writer.flush_buffers()
 
     def _merge_new_splitters(self) -> None:
@@ -1439,6 +1448,9 @@ class Compressor:
             return False
         self._closed = True
         self._join_pending_store()
+        for fut in self._pending_meta:
+            fut.result()
+        self._pending_meta = []
         if self._store_pool is not None:
             self._store_pool.shutdown(wait=True)
             self._store_pool = None

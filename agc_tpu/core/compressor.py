@@ -148,6 +148,7 @@ class Compressor:
     _store_pool = None
     _pending_store = None
     _pending_meta = ()
+    _pending_reference = None
     _splitter_log = ()  # immutable default; __init__ replaces with a list
     _delta_table_cache = None
 
@@ -202,6 +203,7 @@ class Compressor:
         self._store_pool = None  # persistent pool for async barrier stores
         self._pending_store = None  # list of in-flight store futures
         self._pending_meta = []  # in-flight metadata batch compressions
+        self._pending_reference = None  # deferred create-time discovery
         from ..utils.profiling import StageTimers
 
         self.timers = StageTimers()
@@ -218,8 +220,10 @@ class Compressor:
 
     def _init_create(self, reference_file: str) -> None:
         self._mode = "create"
-        with self.timers.stage("splitter_discovery"):
-            self.determine_splitters(reference_file)
+        # splitter discovery is deferred to first use so sample-file
+        # prefetch (add_sample_files' producer pool) overlaps its device
+        # round-trips
+        self._pending_reference = reference_file
         self.collection = CollectionV3(
             self.p.pack_cardinality, self.p.segment_size, self.k
         )
@@ -478,7 +482,17 @@ class Compressor:
         if self.p.verbosity > 1:
             print(f"No. of splitters: {len(self._splitter_set)}")
 
+    def _ensure_splitters(self) -> None:
+        if self._pending_reference is not None:
+            ref_file = self._pending_reference
+            self._pending_reference = None
+            with self.timers.stage("splitter_discovery"):
+                self.determine_splitters(ref_file)
+            if self.p.verbosity > 1:
+                print(f"No. of splitters: {len(self._splitter_set)}")
+
     def splitter_set_snapshot(self) -> set:
+        self._ensure_splitters()
         return set(self._splitter_set)
 
     def _refresh_splitter_table(self) -> None:
@@ -608,6 +622,7 @@ class Compressor:
         per barrier) so adaptive splitter merges observe the same schedule.
         """
         if self.p.concatenated_genomes:
+            self._ensure_splitters()
             batch: list[tuple[str, str, np.ndarray]] = []
             n_in_batch = self.processed_samples % self.p.pack_cardinality
             any_batch = False
@@ -641,40 +656,43 @@ class Compressor:
         # byte-identical to the reference's sequential schedule while the
         # expensive full-table scans stay batched and speculative).
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         from ..ops.kmers import ScanBatcher
 
+        # producer pool: FASTA read + ASCII->numeric conversion run ahead
+        # of matching with a bounded prefetch window (reference: the
+        # AddSampleFiles producer thread, agc_compressor.cpp:2160-2251;
+        # the native converter releases the GIL, so files genuinely parse
+        # in parallel). Started BEFORE splitter discovery so the first
+        # samples load while discovery waits on the device.
+        def load_file(path):
+            return [
+                (cid, preprocess_raw_contig(raw))
+                for cid, raw in read_contigs_raw(path)
+            ]
+
+        window = 3  # samples read ahead (bounds memory)
+        producer_pool = ThreadPoolExecutor(max_workers=window)
+        pending: deque = deque()
+        next_file = 0
+
+        def top_up():
+            nonlocal next_file
+            while next_file < len(sample_files) and len(pending) < window:
+                sname, path = sample_files[next_file]
+                pending.append(
+                    (next_file, sname, producer_pool.submit(load_file, path))
+                )
+                next_file += 1
+
+        top_up()
+        self._ensure_splitters()
         batcher = ScanBatcher(self.k, self._splitters_dev)
         batcher_base = len(self._splitter_log)
 
         def gen():
-            """Producer pool: FASTA read + ASCII->numeric conversion run
-            ahead of matching on a small worker pool with a bounded
-            prefetch window (reference: the AddSampleFiles producer
-            thread, agc_compressor.cpp:2160-2251; the native converter
-            releases the GIL, so files genuinely parse in parallel)."""
-            from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
-
-            def load_file(path):
-                return [
-                    (cid, preprocess_raw_contig(raw))
-                    for cid, raw in read_contigs_raw(path)
-                ]
-
-            window = 3  # samples read ahead (bounds memory)
-            with ThreadPoolExecutor(max_workers=window) as pool:
-                pending: deque = deque()
-                idx = 0
-
-                def top_up():
-                    nonlocal idx
-                    while idx < len(sample_files) and len(pending) < window:
-                        sname, path = sample_files[idx]
-                        pending.append((idx, sname, pool.submit(load_file, path)))
-                        idx += 1
-
-                top_up()
+            try:
                 while pending:
                     si, sample_name, fut = pending.popleft()
                     contigs = fut.result()
@@ -693,6 +711,8 @@ class Compressor:
                             )
                             continue
                         yield si, sample_name, cid, codes
+            finally:
+                producer_pool.shutdown(wait=False)
 
         pipeline: deque = deque()
         prev_si = None
@@ -1447,6 +1467,7 @@ class Compressor:
         if self._closed:
             return False
         self._closed = True
+        self._ensure_splitters()
         self._join_pending_store()
         for fut in self._pending_meta:
             fut.result()

@@ -5,6 +5,10 @@ TPU-first replacements for the reference's per-thread rolling CKmer loops
 1997-2051): every position's canonical k-mer is computed in one vectorized
 pass over the contig chunk instead of a serial rolling loop.
 
+Membership scans are gather-free (TPU gathers serialize): a compare-all
+XOR-mix prefilter for small tables, a sort-merge join for large ones,
+with exact host-side verification of the few candidate hits.
+
 K-mer value convention matches the reference exactly so splitter sets are
 interchangeable with reference archives: the canonical code is
 min(dir, rc) where
@@ -204,22 +208,6 @@ def contig_kmers(codes: jnp.ndarray, k: int):
     canon = jnp.minimum(udir, urc)
     dir_oriented = udir <= urc
     return canon, valid, dir_oriented
-
-
-@partial(jax.jit, static_argnums=(1,))
-def contig_kmers_with_membership(codes, k, sorted_set):
-    """contig_kmers + sorted-set membership in one compiled graph.
-
-    ``sorted_set``: ascending uint64[M] table (splitters or singleton
-    candidates). Returns (canon, valid, dir_oriented, member: bool[N]).
-    Replaces the reference's bloom+hash splitter probe
-    (agc_compressor.cpp:2012-2015) with a device binary search.
-    """
-    canon, valid, dir_oriented = contig_kmers(codes, k)
-    idx = jnp.searchsorted(sorted_set, canon)
-    idx_c = jnp.clip(idx, 0, max(sorted_set.shape[0] - 1, 0))
-    member = valid & (sorted_set.shape[0] > 0) & (sorted_set[idx_c] == canon)
-    return canon, valid, dir_oriented, member
 
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -749,28 +737,6 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
     pos_arr = np.asarray(positions, dtype=np.int64)
     kmer_arr = np.asarray(kmers, dtype=np.uint64)
     return pos_arr, kmer_arr, tail_pos, tail_kmer
-
-
-@partial(jax.jit, static_argnums=(1,))
-def canon_kmers_chunk(codes: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Canonical k-mers with invalid windows replaced by the all-ones
-    sentinel (which is never a canonical code). Device-resident building
-    block for the splitter-candidate pipeline."""
-    udir, urc, valid = _kmer_core(codes, k)
-    canon = jnp.minimum(udir, urc)
-    return jnp.where(valid, canon, SENTINEL)
-
-
-@partial(jax.jit, static_argnums=(1,))
-def canon_kmers_chunk_window(codes, k, lo, hi):
-    """canon_kmers_chunk with positions outside [lo, hi) masked to the
-    sentinel (lo/hi traced scalars -> no extra compiled shapes). Used to
-    drop chunk-overlap duplicates when pooling k-mers across chunks."""
-    udir, urc, valid = _kmer_core(codes, k)
-    canon = jnp.minimum(udir, urc)
-    idx = jnp.arange(codes.shape[0])
-    keep = valid & (idx >= lo) & (idx < hi)
-    return jnp.where(keep, canon, SENTINEL)
 
 
 def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:

@@ -14,8 +14,12 @@ static in-kernel slices of a (k-1)-padded copy, so every add is an aligned
 (8,128) VPU op. Output halves are reassembled (or compared pairwise) by
 the caller.
 
-Enable in the scan path with AGC_TPU_USE_PALLAS=1 (off by default until
-benchmarked end-to-end on hardware; interpret mode covers CPU tests).
+Status: validated prototype, NOT wired into the scan path — the Mosaic
+build in this toolchain lacks a dynamic_slice lowering for the shifted
+reads (NotImplementedError at compile time on real TPU), and the XLA
+log-doubling core (kmers._dir_halves) already runs at a small fraction
+of the scan budget. Kept for when the toolchain catches up; interpret
+mode keeps it correct on CPU (tests/test_pallas_kmers.py).
 """
 
 from __future__ import annotations

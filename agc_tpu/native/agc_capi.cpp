@@ -766,9 +766,9 @@ class AgcFile {
     }
     size_t part_id = (in_group_id - 1) / pack_cardinality_;
     size_t idx = (in_group_id - 1) % pack_cardinality_;
-    if (!load_pack(base, part_id, g)) { if (getenv("AGC_DEBUG")) fprintf(stderr, "load_pack fail g=%u part=%zu\n", group_id, part_id); return false; }
+    if (!load_pack(base, part_id, g)) return false;
     auto& index = g.pack_index[part_id];
-    if (idx >= index.size()) { if (getenv("AGC_DEBUG")) fprintf(stderr, "idx %zu >= index %zu g=%u\n", idx, index.size(), group_id); return false; }
+    if (idx >= index.size()) return false;
     auto [off, len] = index[idx];
     auto& pd = g.pack_data[part_id];
     // decode LZ delta against the group reference
@@ -789,7 +789,7 @@ class AgcFile {
       else
         n = lz_decode_v2(g.ref.data(), g.ref.size(), pd.data() + off, len,
                          min_match_len_, out.data(), out.size());
-      if (n < 0) { if (getenv("AGC_DEBUG")) fprintf(stderr, "lz_decode fail g=%u igid=%u len=%zu ref=%zu\n", group_id, in_group_id, len, g.ref.size()); return false; }
+      if (n < 0) return false;
     }
     out.resize(n);
     return true;

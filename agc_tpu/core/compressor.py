@@ -985,9 +985,6 @@ class Compressor:
         kmer_back: Kmer,
     ) -> int:
         """Returns 1 when the segment was split into two parts, else 0."""
-        # the matcher estimates against group writers: in-flight stores from
-        # the previous barrier must land first
-        self._join_pending_store()
         pk = PK_EMPTY
         store_rc = False
         segment_rc: np.ndarray | None = None
@@ -1129,6 +1126,10 @@ class Compressor:
         self, kmer: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
     ) -> tuple[tuple[int, int], bool]:
         """reference: find_cand_segment_with_one_splitter (1630-1808)."""
+        # estimates read group writers: in-flight stores must land
+        # first (exact-pair segments never reach here, so the common
+        # path does not block on the async store)
+        self._join_pending_store()
         d = kmer.data()
         terms = self.terminators.get(d)
 
@@ -1215,6 +1216,10 @@ class Compressor:
         self, kmer1: Kmer, kmer2: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
     ) -> tuple[int, int]:
         """reference: find_cand_segment_with_missing_middle_splitter (1502-1627)."""
+        # estimates read group writers: in-flight stores must land
+        # first (exact-pair segments never reach here, so the common
+        # path does not block on the async store)
+        self._join_pending_store()
         t1 = self.terminators.get(kmer1.data())
         t2 = self.terminators.get(kmer2.data())
         if not t1 or not t2:
@@ -1263,6 +1268,10 @@ class Compressor:
         self, segment: np.ndarray, max_val: int
     ) -> tuple[tuple[int, int], bool]:
         """reference: find_cand_segment_using_fallback_minimizers (1812-1963)."""
+        # estimates read group writers: in-flight stores must land
+        # first (exact-pair segments never reach here, so the common
+        # path does not block on the async store)
+        self._join_pending_store()
         from ..ops.kmers import scan_contig
 
         max_num_to_estimate = 10

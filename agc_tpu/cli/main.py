@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="data-parallel shards (multi-host scale-out; output archives "
         "extract identically for any shard count)",
     )
+    p.add_argument(
+        "--shard-workers", choices=("thread", "process"), default="thread",
+        help="shard execution: threads (share this process's device) or "
+        "processes (independent runtimes, the multi-host shape)",
+    )
 
     p = sub.add_parser("append", help="append FASTA files to an existing archive")
     p.add_argument("in_archive")
@@ -158,7 +163,8 @@ def _dispatch(args) -> int:
                 from ..parallel.distributed import create_archive_sharded
 
                 create_archive_sharded(
-                    args.out_archive, args.inputs, params, n_shards=args.shards
+                    args.out_archive, args.inputs, params,
+                    n_shards=args.shards, worker=args.shard_workers,
                 )
             else:
                 create_archive(args.out_archive, args.inputs, params)

@@ -195,15 +195,44 @@ class _CapturingCompressor(Compressor):
         return res
 
 
+def _run_shard_task(args):
+    """One shard's compression (module-level: runs in worker PROCESSES).
+
+    On a real pod this is what each host executes against its own chips;
+    the splitter set is the replicated state, the returned _ShardResult is
+    what travels to the writer host (it is plain picklable data).
+    """
+    params, splitter_set, shard_id, shard_files = args
+    # spawned workers must pick their platform BEFORE first device use;
+    # a registered TPU plugin outranks the JAX_PLATFORMS env var, so the
+    # choice is applied through the config (single-chip hosts set
+    # JAX_PLATFORMS=cpu for workers; pod hosts leave it unset and each
+    # process binds its own chips)
+    plat = os.environ.get("AGC_TPU_WORKER_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat.split(",")[0])
+    comp = _CapturingCompressor(params, splitter_set, shard_id)
+    comp.add_sample_files(shard_files)
+    return comp.result()
+
+
 def create_archive_sharded(
     out_path: str,
     input_files: list[str],
     params: CompressorParams | None = None,
     n_shards: int = 2,
+    worker: str = "thread",
 ) -> None:
     """Data-parallel create: shard samples, compress, merge into one archive.
 
     Extraction output is byte-identical regardless of ``n_shards``.
+    ``worker="process"`` runs each shard in its own OS process (the
+    multi-host execution shape: independent runtimes, results shipped to
+    the writer by value); ``"thread"`` shares this process's device.
     """
     params = params or CompressorParams()
     if params.adaptive_compression or params.concatenated_genomes:
@@ -224,17 +253,23 @@ def create_archive_sharded(
     shards: list[list] = [[] for _ in range(n_shards)]
     for i, sf in enumerate(sample_files):
         shards[i % n_shards].append(sf)
+    tasks = [
+        (params, splitter_set, sid, shards[sid]) for sid in range(n_shards)
+    ]
 
-    def run_shard(shard_id):
-        comp = _CapturingCompressor(params, splitter_set, shard_id)
-        comp.add_sample_files(shards[shard_id])
-        return comp.result()
+    if n_shards > 1 and worker == "process":
+        import multiprocessing as mp
 
-    if n_shards > 1:
+        # spawn (not fork): each worker initializes its own JAX runtime,
+        # exactly like a pod host process would
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(processes=n_shards) as pool:
+            results = pool.map(_run_shard_task, tasks)
+    elif n_shards > 1:
         with ThreadPoolExecutor(max_workers=n_shards) as pool:
-            results = list(pool.map(run_shard, range(n_shards)))
+            results = list(pool.map(_run_shard_task, tasks))
     else:
-        results = [run_shard(0)]
+        results = [_run_shard_task(tasks[0])]
 
     # Phase 3: deterministic merge on the writer host
     _merge_shards(out_path, params, sample_files, splitter_set, results)

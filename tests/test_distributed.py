@@ -64,3 +64,21 @@ def test_cli_create_shards(tmp_path):
         d.get_sample_file(out, [sample], line_length=70)
         assert filecmp.cmp(out, path, shallow=False), sample
     d.close()
+
+
+def test_process_workers_match_threads(tmp_path):
+    """worker="process" (the multi-host execution shape: separate
+    runtimes, shard results shipped by value) must produce an archive
+    whose extraction matches the thread-sharded one byte for byte."""
+    files = make_collection(tmp_path, n_samples=3, contig_lens=(12000,))
+    a_thr = str(tmp_path / "thr.agc")
+    a_proc = str(tmp_path / "proc.agc")
+    create_archive_sharded(a_thr, [p for _, p in files], PARAMS, n_shards=2)
+    create_archive_sharded(
+        a_proc, [p for _, p in files], PARAMS, n_shards=2, worker="process"
+    )
+    dt, dp = Decompressor(a_thr), Decompressor(a_proc)
+    for sample, _ in files:
+        assert dt.get_contig_seq(sample, "c1") == dp.get_contig_seq(sample, "c1")
+    dt.close()
+    dp.close()

@@ -22,7 +22,7 @@ import numpy as np
 
 BASELINE_BASES_PER_S = 400e6
 
-REF_MB = int(os.environ.get("AGC_TPU_BENCH_REF_MB", "4"))
+REF_MB = int(os.environ.get("AGC_TPU_BENCH_REF_MB", "16"))
 N_SAMPLES = int(os.environ.get("AGC_TPU_BENCH_SAMPLES", "7"))
 
 

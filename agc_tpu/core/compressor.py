@@ -1434,11 +1434,10 @@ class Compressor:
                 )
             return placements
 
-        use_async = (
-            async_ok
-            and not self.p.adaptive_compression
-            and groups
-        )
+        # async is safe in adaptive mode too: hard-contig reprocessing and
+        # estimate paths join before reading group writers, and splitter
+        # merges touch no group state
+        use_async = async_ok and bool(groups)
         if use_async:
             if self._store_pool is None:
                 from concurrent.futures import ThreadPoolExecutor

@@ -924,18 +924,88 @@ def scan_batch_compact_p4(packed2d, k, tlo, cap: int):
 
 
 @partial(jax.jit, static_argnums=(1, 4))
-def scan_batch_join_p4(packed2d, k, thi, tlo, cap: int):
-    def one(p):
-        return _scan_join_body(_unpack4_dev(p), k, thi, tlo, cap)
+def scan_batch_join_global_p4(packed2d, k, thi, tlo, cap_total: int):
+    """Batched large-table membership via ONE flattened sort-merge join.
 
-    return jax.vmap(one)(packed2d)
+    A vmapped per-row join would re-sort the table once per row (and its
+    compile blows up at 1024 rows); instead the whole batch's dir halves
+    are sorted once, each table row's equal-key run is located with a
+    searchsorted over the sorted batch (2T log(Bn) gathers — T is small),
+    and run coverage is painted with a scatter-add + prefix sum.
+
+    Output is ONE u32 vector over the whole dispatch:
+        [count, gpos[cap_total] (ascending; fills lead), dlo[...], dhi[...]]
+    where gpos = row * n + pos (host splits rows; see
+    _decode_scan_vec_global).
+    """
+    B, half = packed2d.shape
+    n = half * 2
+
+    def halves_row(p):
+        codes = _unpack4_dev(p)
+        return _dir_halves(codes, k)
+
+    dlo, dhi, valid = jax.vmap(halves_row)(packed2d)
+    flat = B * n
+    dlo = dlo.reshape(flat)
+    dhi = dhi.reshape(flat)
+    payload = jnp.where(
+        valid.reshape(flat), jnp.arange(flat, dtype=jnp.int32), -1
+    )
+    s_hi, s_lo, s_pay = jax.lax.sort((dhi, dlo, payload), num_keys=2)
+    s64 = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | s_lo.astype(jnp.uint64)
+    t64 = (thi.astype(jnp.uint64) << jnp.uint64(32)) | tlo.astype(jnp.uint64)
+    lo_ix = jnp.searchsorted(s64, t64, side="left")
+    hi_ix = jnp.searchsorted(s64, t64, side="right")
+    cover = jnp.zeros(flat + 1, dtype=jnp.int32)
+    cover = cover.at[lo_ix].add(1).at[hi_ix].add(-1)
+    member = (jnp.cumsum(cover[:flat]) > 0) & (s_pay >= 0)
+    count = jnp.sum(member.astype(jnp.int32))
+    desc = jax.lax.top_k(jnp.where(member, s_pay, -1), cap_total)[0]
+    gpos = desc[::-1]
+    safe = jnp.clip(gpos, 0, flat - 1)
+    return jnp.concatenate(
+        [
+            count[None].astype(jnp.uint32),
+            gpos.astype(jnp.uint32),
+            dlo[safe],
+            dhi[safe],
+        ]
+    )
+
+
+def _decode_scan_vec_global(vec: np.ndarray, cap: int, table: "ScanTable",
+                            n_per_row: int):
+    """Decode + verify a global join vector -> (count, rows, pos, udir,
+    urc) with rows/pos split out of the global positions."""
+    count, gpos, udir, urc = _decode_scan_vec(vec, cap, table)
+    return count, gpos // n_per_row, gpos % n_per_row, udir, urc
+
+
+def _cap_total_for(rows: int, b: int) -> int:
+    """Global hit cap for one join dispatch: pow2 of ~32 hits/row."""
+    c = 2048
+    want = min(rows * 32, 131072)
+    while c < want:
+        c <<= 1
+    return min(c, rows * b)
 
 
 def _dispatch_scan_batch(mat, table: "ScanTable", cap: int):
+    """Returns (out, is_global): cmp tables get per-row vectors; join
+    tables get one global-join vector for the whole dispatch."""
     if table.kind == "cmp":
-        return scan_batch_compact_p4(jnp.asarray(mat), table.k, table.tlo, cap)
-    return scan_batch_join_p4(
-        jnp.asarray(mat), table.k, table.thi, table.tlo, cap
+        return (
+            scan_batch_compact_p4(jnp.asarray(mat), table.k, table.tlo, cap),
+            False,
+        )
+    rows, half = mat.shape
+    cap_total = _cap_total_for(rows, half * 2)
+    return (
+        scan_batch_join_global_p4(
+            jnp.asarray(mat), table.k, table.thi, table.tlo, cap_total
+        ),
+        True,
     )
 
 
@@ -1040,7 +1110,7 @@ class ScanBatcher:
                 def job(group=group, rows=rows, b=b, cap=cap):
                     # runs on the transfer thread: nibble-pack rows
                     # (GIL-free C++), upload, dispatch. Returns
-                    # (out_device_array, packed_mat).
+                    # ((out_device_array, is_global), packed_mat).
                     mat = np.empty((rows, b // 2), dtype=np.uint8)
                     for row, part in enumerate(group):
                         pk = pack4_np(part.pop("codes"))
@@ -1055,19 +1125,20 @@ class ScanBatcher:
                     part["out"] = fut
                     part["row"] = row
                     part["cap"] = cap
+                    part["rows"] = rows
                     part["bucket"] = b
 
     def _resolve(self, fut):
-        """Wait for a dispatch job, download its result matrix once
-        (cached briefly); returns (result_np, packed_mat).
+        """Wait for a dispatch job, download its result once (cached
+        briefly); returns (result_np, is_global, packed_mat).
 
         Keyed by the future OBJECT (a strong reference): an id()-based key
         would alias recycled ids after garbage collection and hand rows of
         the wrong dispatch to a token."""
         hit = self._dl_cache.get(fut)
         if hit is None:
-            out, packed_mat = fut.result()
-            hit = (np.asarray(out), packed_mat)
+            (out, is_global), packed_mat = fut.result()
+            hit = (np.asarray(out), is_global, packed_mat)
             if len(self._dl_cache) >= 8:
                 self._dl_cache.pop(next(iter(self._dl_cache)))
             self._dl_cache[fut] = hit
@@ -1085,19 +1156,46 @@ class ScanBatcher:
         for part in token["parts"]:
             if "out" not in part:
                 self.flush()
-            res, packed_mat = self._resolve(part["out"])
-            vec = res[part["row"]]
+            res, is_global, packed_mat = self._resolve(part["out"])
             cap = part["cap"]
-            count, pos, udir, urc = _decode_scan_vec(vec, cap, self.table)
-            if count > cap and cap < part["bucket"]:
-                # rare cap overflow: retry at the next power-of-two >= count
-                cap = min(1 << int(np.ceil(np.log2(count))), part["bucket"])
-                vec = np.asarray(
-                    _dispatch_scan_chunk(
-                        jnp.asarray(packed_mat[part["row"]]), self.table, cap
-                    )
+            if is_global:
+                b = part["bucket"]
+                cap_total = _cap_total_for(part["rows"], b)
+                count, rows_arr, pos, udir, urc = _decode_scan_vec_global(
+                    res, cap_total, self.table, b
                 )
+                if count > cap_total and cap_total < part["rows"] * b:
+                    cap_total = min(
+                        1 << int(np.ceil(np.log2(count))), part["rows"] * b
+                    )
+                    vec = np.asarray(
+                        scan_batch_join_global_p4(
+                            jnp.asarray(packed_mat), self.table.k,
+                            self.table.thi, self.table.tlo, cap_total,
+                        )
+                    )
+                    count, rows_arr, pos, udir, urc = _decode_scan_vec_global(
+                        vec, cap_total, self.table, b
+                    )
+                m = rows_arr == part["row"]
+                pos, udir, urc = pos[m], udir[m], urc[m]
+            else:
+                vec = res[part["row"]]
                 count, pos, udir, urc = _decode_scan_vec(vec, cap, self.table)
+                if count > cap and cap < part["bucket"]:
+                    # rare cap overflow: retry at next power-of-two >= count
+                    cap = min(
+                        1 << int(np.ceil(np.log2(count))), part["bucket"]
+                    )
+                    vec = np.asarray(
+                        _dispatch_scan_chunk(
+                            jnp.asarray(packed_mat[part["row"]]),
+                            self.table, cap,
+                        )
+                    )
+                    count, pos, udir, urc = _decode_scan_vec(
+                        vec, cap, self.table
+                    )
             part.pop("out", None)
             keep_from = part["start"] - part["lo"]
             m = (pos >= keep_from) & (pos < part["real"])

@@ -150,7 +150,6 @@ class Compressor:
     _pending_meta = ()
     _pending_reference = None
     _splitter_log = ()  # immutable default; __init__ replaces with a list
-    _delta_table_cache = None
 
     def __init__(
         self,
@@ -181,7 +180,6 @@ class Compressor:
         # append-only log of splitters added after create-time discovery
         # (drives adaptive-mode delta scans; see _merge_delta_hits)
         self._splitter_log: list[int] = []
-        self._delta_table_cache = None
         self._raw_contigs: list[tuple[str, str, np.ndarray]] = []
         # per-barrier buffers (CBufferedSegPart)
         self._buf_known: dict[int, list[_PendingSeg]] = {}

@@ -341,6 +341,56 @@ class Compressor:
     # splitter discovery (device kernels + host greedy)
     # ==================================================================
 
+    def _determine_splitters_host(self, contigs: list) -> None:
+        """Host (numpy) splitter discovery: same singleton + greedy +
+        tail semantics as the device path, for many-small-contig
+        references."""
+        from ..ops.kmers import canon_kmers_np
+
+        canons = [canon_kmers_np(c, self.k) for c in contigs]
+        pools = [c[v] for c, v in canons]
+        pool = (
+            np.concatenate(pools) if pools else np.empty(0, dtype=np.uint64)
+        )
+        uniqs, counts = (
+            np.unique(pool, return_counts=True)
+            if len(pool)
+            else (np.empty(0, np.uint64), np.empty(0, np.int64))
+        )
+        singles = uniqs[counts == 1]
+        if self.p.adaptive_compression:
+            self.cand_singletons = singles
+            self.cand_duplicated = uniqs[counts > 1]
+        else:
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        self._cand_singletons_dev = None
+
+        seg = self.p.segment_size
+        splitters: list[int] = []
+        for canon, valid in canons:
+            if not len(canon) or not singles.size:
+                continue
+            ix = np.searchsorted(singles, canon)
+            member = valid & (
+                singles[np.minimum(ix, singles.size - 1)] == canon
+            )
+            hits = np.flatnonzero(member)
+            last = None
+            for p in hits.tolist():
+                if last is not None and (p - last) < seg:
+                    continue
+                splitters.append(int(canon[p]))
+                last = p
+            floor = (last + self.k) if last is not None else 0
+            tail = hits[hits >= floor]
+            if len(tail):
+                splitters.append(int(canon[tail[-1]]))
+        self._splitter_set = set(splitters)
+        self._refresh_splitter_table()
+        if self.p.verbosity > 1:
+            print(f"No. of splitters: {len(self._splitter_set)}")
+
     def _sorted_pool(self, device_chunks: list):
         """Concatenate per-chunk device k-mer arrays and sort (sentinel-
         tailed power-of-two shape); replaces raduls::RadixSortMSD
@@ -402,17 +452,34 @@ class Compressor:
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
 
+    # host splitter discovery when the reference is a pile of small
+    # contigs (concatenated collections): one device greedy dispatch per
+    # contig would pay a round-trip each, while numpy handles this scale
+    # in seconds (a concatenated discovery reference beyond this bound is
+    # not a realistic input: the reference tool's in-RAM radix sort has
+    # the same ceiling)
+    _HOST_DISCOVERY_MAX = 128 << 20
+
     def determine_splitters(self, reference_file: str) -> None:
         """reference: agc_compressor.cpp:428-563."""
         from ..ops.kmers import collect_kmers_device
 
         contigs = []
+        for cid, raw in read_contigs_raw(reference_file):
+            contigs.append(preprocess_raw_contig(raw))
+        total = sum(len(c) for c in contigs)
+        if (
+            not self.fallback_filter
+            and len(contigs) > 8
+            and total <= self._HOST_DISCOVERY_MAX
+        ):
+            self._determine_splitters_host(contigs)
+            return
+
         contig_recs = []
         dev_chunks = []
-        for cid, raw in read_contigs_raw(reference_file):
-            codes = preprocess_raw_contig(raw)
+        for codes in contigs:
             recs = collect_kmers_device(codes, self.k)
-            contigs.append(codes)
             contig_recs.append(recs)
             dev_chunks.extend(r[0] for r in recs)
 
@@ -581,36 +648,23 @@ class Compressor:
     # sample ingestion
     # ==================================================================
 
-    _PIPELINE_DEPTH = 8  # contig scans in flight (hides device RTT)
-
     def _process_contig_batch(self, items: list[tuple[str, str, np.ndarray]]) -> None:
-        """Run one barrier-delimited batch of contigs through the device
-        scan pipeline: scans for up to _PIPELINE_DEPTH contigs are in
-        flight (small contigs grouped into batched dispatches) while
-        earlier contigs are matched on the host."""
-        from collections import deque
-
+        """Run one barrier-delimited batch of contigs (concatenated mode)
+        through the device scan pipeline: ALL scans of the batch are
+        dispatched first (the batcher groups them into multi-row
+        dispatches; the table is constant within a barrier), then the
+        host matches in order — draining by a fixed depth would force one
+        tiny dispatch per contig for small-genome collections."""
         from ..ops.kmers import ScanBatcher
 
         batcher = ScanBatcher(self.k, self._splitters_dev)
-        pipeline: deque = deque()
-        it = iter(items)
-        exhausted = False
-        while pipeline or not exhausted:
-            while not exhausted and len(pipeline) < self._PIPELINE_DEPTH:
-                try:
-                    sname, cid, codes = next(it)
-                except StopIteration:
-                    exhausted = True
-                    break
-                pipeline.append((sname, cid, codes, batcher.add(codes)))
-            batcher.flush()
-            if pipeline:
-                sname, cid, codes, token = pipeline.popleft()
-                with self.timers.stage("scan_collect"):
-                    hits = batcher.collect(token)
-                with self.timers.stage("match_contig", len(codes)):
-                    self._process_contig(sname, cid, codes, hits=hits)
+        tokens = [batcher.add(codes) for _, _, codes in items]
+        batcher.flush()
+        for (sname, cid, codes), token in zip(items, tokens):
+            with self.timers.stage("scan_collect"):
+                hits = batcher.collect(token)
+            with self.timers.stage("match_contig", len(codes)):
+                self._process_contig(sname, cid, codes, hits=hits)
 
     def add_sample_files(self, sample_files: list[tuple[str, str]]) -> bool:
         """reference: CAGCCompressor::AddSampleFiles (agc_compressor.cpp:2118).
@@ -805,8 +859,19 @@ class Compressor:
             self._merge_new_splitters()
             hard = self._raw_contigs
             self._raw_contigs = []
-            for sample_name, cid, codes in hard:
-                self._process_contig(sample_name, cid, codes, hard_contig=True)
+            if hard:
+                # one batched dispatch for all hard-contig rescans (the
+                # merged table now includes their new splitters)
+                from ..ops.kmers import ScanBatcher
+
+                hb = ScanBatcher(self.k, self._splitters_dev)
+                tokens = [hb.add(codes) for _, _, codes in hard]
+                hb.flush()
+                for (sample_name, cid, codes), token in zip(hard, tokens):
+                    self._process_contig(
+                        sample_name, cid, codes, hard_contig=True,
+                        hits=hb.collect(token),
+                    )
         self._register_segments()
         with self.timers.stage("store_segments"):
             self._store_segments(async_ok=True)
@@ -935,8 +1000,18 @@ class Compressor:
             )
         return True
 
+    # below this size the whole new-splitter search runs on the host: a
+    # 30 kb genome costs microseconds in numpy vs several device RTTs
+    _HOST_NEW_SPLITTERS_MAX = 1 << 20
+
     def _find_new_splitters(self, codes: np.ndarray) -> None:
         """reference: find_new_splitters (agc_compressor.cpp:2054-2082)."""
+        if (
+            len(codes) <= self._HOST_NEW_SPLITTERS_MAX
+            and not self.fallback_filter
+        ):
+            self._find_new_splitters_host(codes)
+            return
         from ..ops.kmers import collect_kmers, singleton_filter, sort_kmers
         import jax.numpy as jnp
 
@@ -968,6 +1043,36 @@ class Compressor:
             found, fallbacks = self._find_splitters_in_contig(codes, uniq)
             self._pending_new_splitters.extend(found)
             self._pending_fallback.extend(fallbacks)
+
+    def _find_new_splitters_host(self, codes: np.ndarray) -> None:
+        """Host path of _find_new_splitters, numerically identical to the
+        device greedy (same singleton/exclusion/emission/tail rules)."""
+        from ..ops.kmers import canon_kmers_np
+
+        canon, valid = canon_kmers_np(codes, self.k)
+        vals = canon[valid]
+        if not len(vals):
+            return
+        uniqs, counts = np.unique(vals, return_counts=True)
+        uniq = uniqs[counts == 1]
+        uniq = uniq[~np.isin(uniq, self.cand_singletons, assume_unique=False)]
+        uniq = uniq[~np.isin(uniq, self.cand_duplicated, assume_unique=False)]
+        if not len(uniq):
+            return
+        ix = np.searchsorted(uniq, canon)
+        member = valid & (uniq[np.minimum(ix, uniq.size - 1)] == canon)
+        hits = np.flatnonzero(member)
+        seg = self.p.segment_size
+        last = None
+        for p in hits.tolist():
+            if last is not None and (p - last) < seg:
+                continue
+            self._pending_new_splitters.append(int(canon[p]))
+            last = p
+        floor = (last + self.k) if last is not None else 0
+        tail = hits[hits >= floor]
+        if len(tail):
+            self._pending_new_splitters.append(int(canon[tail[-1]]))
 
     # ==================================================================
     # segment -> group matching (reference: add_segment, 1275-1499)

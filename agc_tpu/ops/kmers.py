@@ -144,6 +144,48 @@ def _revcomp_np(dir_u: np.ndarray, k: int) -> np.ndarray:
     return full - x
 
 
+def canon_kmers_np(codes: np.ndarray, k: int):
+    """Host (numpy) canonical k-mers: same log-doubling construction as
+    the device kernel, in u64. For small contigs the fixed device
+    round-trip costs more than computing on the host (e.g. adaptive
+    new-splitter discovery on 30 kb genomes). Returns (canon, valid)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, np.uint64), np.zeros(0, bool)
+    sym = np.where(codes > 3, 0, codes).astype(np.uint64)
+
+    def shift_index(arr, p):
+        out = np.zeros_like(arr)
+        out[p:] = arr[: len(arr) - p]
+        return out
+
+    powers = {1: sym}
+    m = 1
+    while 2 * m <= k:
+        d = powers[m]
+        powers[2 * m] = d | (shift_index(d, m) << np.uint64(2 * m))
+        m *= 2
+    res = powers[m]
+    acc = m
+    rem = k - m
+    b = 1
+    while rem:
+        if rem & b:
+            res = res | (shift_index(powers[b], acc) << np.uint64(2 * acc))
+            acc += b
+            rem &= ~b
+        b <<= 1
+    rc = _revcomp_np(res, k)
+    shift = np.uint64(_shift_for(k))
+    canon = np.minimum(res, rc) << shift
+    inv = (codes > 3).astype(np.int32)
+    csum = np.cumsum(inv)
+    csum_shift = np.zeros(n, np.int32)
+    csum_shift[k:] = csum[:-k]
+    valid = ((csum - csum_shift) == 0) & (np.arange(n) >= k - 1)
+    return canon, valid
+
+
 def _kmer_halves(codes: jnp.ndarray, k: int):
     """Per-position k-mer codes as native 32-bit halves:
     (dlo, dhi, rlo, rhi, valid), all unshifted. dir via log-doubling,

@@ -352,11 +352,11 @@ class Compressor:
         pool = (
             np.concatenate(pools) if pools else np.empty(0, dtype=np.uint64)
         )
-        uniqs, counts = (
-            np.unique(pool, return_counts=True)
-            if len(pool)
-            else (np.empty(0, np.uint64), np.empty(0, np.int64))
-        )
+        if len(pool):
+            uniqs, counts = np.unique(pool, return_counts=True)
+        else:
+            uniqs = np.empty(0, np.uint64)
+            counts = np.empty(0, np.int64)
         singles = uniqs[counts == 1]
         if self.p.adaptive_compression:
             self.cand_singletons = singles
@@ -367,25 +367,49 @@ class Compressor:
         self._cand_singletons_dev = None
 
         seg = self.p.segment_size
+        W = 256  # probe window: singleton hits are dense, so the next
+        # emission is almost always inside one window (mirrors the device
+        # greedy); full-contig membership against a near-pool-sized table
+        # would thrash caches instead
         splitters: list[int] = []
-        for canon, valid in canons:
-            if not len(canon) or not singles.size:
-                continue
-            ix = np.searchsorted(singles, canon)
-            member = valid & (
-                singles[np.minimum(ix, singles.size - 1)] == canon
+
+        def probe(canon, valid, start, end):
+            w = canon[start:end]
+            ix = np.searchsorted(singles, w)
+            return (
+                valid[start:end]
+                & (singles[np.minimum(ix, max(singles.size - 1, 0))] == w)
             )
-            hits = np.flatnonzero(member)
+
+        for canon, valid in canons:
+            n = len(canon)
+            if not n or not singles.size:
+                continue
             last = None
-            for p in hits.tolist():
-                if last is not None and (p - last) < seg:
-                    continue
-                splitters.append(int(canon[p]))
-                last = p
+            t = 0
+            while t < n:
+                hit = probe(canon, valid, t, min(t + W, n))
+                nz = np.flatnonzero(hit)
+                if len(nz):
+                    p = t + int(nz[0])
+                    splitters.append(int(canon[p]))
+                    last = p
+                    t = p + seg
+                else:
+                    t += W
+            # rightmost-candidate tail (agc_compressor.cpp:817-824)
             floor = (last + self.k) if last is not None else 0
-            tail = hits[hits >= floor]
-            if len(tail):
-                splitters.append(int(canon[tail[-1]]))
+            s = n - W
+            while s > -W:
+                lo = max(s, 0)
+                hit = probe(canon, valid, lo, min(lo + W, n))
+                nz = np.flatnonzero(hit)
+                if len(nz):
+                    p = lo + int(nz[-1])
+                    if p >= floor:
+                        splitters.append(int(canon[p]))
+                    break
+                s -= W
         self._splitter_set = set(splitters)
         self._refresh_splitter_table()
         if self.p.verbosity > 1:

@@ -192,3 +192,34 @@ def test_large_splitter_table_create(tmp_path):
         d.get_sample_file(out, [sample], line_length=70)
         assert filecmp.cmp(out, path, shallow=False), sample
     d.close()
+
+
+def test_host_discovery_matches_device(tmp_path):
+    """The host (numpy) splitter-discovery path must produce exactly the
+    same splitter set as the device path on a multi-contig reference."""
+    import random as _random
+
+    from agc_tpu.core.compressor import Compressor, CompressorParams
+
+    sys_rng = _random.Random(23)
+    from util import random_seq, write_fa
+
+    recs = [(f"c{i}", random_seq(sys_rng, 4000)) for i in range(12)]
+    ref = str(tmp_path / "multi.fa")
+    write_fa(ref, recs)
+
+    def splitters(host: bool):
+        params = CompressorParams()
+        params.segment_size = 500
+        out = str(tmp_path / f"d_{host}.agc")
+        comp = Compressor(out, params, reference_file=ref)
+        old = Compressor._HOST_DISCOVERY_MAX
+        try:
+            Compressor._HOST_DISCOVERY_MAX = (1 << 30) if host else 0
+            s = comp.splitter_set_snapshot()
+        finally:
+            Compressor._HOST_DISCOVERY_MAX = old
+        comp.writer.close()
+        return s
+
+    assert splitters(True) == splitters(False)

@@ -29,6 +29,11 @@ def _add_create_opts(p: argparse.ArgumentParser, append: bool = False) -> None:
     p.add_argument("-t", "--threads", type=int, default=0, help="no. of threads (0 = auto)")
     p.add_argument("-v", "--verbosity", type=int, default=0, help="verbosity [0, 2]")
     p.add_argument("-d", "--no-cmd-line", action="store_true", help="do not store the command line")
+    p.add_argument(
+        "-i", "--input-list", default="",
+        help="file with FASTA file names, one per line (alternative to "
+        "listing them on the command line; reference: create -i)",
+    )
 
 
 def _add_out_opts(p: argparse.ArgumentParser) -> None:
@@ -50,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("create", help="create archive from FASTA files (first file is the reference)")
     p.add_argument("out_archive")
-    p.add_argument("inputs", nargs="+", help="FASTA files (plain or gzipped)")
+    p.add_argument("inputs", nargs="*", help="FASTA files (plain or gzipped)")
     _add_create_opts(p)
     p.add_argument(
         "--shards", type=int, default=1,
@@ -66,7 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("append", help="append FASTA files to an existing archive")
     p.add_argument("in_archive")
     p.add_argument("out_archive")
-    p.add_argument("inputs", nargs="+")
+    p.add_argument("inputs", nargs="*")
     _add_create_opts(p, append=True)
 
     p = sub.add_parser("getcol", help="extract all samples")
@@ -155,6 +160,16 @@ def _dispatch(args) -> int:
             pack_cardinality=_clamp(args.batch, 1, 1_000_000_000),
             verbosity=args.verbosity,
         )
+        inputs = list(args.inputs)
+        if getattr(args, "input_list", ""):
+            with open(args.input_list) as f:
+                inputs.extend(
+                    line.strip() for line in f if line.strip()
+                )
+        if not inputs:
+            print("Error: no input FASTA files given", file=sys.stderr)
+            return 1
+        args.inputs = inputs
         if mode == "create":
             params.kmer_length = _clamp(args.kmer_len, 17, 32)
             params.min_match_len = _clamp(args.min_match_len, 15, 32)

@@ -241,3 +241,18 @@ def test_k32_boundary_create(tmp_path):
     archive = str(tmp_path / "k32.agc")
     create_archive(archive, [p for _, p in files], params)
     _check(archive, files, tmp_path)
+
+
+def test_cli_input_list(tmp_path):
+    """-i file-of-filenames (reference: create -i)."""
+    from agc_tpu.cli.main import main as cli_main
+
+    files = make_collection(tmp_path, n_samples=2, contig_lens=(8000,))
+    lst = tmp_path / "inputs.txt"
+    lst.write_text("\n".join(p for _, p in files) + "\n")
+    archive = str(tmp_path / "fromlist.agc")
+    rc = cli_main(["create", archive, "-i", str(lst), "-s", "1000"])
+    assert rc == 0
+    d = Decompressor(archive)
+    assert sorted(d.list_samples()) == sorted(s for s, _ in files)
+    d.close()

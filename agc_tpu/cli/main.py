@@ -82,8 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, default=0)
     p.add_argument("-v", "--verbosity", type=int, default=0)
     p.add_argument("-p", "--no-prefetch", action="store_true")
-    p.add_argument("--no-ref", action="store_true", help="skip the reference sample")
-    p.add_argument("--fast", action="store_true")
+    p.add_argument("-r", "--no-ref", action="store_true", help="skip the reference sample")
+    p.add_argument("-f", "--fast", action="store_true", help="fast mode (more RAM)")
 
     p = sub.add_parser("getset", help="extract listed samples")
     p.add_argument("in_archive")

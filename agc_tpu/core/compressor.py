@@ -704,7 +704,14 @@ class Compressor:
             any_batch = False
             for _, path in sample_files:
                 self.collection.reset_prev_sample_name()
-                for cid, raw in read_contigs_raw(path):
+                try:
+                    contig_iter = list(read_contigs_raw(path))
+                except OSError:
+                    import sys
+
+                    print(f"Cannot open file: {path}", file=sys.stderr)
+                    continue
+                for cid, raw in contig_iter:
                     if not self.collection.register_sample_contig("", cid):
                         print(
                             f"Error: Pair sample_name:contig_name {cid}:{cid} "
@@ -743,10 +750,18 @@ class Compressor:
         # in parallel). Started BEFORE splitter discovery so the first
         # samples load while discovery waits on the device.
         def load_file(path):
-            return [
-                (cid, preprocess_raw_contig(raw))
-                for cid, raw in read_contigs_raw(path)
-            ]
+            try:
+                return [
+                    (cid, preprocess_raw_contig(raw))
+                    for cid, raw in read_contigs_raw(path)
+                ]
+            except OSError:
+                # unopenable input: warn and skip, like the reference
+                # (agc_compressor.cpp:2165-2168)
+                import sys
+
+                print(f"Cannot open file: {path}", file=sys.stderr)
+                return []
 
         window = 3  # samples read ahead (bounds memory)
         producer_pool = ThreadPoolExecutor(max_workers=window)

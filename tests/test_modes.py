@@ -256,3 +256,17 @@ def test_cli_input_list(tmp_path):
     d = Decompressor(archive)
     assert sorted(d.list_samples()) == sorted(s for s, _ in files)
     d.close()
+
+
+def test_missing_input_skipped(tmp_path, capsys):
+    """Unopenable inputs warn and are skipped
+    (reference: agc_compressor.cpp:2165-2168)."""
+    files = make_collection(tmp_path, n_samples=1, contig_lens=(6000,))
+    params = CompressorParams()
+    params.segment_size = 1000
+    archive = str(tmp_path / "skip.agc")
+    inputs = [p for _, p in files] + [str(tmp_path / "nope.fa")]
+    create_archive(archive, inputs, params)
+    d = Decompressor(archive)
+    assert sorted(d.list_samples()) == sorted(s for s, _ in files)
+    d.close()

@@ -43,7 +43,7 @@ def _add_out_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("-t", "--threads", type=int, default=0)
     p.add_argument("-v", "--verbosity", type=int, default=0)
     p.add_argument("-p", "--no-prefetch", action="store_true", help="disable archive prefetch (lower memory)")
-    p.add_argument("--fast", action="store_true", help="fast decompression mode (higher memory)")
+    p.add_argument("--fast", action="store_true", help="fast decompression mode (always on in agc-tpu; accepted for compatibility)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -83,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbosity", type=int, default=0)
     p.add_argument("-p", "--no-prefetch", action="store_true")
     p.add_argument("-r", "--no-ref", action="store_true", help="skip the reference sample")
-    p.add_argument("-f", "--fast", action="store_true", help="fast mode (more RAM)")
+    p.add_argument("-f", "--fast", action="store_true", help="fast mode (always on in agc-tpu; accepted for compatibility)")
 
     p = sub.add_parser("getset", help="extract listed samples")
     p.add_argument("in_archive")

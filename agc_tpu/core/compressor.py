@@ -101,8 +101,20 @@ class _PendingSeg:
     sample: str
     contig: str
     part_no: int
-    data: bytes
+    data: bytes | None  # None: materialize from ``raw`` at store time
     is_rc: bool
+    raw: np.ndarray | None = None  # numeric view (reverse-complemented
+    # and converted on the store worker, off the matcher's thread)
+
+    def materialize(self) -> bytes:
+        if self.data is None:
+            arr = _rc_numeric(self.raw) if self.is_rc else self.raw
+            self.data = arr.astype(np.uint8, copy=False).tobytes()
+            self.raw = None
+        return self.data
+
+    def seq_len(self) -> int:
+        return len(self.raw) if self.data is None else len(self.data)
 
 
 def _union_hits(a, b):
@@ -1145,8 +1157,9 @@ class Compressor:
             if kmer_front.data() < kmer_back.data():
                 pk = (kmer_front.data(), kmer_back.data())
             else:
+                # RC + byte conversion deferred to the store worker
+                # (_PendingSeg.materialize); the matcher never reads them
                 pk = (kmer_back.data(), kmer_front.data())
-                segment_rc = _rc_numeric(segment)
                 store_rc = True
         elif kmer_front.full:
             segment_rc = _rc_numeric(segment)
@@ -1239,21 +1252,23 @@ class Compressor:
         def _bytes(arr):
             return arr.astype(np.uint8, copy=False).tobytes()
 
-        if not found:
-            data = _bytes(segment_rc if store_rc else segment)
-            self._buf_new.append(
-                (pk[0], pk[1], _PendingSeg(sample, contig, part_no, data, store_rc))
+        def pending(part):
+            if store_rc and segment_rc is None:
+                return _PendingSeg(
+                    sample, contig, part, None, store_rc, raw=segment
+                )
+            return _PendingSeg(
+                sample, contig, part,
+                _bytes(segment_rc if store_rc else segment), store_rc,
             )
+
+        if not found:
+            self._buf_new.append((pk[0], pk[1], pending(part_no)))
             return 0
 
         if segment_id2 == -1:
             segment_id = self.map_segments[pk]
-        if store_rc and segment_rc is None:
-            segment_rc = _rc_numeric(segment)
-        data = _bytes(segment_rc if store_rc else segment)
-        self._buf_known.setdefault(segment_id, []).append(
-            _PendingSeg(sample, contig, part_no, data, store_rc)
-        )
+        self._buf_known.setdefault(segment_id, []).append(pending(part_no))
         if segment_id2 >= 0:
             data2 = _bytes(segment2_rc if store2_rc else segment2)
             self._buf_known.setdefault(segment_id2, []).append(
@@ -1566,13 +1581,14 @@ class Compressor:
                 self.v_segments[gid] = seg
             placements = []
             for it in items:
+                data = it.materialize()
                 if gid < NO_RAW_GROUPS:
-                    in_group_id = seg.add_raw(it.data)
+                    in_group_id = seg.add_raw(data)
                 else:
-                    in_group_id = seg.add(it.data)
+                    in_group_id = seg.add(data)
                 placements.append(
                     (it.sample, it.contig, it.part_no, gid, in_group_id,
-                     it.is_rc, len(it.data))
+                     it.is_rc, len(data))
                 )
             return placements
 

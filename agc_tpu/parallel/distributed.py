@@ -176,13 +176,14 @@ class _CapturingCompressor(Compressor):
                 self.v_segments[gid] = seg
             cap = self.captured.setdefault(gid, [])
             for it in items:
+                data = it.materialize()
                 # feed the LZ context so estimates stay meaningful, but
                 # capture the raw member for the global merge
                 if gid >= NO_RAW_GROUPS and seg.no_seqs == 0:
-                    seg.lz.prepare(it.data)
-                    seg.ref_size = len(it.data) + 1
+                    seg.lz.prepare(data)
+                    seg.ref_size = len(data) + 1
                     seg.no_seqs = 1
-                cap.append((it.sample, it.contig, it.part_no, it.data, it.is_rc))
+                cap.append((it.sample, it.contig, it.part_no, data, it.is_rc))
         self._buf_known = {}
 
     def result(self) -> _ShardResult:

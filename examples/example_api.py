@@ -2,7 +2,10 @@
 src/examples/example-agc-lib-cpp.cpp): open an archive, enumerate
 samples/contigs, fetch one sequence and a range."""
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from agc_tpu import AGCFile
 

@@ -1,8 +1,11 @@
 """Compression example: build an archive from FASTA files, then verify a
 round-trip extraction."""
 
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from agc_tpu.core.compressor import CompressorParams, create_archive
 from agc_tpu.core.decompressor import Decompressor

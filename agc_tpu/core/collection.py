@@ -36,13 +36,17 @@ SAME_COMPONENT_MARKER = 0x81  # signed char -127 (collection_v3.cpp:377)
 
 
 def _zstd_c(data: bytes, level: int) -> bytes:
-    return zstandard.ZstdCompressor(level=level).compress(data)
+    from .segment import _zstd_level
+
+    return _zstd_level(level).compress(data)
 
 
 def _zstd_d(data: bytes, raw_size: int) -> bytes:
     if raw_size == 0 and not data:
         return b""
-    return zstandard.ZstdDecompressor().decompressobj().decompress(bytes(data))
+    from .segment import zstd_decompress_tolerant
+
+    return zstd_decompress_tolerant(data)
 
 
 def extract_contig_name(s: str) -> str:

@@ -24,11 +24,17 @@ from .lz import LZDiff, decode_v1, decode_v2
 CONTIG_SEPARATOR = 0xFF
 
 
+_zstd_d_tls = __import__("threading").local()
+
+
 def zstd_decompress_tolerant(data: bytes) -> bytes:
     """Decompress one zstd frame, ignoring trailing bytes (the reference
     appends a marker byte after the frame and passes the full buffer to
     ZSTD_decompressDCtx; segment.cpp:304)."""
-    return zstandard.ZstdDecompressor().decompressobj().decompress(bytes(data))
+    d = getattr(_zstd_d_tls, "d", None)
+    if d is None:
+        d = _zstd_d_tls.d = zstandard.ZstdDecompressor()
+    return d.decompressobj().decompress(bytes(data))
 
 
 # ---------------------------------------------------------------------------
@@ -195,8 +201,20 @@ class SegmentReader:
 # ---------------------------------------------------------------------------
 
 
+_zstd_tls = __import__("threading").local()
+
+
 def _zstd_level(level: int):
-    return zstandard.ZstdCompressor(level=level)
+    """Per-thread compressor cache: context setup costs real time at the
+    levels the format mandates (13/17/19), and members are compressed one
+    60 kb block at a time."""
+    cache = getattr(_zstd_tls, "c", None)
+    if cache is None:
+        cache = _zstd_tls.c = {}
+    c = cache.get(level)
+    if c is None:
+        c = cache[level] = zstandard.ZstdCompressor(level=level)
+    return c
 
 
 class SegmentWriter:

@@ -77,6 +77,14 @@ class _Sample:
     contigs: list = field(default_factory=list)
     contigs_loaded: bool = False
     details_loaded: bool = False
+    # lazy contig-name -> index map (placement would otherwise scan the
+    # contig list once per segment: quadratic for scaffold-heavy samples)
+    contig_ids: dict | None = None
+
+    def contig_index(self, name: str) -> int | None:
+        if self.contig_ids is None or len(self.contig_ids) != len(self.contigs):
+            self.contig_ids = {c.name: i for i, c in enumerate(self.contigs)}
+        return self.contig_ids.get(name)
 
 
 # ---------------------------------------------------------------------------
@@ -381,17 +389,18 @@ class CollectionV3:
         raw_length: int,
     ) -> None:
         stored = sample_name if sample_name else extract_contig_name(contig_name)
-        sid = self.sample_ids[stored]
-        for ctg in self.samples[sid].contigs:
-            if ctg.name == contig_name:
-                if place >= len(ctg.segments):
-                    ctg.segments.extend(
-                        None for _ in range(place + 1 - len(ctg.segments))
-                    )
-                ctg.segments[place] = SegmentDesc(
-                    group_id, in_group_id, is_rev_comp, raw_length
+        sample = self.samples[self.sample_ids[stored]]
+        ci = sample.contig_index(contig_name)
+        if ci is not None:
+            ctg = sample.contigs[ci]
+            if place >= len(ctg.segments):
+                ctg.segments.extend(
+                    None for _ in range(place + 1 - len(ctg.segments))
                 )
-                return
+            ctg.segments[place] = SegmentDesc(
+                group_id, in_group_id, is_rev_comp, raw_length
+            )
+            return
 
     # ------------------------------------------------------------------
     # serialization (compression side)
@@ -449,7 +458,7 @@ class CollectionV3:
         return [bytes(d) for d in v_data]
 
     def store_contig_batch(self, writer, id_from: int, id_to: int,
-                           executor=None):
+                           executor=None, evict: bool = False):
         """Write one batch of contig names + details (collection_v3.cpp:682-703).
 
         Serialization (which reads live collection state) happens HERE,
@@ -460,6 +469,13 @@ class CollectionV3:
         """
         names_raw = self.serialize_contig_names(id_from, id_to)
         v_data = self.serialize_contig_details(id_from, id_to)
+        if evict:
+            # create-side eviction, like the reference's stored-batch
+            # release (collection_v3.cpp): the serialized bytes above are
+            # the only thing the archive still needs from these samples
+            for s in self.samples[id_from:id_to]:
+                s.contigs = []
+                s.contig_ids = None
 
         def finish():
             writer.add_part_buffered(

@@ -948,6 +948,7 @@ class Compressor:
                 self.processed_samples - self.p.pack_cardinality,
                 self.processed_samples,
                 executor=self._store_pool,
+                evict=True,
             )
             if fut is not None:
                 self._pending_meta.append(fut)

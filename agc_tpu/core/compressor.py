@@ -870,9 +870,13 @@ class Compressor:
         # DISPATCHED (the batcher auto-flushes every 8 Mbase); draining on
         # a fixed count would force one tiny dispatch per contig for
         # small-genome collections (e.g. SARS-CoV-2: one RTT per sample).
-        # pipeline_syms caps buffered memory for huge-contig inputs.
+        # pipeline_syms caps buffered memory for huge-contig inputs; in
+        # adaptive mode it also bounds how much every splitter merge must
+        # delta-rescan, so it stays one flush-quantum deep.
         pipeline_syms = 0
-        _MAX_PIPELINE_SYMS = 64 << 20
+        _MAX_PIPELINE_SYMS = (
+            (8 << 20) if self.p.adaptive_compression else (64 << 20)
+        )
         _MIN_DEPTH = 4
 
         for si, sname, cid, codes in gen():

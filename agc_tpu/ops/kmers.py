@@ -494,10 +494,12 @@ def make_scan_table(sorted_u64, k: int):
     b = 1 << 14
     while b < both.size:
         b <<= 1
-    # pad pairs: arbitrary constant pair (a fake table row; collisions are
-    # false positives removed by host verification)
+    # pad pairs: arbitrary constant (a fake table row; matches are false
+    # positives removed by host verification). NOT an equal pair: the
+    # global join keys on tlo^thi, and an equal pair would mix to 0 — the
+    # poly-A dir mix, which occurs in dense runs in real genomes.
     thi = np.full(b, 0xDEADBEEF, dtype=np.uint32)
-    tlo = np.full(b, 0xDEADBEEF, dtype=np.uint32)
+    tlo = np.zeros(b, dtype=np.uint32)
     thi[: both.size] = (both >> np.uint64(32)).astype(np.uint32)
     tlo[: both.size] = (both & low).astype(np.uint32)
     return ScanTable("join", k, arr, tlo=jnp.asarray(tlo), thi=jnp.asarray(thi))
@@ -994,11 +996,14 @@ def scan_batch_join_global_p4(packed2d, k, thi, tlo, cap_total: int):
     payload = jnp.where(
         valid.reshape(flat), jnp.arange(flat, dtype=jnp.int32), -1
     )
-    s_hi, s_lo, s_pay = jax.lax.sort((dhi, dlo, payload), num_keys=2)
-    s64 = (s_hi.astype(jnp.uint64) << jnp.uint64(32)) | s_lo.astype(jnp.uint64)
-    t64 = (thi.astype(jnp.uint64) << jnp.uint64(32)) | tlo.astype(jnp.uint64)
-    lo_ix = jnp.searchsorted(s64, t64, side="left")
-    hi_ix = jnp.searchsorted(s64, t64, side="right")
+    # join on the 32-bit XOR mix (single-key sort, ~30% cheaper than the
+    # 64-bit pair): collisions are prefilter false positives, removed by
+    # the host's exact verification like in the compare-all path
+    mix = dlo ^ dhi
+    s_mix, s_pay = jax.lax.sort((mix, payload), num_keys=1)
+    tmix = jnp.sort(thi ^ tlo)
+    lo_ix = jnp.searchsorted(s_mix, tmix, side="left")
+    hi_ix = jnp.searchsorted(s_mix, tmix, side="right")
     cover = jnp.zeros(flat + 1, dtype=jnp.int32)
     cover = cover.at[lo_ix].add(1).at[hi_ix].add(-1)
     member = (jnp.cumsum(cover[:flat]) > 0) & (s_pay >= 0)

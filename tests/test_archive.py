@@ -89,3 +89,40 @@ def test_read_reference_fixture(toy_dir):
     assert "params" in names
     assert "collection-samples" in names
     r.close()
+
+
+def test_corrupted_archive_errors(tmp_path):
+    """Truncated or garbage archives must raise clean errors, not crash
+    (reference: 'Corrupted archive!' handling)."""
+    import pytest
+
+    from agc_tpu.core.decompressor import Decompressor
+
+    bad = tmp_path / "garbage.agc"
+    bad.write_bytes(b"not an archive at all")
+    with pytest.raises((ValueError, KeyError, IndexError)):
+        Decompressor(str(bad))
+
+    tiny = tmp_path / "tiny.agc"
+    tiny.write_bytes(b"\x00" * 4)
+    with pytest.raises(ValueError):
+        Decompressor(str(tiny))
+
+    # valid archive truncated in the middle
+    import random as _random
+
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from util import make_collection
+
+    files = make_collection(tmp_path, rng=_random.Random(9), n_samples=1,
+                            contig_lens=(5000,))
+    ok = tmp_path / "ok.agc"
+    params = CompressorParams()
+    params.segment_size = 1000
+    create_archive(str(ok), [p for _, p in files], params)
+    data = ok.read_bytes()
+    cut = tmp_path / "cut.agc"
+    cut.write_bytes(data[: len(data) // 2])
+    with pytest.raises((ValueError, KeyError, IndexError)):
+        d = Decompressor(str(cut))
+        d.get_contig_seq(files[0][0], "c1")

@@ -596,10 +596,17 @@ class Compressor:
         self._ensure_splitters()
         return set(self._splitter_set)
 
-    def _refresh_splitter_table(self) -> None:
+    def _refresh_splitter_table(self, new_sorted=None) -> None:
         """Rebuild the sorted splitter table and its device-resident copy
-        (uploaded once per change, not per contig)."""
-        self.splitters = np.array(sorted(self._splitter_set), dtype=np.uint64)
+        (uploaded once per change, not per contig). With ``new_sorted``
+        the host array is merged incrementally instead of re-sorting the
+        whole set (adaptive runs merge at thousands of barriers)."""
+        if new_sorted is not None and len(self.splitters):
+            self.splitters = np.union1d(self.splitters, new_sorted)
+        else:
+            self.splitters = np.array(
+                sorted(self._splitter_set), dtype=np.uint64
+            )
         if len(self.splitters):
             from ..ops.kmers import make_scan_table
 
@@ -961,12 +968,17 @@ class Compressor:
     def _merge_new_splitters(self) -> None:
         if not self._pending_new_splitters:
             return
+        added = []
         for d in self._pending_new_splitters:
             if d not in self._splitter_set:
                 self._splitter_set.add(d)
                 self._splitter_log.append(d)
+                added.append(d)
         self._pending_new_splitters = []
-        self._refresh_splitter_table()
+        if added:
+            self._refresh_splitter_table(
+                np.array(sorted(set(added)), dtype=np.uint64)
+            )
 
     def _merge_fallback_mappings(self) -> None:
         for prev_sp, cur_sp, kmer, is_dir in self._pending_fallback:

@@ -1322,6 +1322,9 @@ class Compressor:
             else:
                 candidates.append((d, cand, False))
         seg_size = len(segment_dir)
+        self._ensure_groups_ready(
+            self.map_segments[(c0, c1)] for c0, c1, _ in candidates
+        )
         ref_sizes = {}
         for c0, c1, is_rc in candidates:
             gid = self.map_segments[(c0, c1)]
@@ -1390,10 +1393,6 @@ class Compressor:
         self, kmer1: Kmer, kmer2: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
     ) -> tuple[int, int]:
         """reference: find_cand_segment_with_missing_middle_splitter (1502-1627)."""
-        # estimates read group writers: in-flight stores must land
-        # first (exact-pair segments never reach here, so the common
-        # path does not block on the async store)
-        self._join_pending_store()
         t1 = self.terminators.get(kmer1.data())
         t2 = self.terminators.get(kmer2.data())
         if not t1 or not t2:
@@ -1408,6 +1407,7 @@ class Compressor:
         gid2 = self.map_segments[
             (min(middle, kmer2.data()), max(middle, kmer2.data()))
         ]
+        self._ensure_groups_ready((gid1, gid2))
         seg1 = self.v_segments[gid1]
         seg2 = self.v_segments[gid2]
         seg_dir_b = segment_dir.astype(np.uint8, copy=False).tobytes()
@@ -1442,10 +1442,6 @@ class Compressor:
         self, segment: np.ndarray, max_val: int
     ) -> tuple[tuple[int, int], bool]:
         """reference: find_cand_segment_using_fallback_minimizers (1812-1963)."""
-        # estimates read group writers: in-flight stores must land
-        # first (exact-pair segments never reach here, so the common
-        # path does not block on the async store)
-        self._join_pending_store()
         from ..ops.kmers import scan_contig
 
         max_num_to_estimate = 10
@@ -1482,6 +1478,16 @@ class Compressor:
         segment_rc = _rc_numeric(segment)
         seg_b = segment.astype(np.uint8, copy=False).tobytes()
         seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
+        self._ensure_groups_ready(
+            gid
+            for gid in (
+                self.map_segments.get(
+                    (p[1], p[0]) if p[0] > p[1] else p
+                )
+                for _, p in pruned
+            )
+            if gid is not None
+        )
         best_pair = PK_EMPTY
         best_es = len(segment)
         for cnt, pair in pruned:
@@ -1573,6 +1579,26 @@ class Compressor:
         for fut in futures:
             for args in fut.result():
                 self.collection.add_segment_placed(*args)
+
+    def _ensure_groups_ready(self, gids) -> None:
+        """Fine-grained store join: estimates only read a group's
+        REFERENCE (member 0) and its match index — both immutable once
+        set — so the pending store must be joined only when a needed
+        group's reference is not there yet (i.e. the group was created at
+        the immediately-preceding barrier). The C++ index build is
+        mutex-guarded, so concurrent estimate/encode on a ready group is
+        safe. Append mode keeps the blanket join (writers rehydrate
+        lazily there)."""
+        if self._pending_store is None:
+            return
+        if self._mode == "append":
+            self._join_pending_store()
+            return
+        for gid in gids:
+            seg = self.v_segments[gid]
+            if seg is None or seg.ref_size == 0:
+                self._join_pending_store()
+                return
 
     def _store_segments(self, async_ok: bool = False) -> None:
         """Drain the per-group buffers: LZ-encode + store members, record

@@ -12,7 +12,9 @@
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC lz_native.cpp -o liblznative.so
 
 #include <cstdint>
+#include <atomic>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -54,12 +56,14 @@ struct LZContext {
   uint64_t ref_len = 0;      // unpadded length
   std::vector<int64_t> ht;   // position table, -1 empty
   uint64_t ht_mask = 0;
-  bool index_ready = false;
+  std::atomic<bool> index_ready = false;
 
   explicit LZContext(uint32_t mml)
       : min_match_len(mml),
         key_len(mml - kHashingStep + 1),
         key_mask(~0ULL >> (64 - 2 * (mml - kHashingStep + 1))) {}
+
+  std::mutex index_mtx;
 
   void prepare(const uint8_t* data, uint64_t len) {
     ref.assign(data, data + len);
@@ -108,6 +112,10 @@ struct LZContext {
   }
 
   inline void assure_index() {
+    // double-checked with a mutex: the matcher thread estimates against a
+    // group while the store worker encodes members into it
+    if (index_ready) return;
+    std::lock_guard<std::mutex> lk(index_mtx);
     if (!index_ready) build_index();
   }
 

@@ -1300,10 +1300,6 @@ class Compressor:
         self, kmer: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
     ) -> tuple[tuple[int, int], bool]:
         """reference: find_cand_segment_with_one_splitter (1630-1808)."""
-        # estimates read group writers: in-flight stores must land
-        # first (exact-pair segments never reach here, so the common
-        # path does not block on the async store)
-        self._join_pending_store()
         d = kmer.data()
         terms = self.terminators.get(d)
 

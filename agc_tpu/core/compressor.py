@@ -1674,22 +1674,25 @@ class Compressor:
         self._closed = True
         self._ensure_splitters()
         self._join_pending_store()
-        for fut in self._pending_meta:
-            fut.result()
-        self._pending_meta = []
-        if self._store_pool is not None:
-            self._store_pool.shutdown(wait=True)
-            self._store_pool = None
+        # finalize partial packs on the store worker while this thread
+        # serializes the remaining metadata (zstd releases the GIL)
         live = [seg for seg in self.v_segments if seg is not None]
-        if len(live) > 8 and self._n_threads > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        finish_fut = None
+        if self._store_pool is not None and live:
+            def finish_all():
+                for seg in live:
+                    seg.finish()
 
-            with ThreadPoolExecutor(max_workers=self._n_threads) as pool:
-                list(pool.map(lambda s: s.finish(), live))
+            finish_fut = self._store_pool.submit(finish_all)
         else:
             for seg in live:
                 seg.finish()
-        self.writer.flush_buffers()
+
+        # earlier metadata batches were compressed on the same worker
+        # queue; their parts must land before the partial batch below
+        for fut in self._pending_meta:
+            fut.result()
+        self._pending_meta = []
 
         # remaining partial metadata batch
         ps = self.processed_samples
@@ -1701,6 +1704,12 @@ class Compressor:
             )
         self._store_metadata()
         self.collection.complete_serialization(self.writer)
+        if finish_fut is not None:
+            finish_fut.result()
+        if self._store_pool is not None:
+            self._store_pool.shutdown(wait=True)
+            self._store_pool = None
+        self.writer.flush_buffers()
         self._store_file_type_info()
         self.writer.close()
         if self._mode == "append":

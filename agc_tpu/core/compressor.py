@@ -1522,8 +1522,13 @@ class Compressor:
     def _register_segments(self) -> None:
         """Assign ids to new groups (deterministic by splitter pair) and
         merge into the known buffers (reference: process_new,
-        agc_compressor.h:384-415)."""
-        self._join_pending_store()
+        agc_compressor.h:384-415).
+
+        Does NOT join in-flight stores: new groups get fresh ids, members
+        for existing groups queue behind earlier store jobs on the single
+        FIFO worker, and placements are applied at the next join point
+        (metadata batch / estimate-readiness / close) — so barrier stores
+        pipeline across samples instead of serializing each barrier."""
         if self._buf_new:
             new_pks = sorted({(k1, k2) for k1, k2, _ in self._buf_new})
             assigned: dict[tuple[int, int], int] = {}
@@ -1566,15 +1571,25 @@ class Compressor:
             self._buf_known[0] = keep
 
     def _join_pending_store(self) -> None:
-        """Wait for the previous barrier's async store and apply its
-        placements to the collection."""
-        if self._pending_store is None:
+        """Wait for ALL in-flight barrier stores and apply their
+        placements to the collection (in submission order)."""
+        if not self._pending_store:
             return
         futures = self._pending_store
         self._pending_store = None
         for fut in futures:
             for args in fut.result():
                 self.collection.add_segment_placed(*args)
+
+    def _join_oldest_store(self) -> None:
+        """Backpressure: land the oldest in-flight store."""
+        if not self._pending_store:
+            return
+        fut = self._pending_store.pop(0)
+        if not self._pending_store:
+            self._pending_store = None
+        for args in fut.result():
+            self.collection.add_segment_placed(*args)
 
     def _ensure_groups_ready(self, gids) -> None:
         """Fine-grained store join: estimates only read a group's
@@ -1636,6 +1651,16 @@ class Compressor:
         # merges touch no group state
         use_async = async_ok and bool(groups)
         if use_async:
+            # pre-set LZ references for groups born this barrier (cheap,
+            # main thread): the matcher can then estimate against them
+            # without joining the in-flight store
+            for gid in groups:
+                if gid >= NO_RAW_GROUPS and self.v_segments[gid] is None:
+                    items = buf[gid]
+                    items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
+                    seg = self._make_writer(gid)
+                    seg.preset_ref(items[0].materialize())
+                    self.v_segments[gid] = seg
             if self._store_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -1651,7 +1676,12 @@ class Compressor:
                     out.extend(store_group(g))
                 return out
 
-            self._pending_store = [self._store_pool.submit(store_all)]
+            if self._pending_store is None:
+                self._pending_store = []
+            self._pending_store.append(self._store_pool.submit(store_all))
+            # bound the in-flight queue (memory + placement lag)
+            while len(self._pending_store) > 8:
+                self._join_oldest_store()
             return
         if len(groups) > 4 and self._n_threads > 1:
             from concurrent.futures import ThreadPoolExecutor

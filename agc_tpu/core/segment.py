@@ -239,6 +239,7 @@ class SegmentWriter:
         self.v_raw: list[bytes] = []
         self.ref_size = 0
         self._ref_stored = False
+        self._ref_preset = False
         # appending-mode rehydration state
         self._packed_ref: tuple[bytes, int] | None = None
         self._packed_delta: tuple[bytes, int] | None = None
@@ -293,11 +294,21 @@ class SegmentWriter:
         self.v_raw.append(bytes(seq))
         return self.no_seqs - 1
 
+    def preset_ref(self, seq: bytes) -> None:
+        """Prepare the LZ reference ahead of the store worker (cheap: one
+        copy), so the matcher can estimate against this group without
+        waiting for the async store. add() must NOT re-prepare afterwards
+        (the matcher may be estimating concurrently)."""
+        self.lz.prepare(seq)
+        self.ref_size = len(seq) + 1
+        self._ref_preset = True
+
     def add(self, seq: bytes) -> int:
         """LZ-encode vs the group reference (reference: segment.cpp:34-80)."""
         self._ensure_unpacked()
         if self.no_seqs == 0:
-            self.lz.prepare(seq)
+            if not self._ref_preset:
+                self.lz.prepare(seq)
             self._store_ref(bytes(seq))
             self.ref_size = len(seq) + 1
             self.no_seqs = 1

@@ -115,6 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("info", help="archive info")
     p.add_argument("in_archive")
+    p.add_argument("-o", "--output", default="", help="output file (default: stderr)")
     p.add_argument("-v", "--verbosity", type=int, default=0)
     p.add_argument("-p", "--no-prefetch", action="store_true")
 
@@ -270,20 +271,23 @@ def _dispatch(args) -> int:
     if mode == "info":
         d = Decompressor(args.in_archive, prefetch=prefetch)
         p = d.get_params()
-        print(f"No. samples      : {d.get_no_samples()}", file=sys.stderr)
-        print(f"k-mer length     : {p['kmer_length']}", file=sys.stderr)
-        print(f"Min. match length: {p['min_match_len']}", file=sys.stderr)
+        out = open(args.output, "w") if args.output else sys.stderr
+        print(f"No. samples      : {d.get_no_samples()}", file=out)
+        print(f"k-mer length     : {p['kmer_length']}", file=out)
+        print(f"Min. match length: {p['min_match_len']}", file=out)
         if p["segment_size"]:
-            print(f"Segment size     : {p['segment_size']}", file=sys.stderr)
-        print(f"Batch size       : {p['pack_cardinality']}", file=sys.stderr)
-        print(f"Reference name   : {d.get_reference_sample()}", file=sys.stderr)
-        print("Command lines:", file=sys.stderr)
+            print(f"Segment size     : {p['segment_size']}", file=out)
+        print(f"Batch size       : {p['pack_cardinality']}", file=out)
+        print(f"Reference name   : {d.get_reference_sample()}", file=out)
+        print("Command lines:", file=out)
         for cmd, when in getattr(d.collection, "cmd_lines", []):
-            print(f"{when} : {cmd}", file=sys.stderr)
+            print(f"{when} : {cmd}", file=out)
         if args.verbosity > 0:
-            print("File type info:", file=sys.stderr)
+            print("File type info:", file=out)
             for k in sorted(d.file_type_info):
-                print(f"  {k} : {d.file_type_info[k]}", file=sys.stderr)
+                print(f"  {k} : {d.file_type_info[k]}", file=out)
+        if args.output:
+            out.close()
         d.close()
         return 0
 

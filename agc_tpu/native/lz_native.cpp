@@ -99,11 +99,18 @@ struct LZContext {
     for (uint64_t i = 0; i + key_len < padded; i += kHashingStep) {
       uint64_t code = code_at(ref.data() + i);
       if (code == ~0ULL) continue;
-      uint64_t pos = murmur64(code) & ht_mask;
+      uint64_t h = murmur64(code);
+      uint64_t pos = h & ht_mask;
+      // entry layout: (position << 8) | key-tag. The tag lets probes skip
+      // entries whose key cannot match without touching the reference
+      // bytes (equal first key_len symbols <=> equal codes, so tag
+      // filtering never changes which matches are found).
+      int64_t entry =
+          static_cast<int64_t>((i << 8) | (h >> 56));
       for (uint32_t t = 0; t < kMaxTries; ++t) {
         uint64_t p = (pos + t) & ht_mask;
         if (ht[p] < 0) {
-          ht[p] = static_cast<int64_t>(i);
+          ht[p] = entry;
           break;
         }
       }
@@ -144,13 +151,17 @@ struct LZContext {
     len_bck = 0;
     len_fwd = 0;
     uint32_t min_to_update = min_match_len;
-    uint64_t pos = murmur64(code) & ht_mask;
+    uint64_t hsh = murmur64(code);
+    uint64_t pos = hsh & ht_mask;
+    const uint8_t tag = static_cast<uint8_t>(hsh >> 56);
     const uint8_t* s = text + i;
     const uint32_t max_len = static_cast<uint32_t>(text_len - i);
     bool found = false;
     for (uint32_t t = 0; t < kMaxTries; ++t) {
-      int64_t h = ht[(pos + t) & ht_mask];
-      if (h < 0) break;
+      int64_t e = ht[(pos + t) & ht_mask];
+      if (e < 0) break;
+      if (static_cast<uint8_t>(e) != tag) continue;
+      int64_t h = e >> 8;
       const uint8_t* p = ref.data() + h;
       uint32_t limit = max_len;
       // padded reference guarantees in-bounds reads; padding mismatches text

@@ -54,8 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="mode", required=True)
 
     p = sub.add_parser("create", help="create archive from FASTA files (first file is the reference)")
-    p.add_argument("out_archive")
-    p.add_argument("inputs", nargs="*", help="FASTA files (plain or gzipped)")
+    p.add_argument("inputs", nargs="*", help="FASTA files (plain or gzipped); the first is the reference")
+    p.add_argument("-o", "--output", default="", help="output archive (default: stdout)")
     _add_create_opts(p)
     p.add_argument(
         "--shards", type=int, default=1,
@@ -70,8 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("append", help="append FASTA files to an existing archive")
     p.add_argument("in_archive")
-    p.add_argument("out_archive")
     p.add_argument("inputs", nargs="*")
+    p.add_argument("-o", "--output", default="", help="output archive (default: stdout)")
     _add_create_opts(p, append=True)
 
     p = sub.add_parser("getcol", help="extract all samples")
@@ -171,21 +171,48 @@ def _dispatch(args) -> int:
             print("Error: no input FASTA files given", file=sys.stderr)
             return 1
         args.inputs = inputs
-        if mode == "create":
-            params.kmer_length = _clamp(args.kmer_len, 17, 32)
-            params.min_match_len = _clamp(args.min_match_len, 15, 32)
-            params.segment_size = _clamp(args.segment_size, 100, 1_000_000)
-            if getattr(args, "shards", 1) > 1:
-                from ..parallel.distributed import create_archive_sharded
+        # reference convention (application.cpp:108,177): the archive goes
+        # to stdout unless -o names a file
+        to_stdout = not args.output
+        if to_stdout:
+            import tempfile
 
-                create_archive_sharded(
-                    args.out_archive, args.inputs, params,
-                    n_shards=args.shards, worker=args.shard_workers,
-                )
-            else:
-                create_archive(args.out_archive, args.inputs, params)
+            fd, out_archive = tempfile.mkstemp(suffix=".agc")
+            import os as _os
+
+            _os.close(fd)
         else:
-            append_archive(args.in_archive, args.out_archive, args.inputs, params)
+            out_archive = args.output
+        try:
+            if mode == "create":
+                params.kmer_length = _clamp(args.kmer_len, 17, 32)
+                params.min_match_len = _clamp(args.min_match_len, 15, 32)
+                params.segment_size = _clamp(args.segment_size, 100, 1_000_000)
+                if getattr(args, "shards", 1) > 1:
+                    from ..parallel.distributed import create_archive_sharded
+
+                    create_archive_sharded(
+                        out_archive, args.inputs, params,
+                        n_shards=args.shards, worker=args.shard_workers,
+                    )
+                else:
+                    create_archive(out_archive, args.inputs, params)
+            else:
+                append_archive(args.in_archive, out_archive, args.inputs, params)
+            if to_stdout:
+                with open(out_archive, "rb") as f:
+                    import shutil
+
+                    shutil.copyfileobj(f, sys.stdout.buffer)
+                sys.stdout.buffer.flush()
+        finally:
+            if to_stdout:
+                import os as _os
+
+                try:
+                    _os.unlink(out_archive)
+                except OSError:
+                    pass
         return 0
 
     from ..core.decompressor import Decompressor

@@ -92,6 +92,15 @@ class _Sample:
 # ---------------------------------------------------------------------------
 
 
+def _decode_name(raw: bytes) -> str:
+    """Archive names are raw byte strings in the format; decode UTF-8 with a
+    latin-1 fallback so malformed (e.g. binary) names never crash reads."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _split_tokens(s: bytes) -> list[bytes]:
     return s.split(b" ")
 
@@ -177,7 +186,7 @@ class CollectionLegacy:
     @staticmethod
     def _read_str(data, pos):
         raw, pos = read_cstr(data, pos)
-        return raw.decode("utf-8"), pos
+        return _decode_name(raw), pos
 
     @classmethod
     def from_archive_v1(cls, reader) -> "CollectionLegacy":
@@ -517,7 +526,7 @@ class CollectionV3:
         n_samples, pos = dec_prefix_varint(data, pos)
         for i in range(n_samples):
             name, pos = read_cstr(data, pos)
-            name = name.decode("utf-8")
+            name = _decode_name(name)
             coll.sample_ids[name] = i
             coll.samples.append(_Sample(name=name))
         return coll
@@ -541,7 +550,7 @@ class CollectionV3:
                     prev_split = curr_split
                 else:
                     name_bytes, prev_split = _decode_split(prev_split, curr_split)
-                sample.contigs.append(_Contig(name=name_bytes.decode("utf-8")))
+                sample.contigs.append(_Contig(name=_decode_name(name_bytes)))
             sample.contigs_loaded = True
         self.no_samples_in_last_batch = n_samples
 

@@ -55,7 +55,7 @@ def test_cli_create_shards(tmp_path):
     files = make_collection(tmp_path, n_samples=3, contig_lens=(15000,))
     archive = str(tmp_path / "cli_sharded.agc")
     rc = cli_main(
-        ["create", archive, *[p for _, p in files], "--shards", "2", "-s", "1000"]
+        ["create", "-o", archive, *[p for _, p in files], "--shards", "2", "-s", "1000"]
     )
     assert rc == 0
     d = Decompressor(archive)

@@ -251,7 +251,7 @@ def test_cli_input_list(tmp_path):
     lst = tmp_path / "inputs.txt"
     lst.write_text("\n".join(p for _, p in files) + "\n")
     archive = str(tmp_path / "fromlist.agc")
-    rc = cli_main(["create", archive, "-i", str(lst), "-s", "1000"])
+    rc = cli_main(["create", "-o", archive, "-i", str(lst), "-s", "1000"])
     assert rc == 0
     d = Decompressor(archive)
     assert sorted(d.list_samples()) == sorted(s for s, _ in files)

@@ -166,7 +166,7 @@ def test_cli_smoke(toy_dir, tmp_path, capsys):
 
     archive = str(tmp_path / "toy.agc")
     files = [os.path.join(toy_dir, f"{s}.fa") for s in ("ref", "a", "b", "c")]
-    assert main(["create", archive] + files) == 0
+    assert main(["create", "-o", archive] + files) == 0
     assert main(["listset", archive, "-o", str(tmp_path / "samples.txt")]) == 0
     with open(tmp_path / "samples.txt") as f:
         assert f.read().splitlines() == ["a", "b", "c", "ref"]

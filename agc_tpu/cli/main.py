@@ -63,9 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
         "extract identically for any shard count)",
     )
     p.add_argument(
-        "--shard-workers", choices=("thread", "process"), default="thread",
-        help="shard execution: threads (share this process's device) or "
-        "processes (independent runtimes, the multi-host shape)",
+        "--shard-workers", choices=("thread", "process", "jaxdist"),
+        default="thread",
+        help="shard execution: threads (share this process's device), "
+        "processes (independent runtimes, the multi-host shape), or "
+        "jaxdist (jax.distributed process group with collective splitter "
+        "discovery — one worker per host)",
     )
 
     p = sub.add_parser("append", help="append FASTA files to an existing archive")
@@ -189,12 +192,20 @@ def _dispatch(args) -> int:
                 params.min_match_len = _clamp(args.min_match_len, 15, 32)
                 params.segment_size = _clamp(args.segment_size, 100, 1_000_000)
                 if getattr(args, "shards", 1) > 1:
-                    from ..parallel.distributed import create_archive_sharded
+                    if args.shard_workers == "jaxdist":
+                        from ..parallel.jaxdist import create_archive_jaxdist
 
-                    create_archive_sharded(
-                        out_archive, args.inputs, params,
-                        n_shards=args.shards, worker=args.shard_workers,
-                    )
+                        create_archive_jaxdist(
+                            out_archive, args.inputs, params,
+                            n_procs=args.shards,
+                        )
+                    else:
+                        from ..parallel.distributed import create_archive_sharded
+
+                        create_archive_sharded(
+                            out_archive, args.inputs, params,
+                            n_shards=args.shards, worker=args.shard_workers,
+                        )
                 else:
                     create_archive(out_archive, args.inputs, params)
             else:

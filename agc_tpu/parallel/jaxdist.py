@@ -1,0 +1,391 @@
+"""True multi-process (multi-host) ``create`` over ``jax.distributed``.
+
+The reference tool is strictly single-host (SURVEY.md section 2.6: threads
+only, no NCCL/MPI). This module is the pod-scale layer the TPU build adds:
+every host runs one process of this worker, joined through
+``jax.distributed.initialize``; the dense exchanges ride XLA collectives
+over the global device mesh, and the ragged merge payload travels through
+the coordination-service key-value store that the pod's processes already
+share.
+
+Collective schedule (the distributed analogue of the reference's in-band
+``new_splitters``/``registration`` token protocol, agc_compressor.cpp:
+1114-1237):
+
+1. **K-mer pool merge, range-partitioned** — each host collects the
+   canonical k-mers of its slice of the reference contigs, buckets them by
+   owner (``kmer % n_procs``) and exchanges buckets with one
+   ``all_to_all`` over the host mesh axis. Each host then counts ONLY its
+   owned range and keeps the globally-unique k-mers (singletons). This is
+   the distributed replacement for the reference's single radix sort +
+   ``remove_non_singletons`` (agc_compressor.cpp:490, 664).
+2. **Singleton table replication** — one padded ``all_gather``; every host
+   ends up with the identical sorted singleton table.
+3. **Greedy splitter emission, contig-sharded** — the reference's greedy
+   scan is per-contig (find_splitters_in_contig, agc_compressor.cpp:762),
+   so hosts split the reference contigs round-robin and union the emitted
+   splitter k-mers with a second padded ``all_gather``. The union is
+   order-independent, hence identical on every host.
+4. **Data-parallel compression** — samples round-robin across hosts, each
+   host runs the standard device-scan + host-matcher pipeline against the
+   replicated splitter set (``_CapturingCompressor``).
+5. **Merge on the writer host** — shard results are posted to the
+   coordination KV store; host 0 replays them with the deterministic
+   merge (``_merge_shards``), producing an archive whose extraction
+   output is byte-identical to a single-host create.
+
+On real pods phases 1-3 ride ICI/DCN; the CPU test shape (used by
+tests/test_jaxdist.py) runs N local processes with gloo collectives,
+which exercises the identical code path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import os
+import pickle
+import sys
+
+import numpy as np
+
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # canonical k-mers are min(dir,rc),
+# and rc(all-ones) == 0, so the all-ones word can never be a canonical code
+
+
+# ---------------------------------------------------------------------------
+# mesh + padded collective helpers
+# ---------------------------------------------------------------------------
+
+
+def _host_mesh(n_procs: int):
+    """One device per process, ordered by process index."""
+    import jax
+    from jax.sharding import Mesh
+
+    per_proc: dict[int, object] = {}
+    for d in jax.devices():
+        per_proc.setdefault(d.process_index, d)
+    devs = [per_proc[i] for i in range(n_procs)]
+    return Mesh(np.array(devs), ("host",))
+
+
+def _global_rows(mesh, local_block: np.ndarray):
+    """Assemble a global array sharded on axis 0 over "host" from each
+    process's local block (same shape everywhere)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.devices.size
+    global_shape = (n * local_block.shape[0],) + local_block.shape[1:]
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("host")), local_block, global_shape
+    )
+
+
+def _replicated_np(arr) -> np.ndarray:
+    import jax
+
+    return np.asarray(jax.device_get(arr.addressable_shards[0].data))
+
+
+def _allgather_counts(mesh, pid: int, n: int, value: int) -> np.ndarray:
+    """Every process learns every process's ``value`` (psum of one-hots)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = np.zeros((1, n), dtype=np.int64)
+    row[0, pid] = value
+    arr = _global_rows(mesh, row)
+    f = jax.jit(
+        shard_map(
+            lambda x: jax.lax.psum(x, "host"),
+            mesh=mesh,
+            in_specs=P("host", None),
+            out_specs=P("host", None),
+            check_vma=False,
+        )
+    )
+    return _replicated_np(f(arr)).reshape(n)
+
+
+def _allgather_u64(mesh, pid: int, n: int, values: np.ndarray) -> np.ndarray:
+    """Union-style gather of ragged u64 arrays: pad to the global max,
+    all_gather, strip sentinels. Returns the concatenation (all rows)."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    counts = _allgather_counts(mesh, pid, n, len(values))
+    m = max(1, int(counts.max()))
+    row = np.full((1, m), _SENTINEL, dtype=np.uint64)
+    row[0, : len(values)] = values
+    arr = _global_rows(mesh, row)
+    f = jax.jit(
+        shard_map(
+            lambda x: jax.lax.all_gather(x, "host", axis=0, tiled=True),
+            mesh=mesh,
+            in_specs=P("host", None),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+    )
+    rows = _replicated_np(f(arr))
+    out = [rows[j, : counts[j]] for j in range(n)]
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
+
+
+def _all_to_all_buckets(mesh, pid: int, n: int, buckets: list[np.ndarray]):
+    """Send bucket j to process j; receive this process's bucket from
+    everyone. Buckets are sentinel-padded to the global max bucket size."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local_max = max((len(b) for b in buckets), default=0)
+    counts = _allgather_counts(mesh, pid, n, local_max)
+    m = max(1, int(counts.max()))
+    block = np.full((n, m), _SENTINEL, dtype=np.uint64)
+    for j, b in enumerate(buckets):
+        block[j, : len(b)] = b
+    arr = _global_rows(mesh, block)
+    f = jax.jit(
+        shard_map(
+            lambda x: jax.lax.all_to_all(
+                x, "host", split_axis=0, concat_axis=0, tiled=True
+            ),
+            mesh=mesh,
+            in_specs=P("host", None),
+            out_specs=P("host", None),
+        )
+    )
+    rows = _replicated_np(f(arr))  # (n, m): row j = my bucket from proc j
+    mine = rows.reshape(-1)
+    return mine[mine != _SENTINEL]
+
+
+# ---------------------------------------------------------------------------
+# distributed splitter discovery
+# ---------------------------------------------------------------------------
+
+
+def _distributed_splitters(
+    mesh, pid: int, n: int, reference_file: str, params
+) -> set:
+    """Phases 1-3 of the module docstring. Returns the (identical on every
+    host) splitter k-mer set."""
+    from ..core.genome_io import preprocess_raw_contig, read_contigs_raw
+    from ..ops.kmers import canon_kmers_np
+
+    k = params.kmer_length
+    contigs = [
+        preprocess_raw_contig(raw) for _, raw in read_contigs_raw(reference_file)
+    ]
+    my_contigs = list(range(pid, len(contigs), n))
+
+    # 1. local k-mer occurrences -> range-partitioned exchange
+    locs = []
+    for ci in my_contigs:
+        canon, valid = canon_kmers_np(contigs[ci], k)
+        locs.append(canon[valid])
+    local = (
+        np.concatenate(locs) if locs else np.empty(0, dtype=np.uint64)
+    )
+    owner = (local % np.uint64(n)).astype(np.int64)
+    buckets = [local[owner == j] for j in range(n)]
+    owned = _all_to_all_buckets(mesh, pid, n, buckets)
+
+    # owned range: global singleton = appears exactly once anywhere
+    owned.sort()
+    if len(owned):
+        first = np.concatenate(([True], owned[1:] != owned[:-1]))
+        last = np.concatenate((owned[1:] != owned[:-1], [True]))
+        singles = owned[first & last]
+    else:
+        singles = owned
+
+    # 2. replicate the full singleton table
+    table = _allgather_u64(mesh, pid, n, singles)
+    table.sort()
+
+    # 3. greedy emission over my contig slice (reference rules:
+    #    agc_compressor.cpp:762-825), union across hosts
+    seg = params.segment_size
+    found: list[int] = []
+    for ci in my_contigs:
+        codes = contigs[ci]
+        if len(codes) < k:
+            continue
+        canon, valid = canon_kmers_np(codes, k)
+        ix = np.searchsorted(table, canon)
+        member = valid & (
+            table[np.minimum(ix, max(0, table.size - 1))] == canon
+        ) if table.size else np.zeros(len(canon), dtype=bool)
+        hits = np.flatnonzero(member)
+        last_emit = None
+        for p in hits.tolist():
+            if last_emit is not None and (p - last_emit) < seg:
+                continue
+            if last_emit is not None and p < last_emit + k:
+                continue
+            found.append(int(canon[p]))
+            last_emit = p
+        floor = (last_emit + k) if last_emit is not None else 0
+        tail = hits[hits >= floor]
+        if len(tail):
+            found.append(int(canon[tail[-1]]))
+
+    merged = _allgather_u64(
+        mesh, pid, n, np.array(sorted(set(found)), dtype=np.uint64)
+    )
+    return set(int(x) for x in merged)
+
+
+# ---------------------------------------------------------------------------
+# worker
+# ---------------------------------------------------------------------------
+
+
+def run_worker(
+    pid: int,
+    n_procs: int,
+    coordinator: str,
+    out_path: str,
+    input_files: list[str],
+    params=None,
+) -> None:
+    """One host's role in a distributed create. Call once per process;
+    process 0 writes the archive."""
+    import jax
+
+    plat = os.environ.get("AGC_TPU_WORKER_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=n_procs, process_id=pid
+    )
+    from jax._src import distributed as _dist
+
+    kv = _dist.global_state.client
+
+    from ..core.compressor import CompressorParams
+    from ..core.genome_io import sample_name_from_path
+    from .distributed import _CapturingCompressor, _merge_shards
+
+    params = params or CompressorParams()
+    if params.adaptive_compression or params.concatenated_genomes:
+        raise NotImplementedError(
+            "distributed create currently supports the default mode"
+        )
+
+    seen: set = set()
+    files = [f for f in input_files if not (f in seen or seen.add(f))]
+    sample_files = [(sample_name_from_path(f), f) for f in files]
+
+    mesh = _host_mesh(n_procs)
+    splitter_set = _distributed_splitters(mesh, pid, n_procs, files[0], params)
+
+    # phase 4: compress my sample shard
+    my_files = [sf for i, sf in enumerate(sample_files) if i % n_procs == pid]
+    comp = _CapturingCompressor(params, splitter_set, pid)
+    comp.add_sample_files(my_files)
+    res = comp.result()
+
+    # phase 5: results to the writer host via the coordination KV store.
+    # (Pod-scale note: the KV store is fine for toy/test payloads; at
+    # production scale the same rendezvous should carry object-store URIs
+    # instead of inline pickles.)
+    blob = pickle.dumps(res, protocol=pickle.HIGHEST_PROTOCOL)
+    kv.key_value_set_bytes(f"agc_shard_{pid}", blob)
+
+    if pid == 0:
+        results = [res]
+        for j in range(1, n_procs):
+            raw = kv.blocking_key_value_get_bytes(
+                f"agc_shard_{j}", 600_000
+            )
+            results.append(pickle.loads(raw))
+        _merge_shards(out_path, params, sample_files, splitter_set, results)
+        kv.key_value_set("agc_merge_done", "1")
+    else:
+        kv.blocking_key_value_get("agc_merge_done", 600_000)
+    jax.distributed.shutdown()
+
+
+def _parse_params(blob: str):
+    from ..core.compressor import CompressorParams
+
+    if not blob:
+        return CompressorParams()
+    return pickle.loads(base64.b64decode(blob))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="agc-tpu-distributed-worker",
+        description="one host's worker process of a distributed create",
+    )
+    ap.add_argument("--coordinator", required=True, help="host:port of process 0")
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--procid", type=int, required=True)
+    ap.add_argument("--out", required=True, help="output archive (written by process 0)")
+    ap.add_argument("--params", default="", help="base64 pickled CompressorParams")
+    ap.add_argument("inputs", nargs="+", help="FASTA inputs (first is the reference)")
+    a = ap.parse_args(argv)
+    run_worker(
+        a.procid, a.nprocs, a.coordinator, a.out, a.inputs, _parse_params(a.params)
+    )
+    return 0
+
+
+def create_archive_jaxdist(
+    out_path: str,
+    input_files: list[str],
+    params=None,
+    n_procs: int = 2,
+    coordinator: str | None = None,
+) -> None:
+    """Local launcher: spawn ``n_procs`` worker processes on this machine
+    (the single-machine shape of a pod run; each worker is exactly what one
+    pod host would execute). Workers run on the CPU backend unless
+    AGC_TPU_WORKER_PLATFORM overrides it — a single tunneled TPU chip
+    cannot be shared by several processes."""
+    import pickle as _p
+    import socket
+    import subprocess
+
+    if coordinator is None:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            coordinator = f"127.0.0.1:{s.getsockname()[1]}"
+
+    env = dict(os.environ)
+    env.setdefault("AGC_TPU_WORKER_PLATFORM", "cpu")
+    env.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    blob = base64.b64encode(
+        _p.dumps(params, protocol=_p.HIGHEST_PROTOCOL)
+    ).decode() if params is not None else ""
+
+    procs = []
+    for pid in range(n_procs):
+        cmd = [
+            sys.executable, "-m", "agc_tpu.parallel.jaxdist",
+            "--coordinator", coordinator,
+            "--nprocs", str(n_procs),
+            "--procid", str(pid),
+            "--out", out_path,
+        ]
+        if blob:
+            cmd += ["--params", blob]
+        cmd += list(input_files)
+        procs.append(subprocess.Popen(cmd, env=env))
+    rc = [p.wait() for p in procs]
+    if any(rc):
+        raise RuntimeError(f"distributed workers failed: exit codes {rc}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

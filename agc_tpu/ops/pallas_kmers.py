@@ -14,12 +14,17 @@ static in-kernel slices of a (k-1)-padded copy, so every add is an aligned
 (8,128) VPU op. Output halves are reassembled (or compared pairwise) by
 the caller.
 
-Status: validated prototype, NOT wired into the scan path — the Mosaic
-build in this toolchain lacks a dynamic_slice lowering for the shifted
-reads (NotImplementedError at compile time on real TPU), and the XLA
-log-doubling core (kmers._dir_halves) already runs at a small fraction
-of the scan budget. Kept for when the toolchain catches up; interpret
-mode keeps it correct on CPU (tests/test_pallas_kmers.py).
+Status: the single-block variant (chunks up to BLOCK_ROWS*LANE = 64K
+symbols) COMPILES AND MATCHES the XLA core on real TPU hardware — the
+shifted reads are expressed as lane-rotates + seam selects, which Mosaic
+lowers (it rejects lane-unaligned slice+concat and has no dynamic_slice
+or 1D vector ops in this toolchain). The gridded variant for multi-block
+chunks is written and correct in interpret mode, but any grid invocation
+of this body crashes this image's remote Mosaic compiler (tpu_compile
+helper exit 1); it is kept for when the toolchain catches up. The scan
+path stays on the XLA log-doubling core (kmers._dir_halves), which runs
+at a small fraction of the scan budget. tests/test_pallas_kmers.py
+cross-checks both variants in interpret mode.
 """
 
 from __future__ import annotations
@@ -38,26 +43,29 @@ SUBLANE = 8
 TILE = LANE * SUBLANE  # 1024 symbols per (8,128) tile
 
 
-def _kmer_halves_kernel(k: int, pad: int, codes_ref, dlo_ref, dhi_ref,
-                        rlo_ref, rhi_ref):
-    """codes_ref: uint32[(pad + N) // LANE, LANE] with ``pad`` leading
-    sentinel symbols; outputs are uint32[N // LANE, LANE]."""
-    c = codes_ref[:]  # (rows, LANE) uint32
-    rows = c.shape[0]
+def _accumulate_halves(k, cur, prev, dlo_ref, dhi_ref, rlo_ref, rhi_ref):
+    """Shared accumulation: cur[r, l] = symbol at output position r*LANE+l,
+    prev = the same block shifted one row earlier (for the lane seam)."""
     n_rows = dlo_ref.shape[0]
-    flat = c.reshape(rows * LANE)
-
-    dlo = jnp.zeros(n_rows * LANE, dtype=jnp.uint32)
-    dhi = jnp.zeros(n_rows * LANE, dtype=jnp.uint32)
-    rlo = jnp.zeros(n_rows * LANE, dtype=jnp.uint32)
-    rhi = jnp.zeros(n_rows * LANE, dtype=jnp.uint32)
+    dlo = jnp.zeros((n_rows, LANE), dtype=jnp.uint32)
+    dhi = jnp.zeros((n_rows, LANE), dtype=jnp.uint32)
+    rlo = jnp.zeros((n_rows, LANE), dtype=jnp.uint32)
+    rhi = jnp.zeros((n_rows, LANE), dtype=jnp.uint32)
     three = jnp.uint32(3)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANE), 1)
     for j in range(k):
-        # c[i - j] for output positions i in [0, N): slice the padded copy
-        start = pad - j
-        shifted = jax.lax.dynamic_slice(flat, (start,), (n_rows * LANE,))
-        sym = shifted & three  # invalid symbols are masked by the caller
+        # c[i - j] over the lane-major layout: lane-rotate the current and
+        # previous row blocks and select at the seam. (Mosaic lowers
+        # jnp.roll/iota/where; it rejects lane-unaligned slices+concat and
+        # has no dynamic_slice or 1D vector ops in this toolchain.)
+        if j == 0:
+            sh = cur
+        else:
+            sh = jnp.where(
+                lane < j, jnp.roll(prev, j, axis=1), jnp.roll(cur, j, axis=1)
+            )
+        sym = sh & three  # invalid symbols are masked by the caller
         comp = three - sym
         if j < 16:
             dlo = dlo + (sym << jnp.uint32(2 * j))
@@ -69,10 +77,40 @@ def _kmer_halves_kernel(k: int, pad: int, codes_ref, dlo_ref, dhi_ref,
         else:
             rhi = rhi + (comp << jnp.uint32(2 * (m - 16)))
 
-    dlo_ref[:] = dlo.reshape(n_rows, LANE)
-    dhi_ref[:] = dhi.reshape(n_rows, LANE)
-    rlo_ref[:] = rlo.reshape(n_rows, LANE)
-    rhi_ref[:] = rhi.reshape(n_rows, LANE)
+    dlo_ref[:] = dlo
+    dhi_ref[:] = dhi
+    rlo_ref[:] = rlo
+    rhi_ref[:] = rhi
+
+
+def _kmer_halves_kernel(k: int, pad: int, codes_ref, dlo_ref, dhi_ref,
+                        rlo_ref, rhi_ref):
+    """Single-block variant: codes_ref is uint32[(pad + N) // LANE, LANE]
+    with ``pad`` leading sentinel symbols; outputs uint32[N // LANE, LANE]."""
+    c = codes_ref[:]
+    n_rows = dlo_ref.shape[0]
+    pad_rows = pad // LANE
+    cur = c[pad_rows : pad_rows + n_rows, :]
+    prev = c[pad_rows - 1 : pad_rows - 1 + n_rows, :]
+    _accumulate_halves(k, cur, prev, dlo_ref, dhi_ref, rlo_ref, rhi_ref)
+
+
+def _kmer_halves_grid_kernel(k: int, prev_ref, cur_ref, dlo_ref, dhi_ref,
+                             rlo_ref, rhi_ref):
+    """Grid variant: cur_ref is this step's (BLOCK_ROWS, LANE) block,
+    prev_ref the preceding block (only its last row — the halo — is used);
+    the first grid step's prev block is the zero pad block."""
+    cur = cur_ref[:]
+    br = cur.shape[0]
+    prevblk = prev_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 0)
+    prev = jnp.where(
+        row == 0, jnp.roll(prevblk, 1, axis=0), jnp.roll(cur, 1, axis=0)
+    )
+    _accumulate_halves(k, cur, prev, dlo_ref, dhi_ref, rlo_ref, rhi_ref)
+
+
+BLOCK_ROWS = 512  # 64K symbols per grid step (~2.3 MB resident in VMEM)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -86,18 +124,40 @@ def kmer_halves_pallas(codes: jnp.ndarray, k: int, interpret: bool = False):
     """
     n = codes.shape[0]
     assert n % TILE == 0, "pad chunks to multiples of 1024"
-    pad = 128  # >= k - 1, keeps slices lane-aligned
     c32 = codes.astype(jnp.uint32)
-    padded = jnp.concatenate([jnp.zeros(pad, dtype=jnp.uint32), c32])
-    rows = (n + pad) // LANE
-    grid_codes = padded.reshape(rows, LANE)
+    n_rows = n // LANE
+    out_shape = jax.ShapeDtypeStruct((n_rows, LANE), jnp.uint32)
 
-    out_shape = jax.ShapeDtypeStruct((n // LANE, LANE), jnp.uint32)
-    dlo, dhi, rlo, rhi = pl.pallas_call(
-        partial(_kmer_halves_kernel, k, pad),
-        out_shape=(out_shape, out_shape, out_shape, out_shape),
-        interpret=interpret,
-    )(grid_codes)
+    if n_rows <= BLOCK_ROWS:
+        # single block (plus one pad row for the lane seam)
+        pad = LANE
+        padded = jnp.concatenate([jnp.zeros(pad, dtype=jnp.uint32), c32])
+        grid_codes = padded.reshape(n_rows + 1, LANE)
+        dlo, dhi, rlo, rhi = pl.pallas_call(
+            partial(_kmer_halves_kernel, k, pad),
+            out_shape=(out_shape, out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(grid_codes)
+    else:
+        # grid over BLOCK_ROWS-row blocks; the array is re-passed with a
+        # one-block offset so each step also sees its predecessor (halo).
+        # VMEM stays bounded and the pipeline double-buffers the DMA.
+        assert n_rows % BLOCK_ROWS == 0, "bucket big chunks to 64K multiples"
+        padded = jnp.concatenate(
+            [jnp.zeros(BLOCK_ROWS * LANE, dtype=jnp.uint32), c32]
+        ).reshape(n_rows + BLOCK_ROWS, LANE)
+        n_blocks = n_rows // BLOCK_ROWS
+        spec_prev = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i, 0))
+        spec_cur = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i + 1, 0))
+        spec_out = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i, 0))
+        dlo, dhi, rlo, rhi = pl.pallas_call(
+            partial(_kmer_halves_grid_kernel, k),
+            grid=(n_blocks,),
+            in_specs=[spec_prev, spec_cur],
+            out_specs=(spec_out, spec_out, spec_out, spec_out),
+            out_shape=(out_shape, out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(padded, padded)
     return (
         dlo.reshape(n),
         dhi.reshape(n),

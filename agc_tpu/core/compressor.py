@@ -133,6 +133,21 @@ def _union_hits(a, b):
 
 
 def _rc_numeric(arr: np.ndarray) -> np.ndarray:
+    """Reverse complement of a numeric sequence (ACGT codes 0-3 flip,
+    N/IUPAC codes pass through; reference: agc_basic.cpp:257-315).
+    Single native pass when the fast library is available."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and arr.flags.c_contiguous and arr.dtype == np.uint8:
+        import ctypes
+
+        out = np.empty(len(arr), dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.rc_numeric(
+            arr.ctypes.data_as(u8p), len(arr), out.ctypes.data_as(u8p)
+        )
+        return out
     out = arr[::-1].copy()
     mask = out < 4
     out[mask] = 3 - out[mask]
@@ -1408,30 +1423,51 @@ class Compressor:
         seg2 = self.v_segments[gid2]
         seg_dir_b = segment_dir.astype(np.uint8, copy=False).tobytes()
         seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
-
-        if kmer1.data() < middle:
-            v1 = seg1.get_coding_cost(seg_dir_b, True)
-        else:
-            v1 = seg1.get_coding_cost(seg_rc_b, False)[::-1]
-        v1 = np.cumsum(v1.astype(np.int64))
-
-        if middle < kmer2.data():
-            v2 = seg2.get_coding_cost(seg_dir_b, False).astype(np.int64)
-            v2 = np.cumsum(v2[::-1])[::-1]
-        else:
-            v2 = seg2.get_coding_cost(seg_rc_b, True).astype(np.int64)
-            v2 = np.cumsum(v2)[::-1]
-
-        if len(v1) != len(v2):
+        n = len(seg_dir_b)
+        if n == 0:
             return EMPTY, 0
-        if not len(v1):
-            return EMPTY, 0
-        sums = v1 + v2
-        best_pos = int(np.argmin(sums))
+
+        lz1, lz2 = seg1.lz, seg2.lz
+        if lz1._ctx is not None and lz2._ctx is not None:
+            # fused native path: both cost walks + cumulative sums +
+            # argmin in one GIL-free call (no intermediate vectors)
+            seg1._ensure_unpacked()
+            seg2._ensure_unpacked()
+            if kmer1.data() < middle:
+                t1, pc1, rev1 = seg_dir_b, 1, 0
+            else:
+                t1, pc1, rev1 = seg_rc_b, 0, 1
+            if middle < kmer2.data():
+                t2, mode2 = seg_dir_b, 0
+            else:
+                t2, mode2 = seg_rc_b, 1
+            best_pos = int(
+                lz1._lib.lz_split_point(
+                    lz1._ctx, t1, pc1, rev1, lz2._ctx, t2, mode2, n
+                )
+            )
+        else:
+            if kmer1.data() < middle:
+                v1 = seg1.get_coding_cost(seg_dir_b, True)
+            else:
+                v1 = seg1.get_coding_cost(seg_rc_b, False)[::-1]
+            v1 = np.cumsum(v1.astype(np.int64))
+
+            if middle < kmer2.data():
+                v2 = seg2.get_coding_cost(seg_dir_b, False).astype(np.int64)
+                v2 = np.cumsum(v2[::-1])[::-1]
+            else:
+                v2 = seg2.get_coding_cost(seg_rc_b, True).astype(np.int64)
+                v2 = np.cumsum(v2)[::-1]
+
+            if len(v1) != len(v2):
+                return EMPTY, 0
+            sums = v1 + v2
+            best_pos = int(np.argmin(sums))
         if best_pos < self.k + 1:
             best_pos = 0
-        if best_pos + self.k + 1 > len(v1):
-            best_pos = len(v1)
+        if best_pos + self.k + 1 > n:
+            best_pos = n
         return middle, best_pos
 
     def _find_cand_fallback(

@@ -156,6 +156,13 @@ def get_lib():
         lib.fasta_preprocess.argtypes = [u8p, ctypes.c_uint64, u8p, u8p]
         lib.pack_nibbles.restype = None
         lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
+        lib.rc_numeric.restype = None
+        lib.rc_numeric.argtypes = [u8p, ctypes.c_uint64, u8p]
+        lib.lz_split_point.restype = ctypes.c_int64
+        lib.lz_split_point.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64,
+        ]
         lib.numeric_to_fasta.restype = ctypes.c_uint64
         lib.numeric_to_fasta.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint32, u8p,

@@ -636,6 +636,68 @@ uint64_t numeric_to_fasta(const uint8_t* codes, uint64_t n,
 // any symbol > 3 (non-ACGT) collapses to 15 (the scan kernels only need
 // an invalid marker). n may be odd; the trailing nibble of the last byte
 // is 15. out size = (n + 1) / 2.
+// Fused missing-middle split-point search (reference:
+// find_cand_segment_with_missing_middle_splitter, agc_compressor.cpp:
+// 1502-1627): combine the left group's prefix coding costs with the
+// right group's suffix costs and return argmin — both cost walks, the
+// two cumulative sums, and the argmin in one GIL-free call with no
+// intermediate arrays crossing the FFI boundary.
+//   t1/pc1/rev1: text, prefix flag, and reverse flag for ctx1's walk
+//   mode2: 0 = suffix-cumsum of cost(ctx2, t2, /*prefix=*/0)
+//          1 = reversed prefix-cumsum of cost(ctx2, t2, /*prefix=*/1)
+// Texts share length n (the dir and rc views of one segment).
+int64_t lz_split_point(void* vctx1, const uint8_t* t1, int pc1, int rev1,
+                       void* vctx2, const uint8_t* t2, int mode2,
+                       uint64_t n) {
+  if (n == 0) return 0;
+  std::vector<uint32_t> c1(n), c2(n);
+  lz_cost_vector(vctx1, t1, n, pc1, c1.data());
+  lz_cost_vector(vctx2, t2, n, mode2 == 1 ? 1 : 0, c2.data());
+
+  // V1[i] = cumsum(c1')[i] where c1' = rev1 ? reverse(c1) : c1
+  // V2[i] = mode2 ? reversed-cumsum(c2)[i] : suffix-sum(c2)[i]
+  // best = argmin_i V1[i] + V2[i]; scan i ascending with running sums.
+  uint64_t best_pos = 0;
+  uint64_t best = ~0ULL;
+  uint64_t s1 = 0;
+  if (mode2 == 0) {
+    // suffix sums of c2: S2[i] = sum(c2[i..n-1])
+    uint64_t tot2 = 0;
+    for (uint64_t i = 0; i < n; ++i) tot2 += c2[i];
+    uint64_t pre2 = 0;  // sum(c2[0..i-1])
+    for (uint64_t i = 0; i < n; ++i) {
+      s1 += c1[rev1 ? n - 1 - i : i];
+      uint64_t v = s1 + (tot2 - pre2);  // s1 + sum(c2[i..n-1])
+      if (v < best) { best = v; best_pos = i; }
+      pre2 += c2[i];
+    }
+  } else {
+    // V2 = reverse(cumsum(c2)): V2[i] = sum(c2[0..n-1-i])
+    // precompute prefix sums once (single pass, then combined pass)
+    std::vector<uint64_t> p2(n);
+    uint64_t acc = 0;
+    for (uint64_t i = 0; i < n; ++i) { acc += c2[i]; p2[i] = acc; }
+    for (uint64_t i = 0; i < n; ++i) {
+      s1 += c1[rev1 ? n - 1 - i : i];
+      uint64_t v = s1 + p2[n - 1 - i];
+      if (v < best) { best = v; best_pos = i; }
+    }
+  }
+  return static_cast<int64_t>(best_pos);
+}
+
+// Fused reverse-complement of a numeric sequence: out[i] =
+// complement(in[n-1-i]), where ACGT (0-3) maps to 3-x and any other
+// code (N=4, IUPAC 5-15, invalid 30) passes through unchanged
+// (reference: reverse_complement_copy, agc_basic.cpp:257-315). One pass,
+// GIL-free under ctypes -> overlaps the matcher thread.
+void rc_numeric(const uint8_t* in, uint64_t n, uint8_t* out) {
+  uint8_t lut[256];
+  for (int i = 0; i < 256; ++i) lut[i] = (uint8_t)i;
+  for (int i = 0; i < 4; ++i) lut[i] = (uint8_t)(3 - i);
+  for (uint64_t i = 0; i < n; ++i) out[i] = lut[in[n - 1 - i]];
+}
+
 void pack_nibbles(const uint8_t* in, uint64_t n, uint8_t* out) {
   uint64_t i = 0, o = 0;
   for (; i + 2 <= n; i += 2, ++o) {

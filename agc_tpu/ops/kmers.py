@@ -21,6 +21,7 @@ for window w[0..k-1]. All kernels return *left-aligned* u64 codes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -1063,6 +1064,7 @@ def _dispatch_scan_chunk(packed_dev, table: "ScanTable", cap: int):
 
 
 _XFER_POOL = None
+_DL_POOL = None
 
 
 def _xfer_pool():
@@ -1077,7 +1079,23 @@ def _xfer_pool():
     return _XFER_POOL
 
 
+def _dl_pool():
+    """Dedicated download thread: result matrices are pulled to host
+    memory as soon as the device finishes, off the matcher thread and
+    without blocking the upload/dispatch threads."""
+    global _DL_POOL
+    if _DL_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _DL_POOL = ThreadPoolExecutor(1, thread_name_prefix="agc-dl")
+    return _DL_POOL
+
+
 _BATCH_ROWS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+# eager device->host download of scan results on a dedicated thread
+# (AGC_TPU_SYNC_DL=1 reverts to lazy downloads on the matcher thread)
+_EAGER_DL = os.environ.get("AGC_TPU_SYNC_DL", "0") != "1"
 
 
 _BATCH_SYMBOL_BUDGET = 32 << 20  # max symbols per batched dispatch
@@ -1167,7 +1185,19 @@ class ScanBatcher:
                         mat[len(group):] = 0xFF
                     return _dispatch_scan_batch(mat, self.table, cap), mat
 
-                fut = _xfer_pool().submit(job)
+                def download(dispatch_fut):
+                    # runs on the download thread once the dispatch job is
+                    # queued: wait for the device and pull the compact
+                    # result matrix to host memory, so collect() on the
+                    # matcher thread never pays a tunnel round-trip.
+                    (out, is_global), mat = dispatch_fut.result()
+                    return (np.asarray(out), is_global), mat
+
+                dispatch_fut = _xfer_pool().submit(job)
+                if _EAGER_DL:
+                    fut = _dl_pool().submit(download, dispatch_fut)
+                else:
+                    fut = dispatch_fut
                 for row, part in enumerate(group):
                     part["out"] = fut
                     part["row"] = row

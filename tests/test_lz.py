@@ -135,3 +135,65 @@ def test_match_to_end_token():
     enc = lz.encode(text)
     assert decode_v2(ref, enc, 20) == text
     assert enc.endswith(b".")
+
+
+def test_native_split_point_matches_numpy():
+    """lz_split_point (fused native missing-middle search) must pick the
+    same split position as the numpy cost-vector combination for every
+    flag combination (reference: agc_compressor.cpp:1502-1627)."""
+    import numpy as np
+
+    from agc_tpu.core.lz import LZDiff
+    from agc_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    left = rng.integers(0, 4, size=n, dtype=np.uint8)
+    right = rng.integers(0, 4, size=n, dtype=np.uint8)
+    # text: left half matches ref1, right half matches ref2 (with noise)
+    text = np.concatenate([left[: n // 2], right[n // 2 :]])
+    snp = rng.integers(0, n, size=12)
+    text[snp] = (text[snp] + 1) % 4
+    rc = (3 - text)[::-1].copy()
+
+    lz1 = LZDiff(20)
+    lz1.prepare(left.tobytes())
+    lz2 = LZDiff(20)
+    lz2.prepare(right.tobytes())
+
+    tb, rb = text.tobytes(), rc.tobytes()
+
+    def numpy_best(pc1_dir, mode2_dir):
+        if pc1_dir:
+            v1 = np.frombuffer(
+                lz1.get_coding_cost_vector(tb, True), dtype=np.uint32
+            )
+            v1 = np.cumsum(v1.astype(np.int64))
+        else:
+            v1 = lz1.get_coding_cost_vector(rb, False)[::-1]
+            v1 = np.cumsum(v1.astype(np.int64))
+        if mode2_dir:
+            v2 = lz2.get_coding_cost_vector(tb, False).astype(np.int64)
+            v2 = np.cumsum(v2[::-1])[::-1]
+        else:
+            v2 = lz2.get_coding_cost_vector(rb, True).astype(np.int64)
+            v2 = np.cumsum(v2)[::-1]
+        return int(np.argmin(v1 + v2))
+
+    for pc1_dir in (True, False):
+        for mode2_dir in (True, False):
+            want = numpy_best(pc1_dir, mode2_dir)
+            t1, pc1, rev1 = (tb, 1, 0) if pc1_dir else (rb, 0, 1)
+            t2, mode2 = (tb, 0) if mode2_dir else (rb, 1)
+            got = int(
+                lib.lz_split_point(
+                    lz1._ctx, t1, pc1, rev1, lz2._ctx, t2, mode2, n
+                )
+            )
+            assert got == want, (pc1_dir, mode2_dir, got, want)

@@ -172,6 +172,8 @@ class Compressor:
 
     # class-level defaults so subclasses with reduced __init__ (e.g. the
     # distributed capturing shard) inherit safe values
+    _ref_scan_cache = None
+    _ref_scan_file = None
     _store_pool = None
     _pending_store = None
     _pending_meta = ()
@@ -229,6 +231,13 @@ class Compressor:
         self._pending_store = None  # list of in-flight store futures
         self._pending_meta = []  # in-flight metadata batch compressions
         self._pending_reference = None  # deferred create-time discovery
+        # per-contig splitter hits of the discovery reference, recorded
+        # during discovery: every splitter is a SINGLETON of the
+        # reference, so its only reference occurrence is its emission
+        # position — the reference sample's membership scan is fully
+        # known before it runs and is skipped (non-adaptive modes)
+        self._ref_scan_cache: list[dict] | None = None
+        self._ref_scan_file: str | None = None
         from ..utils.profiling import StageTimers
 
         self.timers = StageTimers()
@@ -408,9 +417,12 @@ class Compressor:
                 & (singles[np.minimum(ix, max(singles.size - 1, 0))] == w)
             )
 
-        for canon, valid in canons:
+        cache = []
+        for contig_codes, (canon, valid) in zip(contigs, canons):
             n = len(canon)
+            emitted: list[int] = []
             if not n or not singles.size:
+                cache.append({"n": len(contig_codes), "hits": None})
                 continue
             last = None
             t = 0
@@ -420,6 +432,7 @@ class Compressor:
                 if len(nz):
                     p = t + int(nz[0])
                     splitters.append(int(canon[p]))
+                    emitted.append(p)
                     last = p
                     t = p + seg
                 else:
@@ -435,12 +448,34 @@ class Compressor:
                     p = lo + int(nz[-1])
                     if p >= floor:
                         splitters.append(int(canon[p]))
+                        emitted.append(p)
                     break
                 s -= W
+            cache.append(self._emission_hits(contig_codes, emitted))
+        self._ref_scan_cache = cache
         self._splitter_set = set(splitters)
         self._refresh_splitter_table()
         if self.p.verbosity > 1:
             print(f"No. of splitters: {len(self._splitter_set)}")
+
+    def _emission_hits(self, codes: np.ndarray, pos_list) -> dict:
+        """Materialize (pos, udir, urc) scan hits for splitter emission
+        positions of one discovery-reference contig (same layout as
+        ScanBatcher.collect: left-aligned u64 codes, position = last base
+        of the k-mer)."""
+        from ..ops.kmers import _revcomp_np, _shift_for
+
+        pos = np.asarray(sorted(int(p) for p in pos_list), dtype=np.int64)
+        k = self.k
+        dir_u = np.zeros(len(pos), dtype=np.uint64)
+        for j in range(k):
+            dir_u |= codes[pos - j].astype(np.uint64) << np.uint64(2 * j)
+        rc_u = _revcomp_np(dir_u, k)
+        sh = np.uint64(_shift_for(k))
+        return {
+            "n": len(codes),
+            "hits": (pos, dir_u << sh, rc_u << sh),
+        }
 
     def _sorted_pool(self, device_chunks: list):
         """Concatenate per-chunk device k-mer arrays and sort (sentinel-
@@ -515,6 +550,7 @@ class Compressor:
         """reference: agc_compressor.cpp:428-563."""
         from ..ops.kmers import collect_kmers_device
 
+        self._ref_scan_file = reference_file
         contigs = []
         for cid, raw in read_contigs_raw(reference_file):
             contigs.append(preprocess_raw_contig(raw))
@@ -549,6 +585,7 @@ class Compressor:
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
             self._cand_singletons_dev = None
+            cache = []
             for codes, recs in zip(contigs, contig_recs):
                 pos, kmers, tail_pos, tail_kmer = (
                     find_splitter_emissions_from_chunks(
@@ -556,11 +593,15 @@ class Compressor:
                     )
                 )
                 splitters.extend(int(x) for x in kmers)
+                emitted = [int(x) for x in pos]
                 last = int(pos[-1]) if len(pos) else None
                 if tail_pos is not None and (
                     last is None or tail_pos >= last + self.k
                 ):
                     splitters.append(int(tail_kmer))
+                    emitted.append(int(tail_pos))
+                cache.append(self._emission_hits(codes, emitted))
+            self._ref_scan_cache = cache
             self._splitter_set = set(splitters)
             self._refresh_splitter_table()
             if self.p.verbosity > 1:
@@ -574,16 +615,21 @@ class Compressor:
             # emission chain runs on device (one dispatch per contig)
             from ..ops.kmers import find_splitter_emissions
 
+            cache = []
             for codes in contigs:
                 pos, kmers, tail_pos, tail_kmer = find_splitter_emissions(
                     codes, self.k, table, self.p.segment_size
                 )
                 splitters.extend(int(x) for x in kmers)
+                emitted = [int(x) for x in pos]
                 last = int(pos[-1]) if len(pos) else None
                 if tail_pos is not None and (
                     last is None or tail_pos >= last + self.k
                 ):
                     splitters.append(int(tail_kmer))
+                    emitted.append(int(tail_pos))
+                cache.append(self._emission_hits(codes, emitted))
+            self._ref_scan_cache = cache
         else:
             for codes in contigs:
                 found, fallbacks = self._find_splitters_in_contig(
@@ -825,7 +871,7 @@ class Compressor:
                     # collection registration stays on the consumer thread
                     # (deterministic order w.r.t. barriers)
                     self.collection.reset_prev_sample_name()
-                    for cid, codes in contigs:
+                    for ci, (cid, codes) in enumerate(contigs):
                         if not self.collection.register_sample_contig(
                             sample_name, cid
                         ):
@@ -835,9 +881,27 @@ class Compressor:
                                 "archive!"
                             )
                             continue
-                        yield si, sample_name, cid, codes
+                        yield si, sample_name, cid, codes, ci
             finally:
                 producer_pool.shutdown(wait=False)
+
+        def cached_hits(si, ci, codes):
+            """Precomputed splitter hits for the discovery reference's
+            own contigs: every splitter is a reference singleton, so its
+            only occurrence is its recorded emission position — the
+            membership scan's outcome is known without running it."""
+            if (
+                self._ref_scan_cache is None
+                or sample_files[si][1] != self._ref_scan_file
+                or self._splitter_log  # table grew since discovery
+            ):
+                return None
+            if ci >= len(self._ref_scan_cache):
+                return None
+            ent = self._ref_scan_cache[ci]
+            if ent["n"] != len(codes) or ent["hits"] is None:
+                return None
+            return ent["hits"]
 
         pipeline: deque = deque()
         prev_si = None
@@ -884,7 +948,7 @@ class Compressor:
 
         def oldest_dispatched() -> bool:
             token = pipeline[0]["token"]
-            return token["kind"] == "empty" or all(
+            return token["kind"] != "parts" or all(
                 "out" in p for p in token["parts"]
             )
 
@@ -901,10 +965,16 @@ class Compressor:
         )
         _MIN_DEPTH = 4
 
-        for si, sname, cid, codes in gen():
+        for si, sname, cid, codes, ci in gen():
+            hits = cached_hits(si, ci, codes)
+            token = (
+                {"kind": "precomputed", "hits": hits}
+                if hits is not None
+                else batcher.add(codes)
+            )
             pipeline.append(
                 {"si": si, "sname": sname, "cid": cid, "codes": codes,
-                 "token": batcher.add(codes), "batcher": batcher,
+                 "token": token, "batcher": batcher,
                  "deltas": []}
             )
             pipeline_syms += len(codes)

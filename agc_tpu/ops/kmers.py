@@ -1223,6 +1223,10 @@ class ScanBatcher:
 
     def collect(self, token):
         """Resolve a token to (pos, udir, urc)."""
+        if token["kind"] == "precomputed":
+            # hits known without a scan (e.g. the discovery reference's
+            # own contigs: splitters are singletons at recorded positions)
+            return token["hits"]
         if token["kind"] == "empty":
             return (
                 np.empty(0, dtype=np.int64),

@@ -223,3 +223,67 @@ def test_host_discovery_matches_device(tmp_path):
         return s
 
     assert splitters(True) == splitters(False)
+
+
+def test_ref_scan_cache_matches_scanned_archive(tmp_path):
+    """The discovery reference's own splitter hits are precomputed from
+    emission positions (every splitter is a reference singleton); the
+    archive must be byte-identical to one built with the membership scan
+    forced on (cache disabled)."""
+    import numpy as np
+
+    from agc_tpu.core import compressor as comp
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from tests.util import write_fa
+
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def seq(n):
+        return bytes(alpha[rng.integers(0, 4, size=n)]).decode()
+
+    contigs = [("c1", seq(30000)), ("c2", seq(20000)), ("tiny", seq(40))]
+    ref = tmp_path / "ref.fa"
+    write_fa(str(ref), contigs)
+    s1 = tmp_path / "s1.fa"
+    mut = bytearray(contigs[0][1].encode())
+    for i in range(0, len(mut), 777):
+        mut[i] = b"ACGT"[(mut[i] + 1) % 4]
+    write_fa(str(s1), [("c1", mut.decode()), ("c2", contigs[1][1])])
+
+    params = CompressorParams(segment_size=5000)
+    a_cached = tmp_path / "cached.agc"
+    create_archive(str(a_cached), [str(ref), str(s1)], params)
+
+    orig = comp.Compressor.determine_splitters
+
+    def no_cache(self, reference_file):
+        orig(self, reference_file)
+        self._ref_scan_cache = None
+
+    comp.Compressor.determine_splitters = no_cache
+    try:
+        a_scanned = tmp_path / "scanned.agc"
+        create_archive(str(a_scanned), [str(ref), str(s1)], params)
+    finally:
+        comp.Compressor.determine_splitters = orig
+
+    # physical part order in the file may differ (stores flush at
+    # different moments relative to the skipped scans); the archives must
+    # be stream-for-stream, part-for-part identical, which is what every
+    # reader sees through the footer index
+    from agc_tpu.core.archive import ArchiveReader
+
+    def contents(path):
+        r = ArchiveReader(str(path))
+        out = {
+            sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+            for sn in r.stream_names()
+        }
+        r.close()
+        return out
+
+    c_cached, c_scanned = contents(a_cached), contents(a_scanned)
+    assert set(c_cached) == set(c_scanned)
+    for sn in c_cached:
+        assert c_cached[sn] == c_scanned[sn], f"stream {sn} differs"

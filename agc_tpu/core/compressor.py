@@ -238,6 +238,12 @@ class Compressor:
         # known before it runs and is skipped (non-adaptive modes)
         self._ref_scan_cache: list[dict] | None = None
         self._ref_scan_file: str | None = None
+        # discovery's preprocessed reference contigs, handed to the sample
+        # producer so the reference file is read+converted once, not twice
+        import threading
+
+        self._ref_codes: list[tuple[str, np.ndarray]] | None = None
+        self._ref_codes_ready = threading.Event()
         from ..utils.profiling import StageTimers
 
         self.timers = StageTimers()
@@ -551,9 +557,22 @@ class Compressor:
         from ..ops.kmers import collect_kmers_device
 
         self._ref_scan_file = reference_file
-        contigs = []
-        for cid, raw in read_contigs_raw(reference_file):
-            contigs.append(preprocess_raw_contig(raw))
+        try:
+            self._determine_splitters_impl(reference_file)
+        finally:
+            # unblock the sample producer waiting to reuse the reference
+            # contigs (load_file in add_sample_files)
+            self._ref_codes_ready.set()
+
+    def _determine_splitters_impl(self, reference_file: str) -> None:
+        from ..ops.kmers import collect_kmers_device
+
+        named = [
+            (cid, preprocess_raw_contig(raw))
+            for cid, raw in read_contigs_raw(reference_file)
+        ]
+        self._ref_codes = named
+        contigs = [codes for _, codes in named]
         total = sum(len(c) for c in contigs)
         if (
             not self.fallback_filter
@@ -779,6 +798,7 @@ class Compressor:
         """
         if self.p.concatenated_genomes:
             self._ensure_splitters()
+            self._ref_codes = None  # reused only by the pipelined path
             batch: list[tuple[str, str, np.ndarray]] = []
             n_in_batch = self.processed_samples % self.p.pack_cardinality
             any_batch = False
@@ -830,6 +850,14 @@ class Compressor:
         # in parallel). Started BEFORE splitter discovery so the first
         # samples load while discovery waits on the device.
         def load_file(path):
+            if path == (self._pending_reference or self._ref_scan_file):
+                # the discovery pass already reads+converts this file;
+                # wait for it and reuse its contigs (one core: the
+                # duplicate parse would serialize with everything else)
+                self._ref_codes_ready.wait()
+                out, self._ref_codes = self._ref_codes, None
+                if out is not None:
+                    return out
             try:
                 return [
                     (cid, preprocess_raw_contig(raw))

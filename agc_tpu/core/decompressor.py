@@ -6,6 +6,7 @@ src/core/agc_decompressor.{h,cpp}.
 
 from __future__ import annotations
 
+import os
 import re
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -392,6 +393,10 @@ class Decompressor:
         no_ref: bool = False,
     ) -> bool:
         """Extract every sample to <dir>/<sample>.fa[.gz] or stdout."""
+        if out_dir and not os.path.isdir(out_dir):
+            # reference: "Path must point to an existing directory"
+            # (agc_decompressor.cpp:122-125)
+            raise ValueError("Path must point to an existing directory")
         samples = self.collection.get_samples_list(sorted_=False)
         if no_ref and samples:
             samples = samples[1:]

@@ -495,9 +495,17 @@ class Compressor:
             if len(device_chunks) > 1
             else device_chunks[0]
         )
+        # quarter-octave buckets: <=25% sort padding (a pow2 bucket can
+        # nearly double the bitonic sort work) at ~4 shapes per octave
+        n = pool.shape[0]
         b = 1 << 14
-        while b < pool.shape[0]:
+        while b < n:
             b <<= 1
+        half = b >> 1
+        for q in (half + half // 4, half + half // 2, half + 3 * half // 4, b):
+            if n <= q:
+                b = q
+                break
         if b != pool.shape[0]:
             pool = jnp.concatenate(
                 [pool, jnp.full(b - pool.shape[0], SENTINEL, dtype=jnp.uint64)]

@@ -132,6 +132,14 @@ def _out_stream(path: str):
 
 
 def main(argv: list[str] | None = None) -> int:
+    # die silently when the downstream pipe closes (| head), like the
+    # reference C++ binary's default SIGPIPE disposition
+    try:
+        import signal
+
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):  # non-POSIX / non-main thread
+        pass
     args = build_parser().parse_args(argv)
     t0 = time.time()
     try:
@@ -139,6 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     except (KeyError, FileNotFoundError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        return 141
     if getattr(args, "verbosity", 0) > 0:
         print(f"***\nCompleted in           : {time.time() - t0:.3f} s", file=sys.stderr)
     return rc

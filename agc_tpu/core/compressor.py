@@ -572,6 +572,12 @@ class Compressor:
             # contigs (load_file in add_sample_files)
             self._ref_codes_ready.set()
 
+    # above this many reference positions the full k-mer pool (8 B each,
+    # plus sort temp) would not fit device HBM; discovery switches to the
+    # bounded-memory two-pass path (value-sampled candidates) or, for the
+    # adaptive/fallback variants, to host (numpy) discovery
+    _POOL_DEVICE_MAX = 256 << 20
+
     def _determine_splitters_impl(self, reference_file: str) -> None:
         from ..ops.kmers import collect_kmers_device
 
@@ -582,12 +588,18 @@ class Compressor:
         self._ref_codes = named
         contigs = [codes for _, codes in named]
         total = sum(len(c) for c in contigs)
-        if (
-            not self.fallback_filter
-            and len(contigs) > 8
-            and total <= self._HOST_DISCOVERY_MAX
+        if not self.fallback_filter and (
+            (len(contigs) > 8 and total <= self._HOST_DISCOVERY_MAX)
+            or (total > self._POOL_DEVICE_MAX and self.p.adaptive_compression)
         ):
+            # host RAM (this box: >100 GB) holds pools device HBM cannot
             self._determine_splitters_host(contigs)
+            return
+        if total > self._POOL_DEVICE_MAX:
+            if self.fallback_filter:
+                self._determine_splitters_host_candidates(contigs)
+                return
+            self._determine_splitters_sampled(contigs)
             return
 
         contig_recs = []
@@ -668,6 +680,117 @@ class Compressor:
         self._refresh_splitter_table()
         if not self.p.adaptive_compression:
             self._cand_singletons_dev = None
+        if self.p.verbosity > 1:
+            print(f"No. of splitters: {len(self._splitter_set)}")
+
+    def _determine_splitters_sampled(self, contigs: list) -> None:
+        """Bounded-memory discovery for references whose full k-mer pool
+        would not fit device HBM (e.g. a whole human assembly: 3 G
+        positions x 8 B = 24 GB > 16 GB). Two passes, each holding at
+        most one contig's canonical chunks plus the sampled pool:
+
+        pass 1: per chunk, keep a value-sampled 1/2^b of the k-mers
+                (every occurrence of a k-mer shares the same fate, so
+                singleton detection on the sample is exact) and compact
+                on device; free the chunk.
+        pass 2: re-canonize each contig and run the standard greedy
+                emission over the sampled sorted pool.
+
+        Candidate density drops by 2^b but stays thousands per
+        segment_size window, so splitter quality is unaffected.
+        (reference: single host radix sort over all k-mers,
+        agc_compressor.cpp:441-490 — host-RAM-bound instead.)"""
+        from ..ops.kmers import (
+            collect_kmers_device,
+            find_splitter_emissions_from_chunks,
+            sample_compact_kmers,
+        )
+
+        total = sum(len(c) for c in contigs)
+        frac_bits = 0
+        while (total >> frac_bits) > self._POOL_DEVICE_MAX:
+            frac_bits += 1
+
+        def out_bucket(n):
+            want = max(1024, (n >> frac_bits) + (n >> (frac_bits + 2)))
+            b = 1024
+            while b < want:
+                b <<= 1
+            return b
+
+        parts = []
+        for codes in contigs:
+            recs = collect_kmers_device(codes, self.k)
+            for arr, kf, real, _ in recs:
+                sl = arr[kf:real]
+                parts.append(
+                    sample_compact_kmers(sl, frac_bits, out_bucket(len(sl)))
+                )
+            del recs  # free the full chunks before the next contig
+
+        pool = self._sorted_pool(parts)
+        del parts
+        self.cand_singletons = np.empty(0, dtype=np.uint64)
+        self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        self._cand_singletons_dev = None
+
+        splitters: list[int] = []
+        cache = []
+        for codes in contigs:
+            recs = collect_kmers_device(codes, self.k)
+            pos, kmers, tail_pos, tail_kmer = (
+                find_splitter_emissions_from_chunks(
+                    recs, len(codes), self.k, pool, self.p.segment_size
+                )
+            )
+            del recs
+            splitters.extend(int(x) for x in kmers)
+            emitted = [int(x) for x in pos]
+            last = int(pos[-1]) if len(pos) else None
+            if tail_pos is not None and (last is None or tail_pos >= last + self.k):
+                splitters.append(int(tail_kmer))
+                emitted.append(int(tail_pos))
+            cache.append(self._emission_hits(codes, emitted))
+        self._ref_scan_cache = cache
+        self._splitter_set = set(splitters)
+        self._refresh_splitter_table()
+        if self.p.verbosity > 1:
+            print(f"No. of splitters: {len(self._splitter_set)}")
+
+    def _determine_splitters_host_candidates(self, contigs: list) -> None:
+        """Host (numpy) candidate tables + the fallback-collecting host
+        greedy, for oversized references in -f mode (host RAM holds what
+        device HBM cannot; matches the reference's all-in-RAM model)."""
+        from ..ops.kmers import canon_kmers_np
+
+        pools = []
+        for codes in contigs:
+            canon, valid = canon_kmers_np(codes, self.k)
+            pools.append(canon[valid])
+        pool = np.concatenate(pools) if pools else np.empty(0, np.uint64)
+        del pools
+        if len(pool):
+            uniqs, counts = np.unique(pool, return_counts=True)
+        else:
+            uniqs = np.empty(0, np.uint64)
+            counts = np.empty(0, np.int64)
+        del pool
+        singles = uniqs[counts == 1]
+        if self.p.adaptive_compression:
+            self.cand_singletons = singles
+            self.cand_duplicated = uniqs[counts > 1]
+        else:
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        self._cand_singletons_dev = None
+
+        splitters: list[int] = []
+        for codes in contigs:
+            found, fallbacks = self._find_splitters_in_contig(codes, singles)
+            splitters.extend(found)
+            self._pending_fallback.extend(fallbacks)
+        self._splitter_set = set(splitters)
+        self._refresh_splitter_table()
         if self.p.verbosity > 1:
             print(f"No. of splitters: {len(self._splitter_set)}")
 

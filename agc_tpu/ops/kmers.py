@@ -837,6 +837,30 @@ def candidate_tables(kmers: jnp.ndarray):
     )
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def sample_compact_kmers(canon_chunk: jnp.ndarray, frac_bits: int,
+                         out_size: int) -> jnp.ndarray:
+    """Value-based 1/2^frac_bits subsample of a canonical-kmer chunk,
+    compacted (sorted, sentinel-padded) to ``out_size`` entries.
+
+    Sampling keys on a mix of the VALUE, so every occurrence of a given
+    k-mer is kept or dropped together — singleton/duplicate detection on
+    the sampled pool stays exact. Used when a reference's full k-mer pool
+    would not fit device memory (the reference tool instead holds all
+    k-mers in host RAM for raduls; agc_compressor.cpp:441-490)."""
+    x = canon_chunk
+    # murmur64 finalizer (same mixing as the host-side murmur64)
+    h = x
+    h ^= h >> jnp.uint64(33)
+    h *= jnp.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> jnp.uint64(33)
+    h *= jnp.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> jnp.uint64(33)
+    keep = (h >> jnp.uint64(64 - frac_bits)) == jnp.uint64(0)
+    vals = jnp.where(keep & (x != SENTINEL), x, SENTINEL)
+    return jnp.sort(vals)[:out_size]
+
+
 @jax.jit
 def sort_kmers(kmers: jnp.ndarray) -> jnp.ndarray:
     """Device sort of a k-mer array (replaces raduls::RadixSortMSD;

@@ -287,3 +287,88 @@ def test_ref_scan_cache_matches_scanned_archive(tmp_path):
     assert set(c_cached) == set(c_scanned)
     for sn in c_cached:
         assert c_cached[sn] == c_scanned[sn], f"stream {sn} differs"
+
+
+def test_oversized_reference_sampled_discovery(tmp_path):
+    """References whose k-mer pool exceeds the device budget take the
+    two-pass value-sampled discovery path; archives must still
+    round-trip. (Threshold patched down to force the path.)"""
+    import numpy as np
+
+    from agc_tpu.core import compressor as comp
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from agc_tpu.core.decompressor import Decompressor
+    from tests.util import write_fa
+
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq = bytes(alpha[rng.integers(0, 4, size=200_000)]).decode()
+    mut = bytearray(ref_seq.encode())
+    for i in range(0, len(mut), 997):
+        mut[i] = b"ACGT"[(mut[i] + 1) % 4]
+
+    ref = tmp_path / "ref.fa"
+    write_fa(str(ref), [("c1", ref_seq)])
+    s1 = tmp_path / "s1.fa"
+    write_fa(str(s1), [("c1", mut.decode())])
+
+    old = comp.Compressor._POOL_DEVICE_MAX
+    comp.Compressor._POOL_DEVICE_MAX = 1 << 15  # force sampling (~6 bits)
+    try:
+        arch = tmp_path / "a.agc"
+        create_archive(
+            str(arch), [str(ref), str(s1)],
+            CompressorParams(segment_size=5000),
+        )
+    finally:
+        comp.Compressor._POOL_DEVICE_MAX = old
+
+    d = Decompressor(str(arch))
+    got = d.get_contig_seq("s1", "c1")
+    gotr = d.get_contig_seq("ref", "c1")
+    d.close()
+    assert got == bytes(mut)
+    assert gotr == ref_seq.encode()
+
+
+@pytest.mark.parametrize("mode", ["adaptive", "fallback"])
+def test_oversized_reference_host_paths(tmp_path, mode):
+    """Oversized references route adaptive mode to host discovery and -f
+    mode to the host candidates+fallback-collection path."""
+    import numpy as np
+
+    from agc_tpu.core import compressor as comp
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from agc_tpu.core.decompressor import Decompressor
+    from tests.util import write_fa
+
+    rng = np.random.default_rng(13)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq = bytes(alpha[rng.integers(0, 4, size=60_000)]).decode()
+    mut = bytearray(ref_seq.encode())
+    for i in range(0, len(mut), 499):
+        mut[i] = b"ACGT"[(mut[i] + 1) % 4]
+
+    ref = tmp_path / "ref.fa"
+    write_fa(str(ref), [("c1", ref_seq)])
+    s1 = tmp_path / "s1.fa"
+    write_fa(str(s1), [("c1", mut.decode())])
+
+    params = CompressorParams(segment_size=3000)
+    if mode == "adaptive":
+        params.adaptive_compression = True
+    else:
+        params.fallback_frac = 0.01
+
+    old = comp.Compressor._POOL_DEVICE_MAX
+    comp.Compressor._POOL_DEVICE_MAX = 1 << 14
+    try:
+        arch = tmp_path / "a.agc"
+        create_archive(str(arch), [str(ref), str(s1)], params)
+    finally:
+        comp.Compressor._POOL_DEVICE_MAX = old
+
+    d = Decompressor(str(arch))
+    assert d.get_contig_seq("s1", "c1") == bytes(mut)
+    assert d.get_contig_seq("ref", "c1") == ref_seq.encode()
+    d.close()

@@ -274,6 +274,7 @@ def _dispatch(args) -> int:
 
     if mode == "getctg":
         d = Decompressor(args.in_archive, prefetch=prefetch)
+        d.app_warnings = True
         if args.streaming:
             d.get_streaming(
                 args.output or None,

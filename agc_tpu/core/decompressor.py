@@ -139,6 +139,10 @@ class _StreamSink:
 class Decompressor:
     """Open an .agc archive for queries and extraction."""
 
+    # CLI sets this: range-clamp warnings print only in app mode, like
+    # the reference's is_app_mode (agc_decompressor_lib.cpp:199-213)
+    app_warnings = False
+
     def __init__(self, path: str, prefetch: bool = True):
         self.reader = ArchiveReader(path, prefetch=prefetch)
         self.file_type_info = self._load_file_type_info()
@@ -233,15 +237,35 @@ class Decompressor:
     def decompress_contig(
         self, segments: list[SegmentDesc], from_: int = -1, to: int = -1
     ) -> np.ndarray:
+        import sys
+
         k = self.kmer_length
         if from_ < 0 and to < 0:
             from_, to = 0, (1 << 62)
         else:
+            # range-clamp warnings match the reference's app mode
+            # (agc_decompressor_lib.cpp:189-217)
             if from_ < 0:
+                if self.app_warnings:
+                    print(
+                        f"Warning: Start of range ({from_}) is below 0, "
+                        "so changed to 0", file=sys.stderr,
+                    )
                 from_ = 0
             if to < 0:
+                if self.app_warnings:
+                    print(
+                        f"Warning: End of range ({to}) is below 0, "
+                        "so changed to max value", file=sys.stderr,
+                    )
                 to = 1 << 62
             if from_ > to:
+                if self.app_warnings:
+                    print(
+                        f"Warning: End of range ({to}) is prior to start "
+                        f"of range ({from_}) so changed to whole contig",
+                        file=sys.stderr,
+                    )
                 from_, to = 0, 1 << 62
 
         parts: list[np.ndarray] = []

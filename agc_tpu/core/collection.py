@@ -29,6 +29,7 @@ from .codecs import (
     read_cstr,
     zigzag_decode,
     zigzag_decode_pred,
+    zigzag_encode,
     zigzag_encode_pred,
 )
 
@@ -353,6 +354,133 @@ class CollectionLegacy:
             for s in self.samples
             if any(extract_contig_name(c.name) == short for c in s.contigs)
         ]
+
+    # ------------------------------------------------------------------
+    # appending / write side (reference supports appending to 1.x / 2.x
+    # archives, re-serializing the whole collection in the original
+    # format at close: store_metadata_impl_v1/v2,
+    # agc_compressor.cpp:81-168)
+    # ------------------------------------------------------------------
+
+    _prev_sample_name: str | None = None
+
+    def reset_prev_sample_name(self) -> None:
+        self._prev_sample_name = None
+
+    def register_sample_contig(self, sample_name: str, contig_name: str) -> bool:
+        stored = sample_name if sample_name else extract_contig_name(contig_name)
+        if stored != self._prev_sample_name:
+            if stored in self.sample_ids:
+                return False
+            self.sample_ids[stored] = len(self.samples)
+            self.samples.append(
+                _Sample(name=stored, contigs_loaded=True, details_loaded=True)
+            )
+            self._prev_sample_name = stored
+        self.samples[-1].contigs.append(_Contig(name=contig_name))
+        return True
+
+    def add_segment_placed(
+        self,
+        sample_name: str,
+        contig_name: str,
+        place: int,
+        group_id: int,
+        in_group_id: int,
+        is_rev_comp: bool,
+        raw_length: int,
+    ) -> None:
+        stored = sample_name if sample_name else extract_contig_name(contig_name)
+        sample = self.samples[self.sample_ids[stored]]
+        ci = sample.contig_index(contig_name)
+        if ci is None:
+            return
+        ctg = sample.contigs[ci]
+        if place >= len(ctg.segments):
+            ctg.segments.extend(
+                None for _ in range(place + 1 - len(ctg.segments))
+            )
+        ctg.segments[place] = SegmentDesc(
+            group_id, in_group_id, is_rev_comp, raw_length
+        )
+
+    def add_cmd_line(self, cmd: str) -> None:
+        self.cmd_lines.append((cmd, ""))
+
+    @staticmethod
+    def _write_str(out: bytearray, s: str) -> None:
+        out.extend(s.encode("utf-8") + b"\x00")
+
+    def serialize_v1(self) -> bytes:
+        """reference: CCollection_V1::serialize (collection_v1.cpp; dates
+        always stored empty, matching serialize(..., false))."""
+        out = bytearray()
+        enc_prefix_varint(out, len(self.samples))
+        for s in self.samples:
+            self._write_str(out, s.name)
+            enc_prefix_varint(out, len(s.contigs))
+            for ctg in s.contigs:
+                self._write_str(out, ctg.name)
+                enc_prefix_varint(out, len(ctg.segments))
+                pg = pig = prl = 0
+                for seg in ctg.segments:
+                    enc_prefix_varint(out, zigzag_encode(seg.group_id - pg))
+                    enc_prefix_varint(
+                        out, zigzag_encode(seg.in_group_id - pig)
+                    )
+                    enc_prefix_varint(
+                        out, zigzag_encode(seg.raw_length - prl)
+                    )
+                    enc_prefix_varint(out, int(seg.is_rev_comp))
+                    pg, pig, prl = seg.group_id, seg.in_group_id, seg.raw_length
+        enc_prefix_varint(out, len(self.cmd_lines))
+        for cmd, _ in self.cmd_lines:
+            self._write_str(out, cmd)
+            self._write_str(out, "")
+        return bytes(out)
+
+    def serialize_v2(
+        self, details_batch_size: int
+    ) -> tuple[bytes, list[bytes]]:
+        """reference: CCollection_V2::serialize (collection_v2.cpp:
+        main = names/counts/cmds; details = per-batch field-major
+        zigzag-vs-prediction streams)."""
+        main = bytearray()
+        enc_prefix_varint(main, details_batch_size)
+        enc_prefix_varint(main, len(self.samples))
+        for s in self.samples:
+            self._write_str(main, s.name)
+            enc_prefix_varint(main, len(s.contigs))
+            for ctg in s.contigs:
+                self._write_str(main, ctg.name)
+                enc_prefix_varint(main, len(ctg.segments))
+        details: list[bytes] = []
+        for base in range(0, len(self.samples), details_batch_size):
+            batch = self.samples[base : base + details_batch_size]
+            det = bytearray()
+            for field in range(4):
+                for s in batch:
+                    for ctg in s.contigs:
+                        prev = 0
+                        for seg in ctg.segments:
+                            if field == 0:
+                                v = zigzag_encode_pred(seg.group_id, prev)
+                                prev = seg.group_id
+                            elif field == 1:
+                                v = zigzag_encode_pred(seg.in_group_id, prev)
+                                prev = seg.in_group_id
+                            elif field == 2:
+                                v = zigzag_encode_pred(seg.raw_length, prev)
+                                prev = seg.raw_length
+                            else:
+                                v = int(seg.is_rev_comp)
+                            enc_prefix_varint(det, v)
+            details.append(bytes(det))
+        enc_prefix_varint(main, len(self.cmd_lines))
+        for cmd, _ in self.cmd_lines:
+            self._write_str(main, cmd)
+            self._write_str(main, "")
+        return bytes(main), details
 
 
 class CollectionV3:

@@ -296,26 +296,30 @@ class Compressor:
 
         self.collection = d.collection
         reader = d.reader
-        # Copy all complete old metadata batches verbatim to the new archive;
-        # only the last partial batch is re-serialized together with new
-        # samples (reference: prepare_for_appending_copy /
-        # prepare_for_appending_load_last_batch, collection_v3.cpp:48-108).
-        n_batches = reader.n_parts("collection-contigs")
-        n_old = self.collection.get_no_samples()
-        bs = self.collection.batch_size
-        last_batch_full = n_old % bs == 0
-        n_copy = n_batches if last_batch_full else n_batches - 1
-        for i in range(n_copy):
-            data, meta = reader.get_part("collection-contigs", i)
-            self.writer.add_part("collection-contigs", data, meta)
-            data, meta = reader.get_part("collection-details", i)
-            self.writer.add_part("collection-details", data, meta)
-        # load the partial last batch (it will be re-stored) and make every
-        # sample's names queryable
-        for sid in range(n_old):
-            self.collection._ensure_sample(
-                sid, details=(sid // bs) >= n_copy
-            )
+        if self.archive_version >= 3000:
+            # Copy all complete old metadata batches verbatim to the new
+            # archive; only the last partial batch is re-serialized together
+            # with new samples (reference: prepare_for_appending_copy /
+            # prepare_for_appending_load_last_batch, collection_v3.cpp:48-108).
+            n_batches = reader.n_parts("collection-contigs")
+            n_old = self.collection.get_no_samples()
+            bs = self.collection.batch_size
+            last_batch_full = n_old % bs == 0
+            n_copy = n_batches if last_batch_full else n_batches - 1
+            for i in range(n_copy):
+                data, meta = reader.get_part("collection-contigs", i)
+                self.writer.add_part("collection-contigs", data, meta)
+                data, meta = reader.get_part("collection-details", i)
+                self.writer.add_part("collection-details", data, meta)
+            # load the partial last batch (it will be re-stored) and make
+            # every sample's names queryable
+            for sid in range(n_old):
+                self.collection._ensure_sample(
+                    sid, details=(sid // bs) >= n_copy
+                )
+        # legacy (1.x / 2.x) collections are fully loaded by the
+        # Decompressor; the whole collection is re-serialized in the
+        # original format at close (reference: store_metadata_impl_v1/v2)
         # rebuild segment writers by probing stream names
         self.no_segments = 0
         self.v_segments = []
@@ -327,6 +331,14 @@ class Compressor:
             seg = self._make_writer(self.no_segments)
             seg.appending_init(reader)
             self.v_segments.append(seg)
+            self.no_segments += 1
+        while self.no_segments < NO_RAW_GROUPS:
+            # archive predates some raw-group streams: create them fresh
+            gid = self.no_segments
+            self.writer.register_stream(ss_delta_name(self.archive_version, gid))
+            seg = self._make_writer(gid)
+            self.v_segments.append(seg)
+            seg.add_raw(b"\x7f")
             self.no_segments += 1
 
         # reload splitters
@@ -1191,7 +1203,10 @@ class Compressor:
                 * self.p.pack_cardinality,
                 self.collection.get_no_samples(),
             )
-        if self.processed_samples % self.p.pack_cardinality == 0:
+        if (
+            self.processed_samples % self.p.pack_cardinality == 0
+            and self.archive_version >= 3000
+        ):
             # batch metadata serializes placements: in-flight stores must land
             self._join_pending_store()
             if self._store_pool is None:
@@ -1989,16 +2004,42 @@ class Compressor:
             fut.result()
         self._pending_meta = []
 
-        # remaining partial metadata batch
-        ps = self.processed_samples
-        if ps % self.p.pack_cardinality != 0:
-            self.collection.store_contig_batch(
-                self.writer,
-                (ps // self.p.pack_cardinality) * self.p.pack_cardinality,
-                ps,
-            )
-        self._store_metadata()
-        self.collection.complete_serialization(self.writer)
+        if self.archive_version >= 3000:
+            # remaining partial metadata batch
+            ps = self.processed_samples
+            if ps % self.p.pack_cardinality != 0:
+                self.collection.store_contig_batch(
+                    self.writer,
+                    (ps // self.p.pack_cardinality) * self.p.pack_cardinality,
+                    ps,
+                )
+            self._store_metadata()
+            self.collection.complete_serialization(self.writer)
+        else:
+            # legacy formats re-serialize the whole collection at close
+            # (reference: store_metadata_impl_v1/v2, agc_compressor.cpp:
+            # 81-168; zstd levels 19 / 15+19)
+            from .segment import _zstd_level
+
+            self._store_metadata()
+            if self.archive_version < 2000:
+                blob = self.collection.serialize_v1()
+                self.writer.add_part(
+                    "collection-desc", _zstd_level(19).compress(blob), len(blob)
+                )
+            else:
+                main, details = self.collection.serialize_v2(
+                    self.p.pack_cardinality * 5
+                )
+                self.writer.add_part(
+                    "collection-main", _zstd_level(15).compress(main), len(main)
+                )
+                for det in details:
+                    self.writer.add_part(
+                        "collection-details",
+                        _zstd_level(19).compress(det),
+                        len(det),
+                    )
         if finish_fut is not None:
             finish_fut.result()
         if self._store_pool is not None:
@@ -2021,7 +2062,9 @@ class Compressor:
         params += fixed_u32(self.k)
         params += fixed_u32(self.p.min_match_len)
         params += fixed_u32(self.p.pack_cardinality)
-        params += fixed_u32(self.p.segment_size)
+        if self.archive_version >= 2000:
+            # format 1.x has no segment_size field (agc_compressor.cpp:213)
+            params += fixed_u32(self.p.segment_size)
         self.writer.add_part("params", bytes(params), 0)
 
         v_tmp = bytearray()

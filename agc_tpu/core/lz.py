@@ -216,9 +216,13 @@ class LZDiff:
     (lz_diff.cpp:16-25), linear probing with <=64 tries.
     """
 
-    def __init__(self, min_match_len: int = 20):
+    def __init__(self, min_match_len: int = 20, v1_grammar: bool = False):
         self.min_match_len = min_match_len
         self.key_len = min_match_len - HASHING_STEP + 1
+        # V1 token grammar (format-1.x archives): plain literals only and
+        # matches always carry ",len-mml" (reference: CLZDiff_V1::Encode,
+        # lz_diff.cpp:443-584)
+        self.v1_grammar = v1_grammar
         self.reference: np.ndarray | None = None  # padded with invalid symbols
         self.ref_len = 0
         self.ht: np.ndarray | None = None
@@ -240,6 +244,8 @@ class LZDiff:
         if self._lib is not None:
             if self._ctx is None:
                 self._ctx = self._lib.lz_create(self.min_match_len)
+                if self.v1_grammar:
+                    self._lib.lz_set_v1(self._ctx, 1)
             self._ref_bytes = bytes(reference)
             self._lib.lz_prepare(self._ctx, self._ref_bytes, len(self._ref_bytes))
             self.ref_len = len(reference)
@@ -419,7 +425,7 @@ class LZDiff:
                 i -= len_bck
 
             # rewrite recent literals equal to ref as '!' (lz_diff.cpp:769-779)
-            if match_pos == pred_pos:
+            if not self.v1_grammar and match_pos == pred_pos:
                 e_size = len(out)
                 for j in range(1, min(e_size, match_pos)):
                     c = out[e_size - j]
@@ -430,7 +436,9 @@ class LZDiff:
             total_len = len_bck + len_fwd
             dif_pos = match_pos - pred_pos
             _append_signed(out, dif_pos)
-            if not (i + total_len == n and match_pos + total_len == self.ref_len):
+            if self.v1_grammar or not (
+                i + total_len == n and match_pos + total_len == self.ref_len
+            ):
                 out.append(0x2C)
                 _append_int(out, total_len - mml)
             out.append(0x2E)

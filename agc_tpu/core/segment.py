@@ -233,7 +233,7 @@ class SegmentWriter:
         self.pack = pack_cardinality
         self.min_match_len = min_match_len
         self.archive_version = archive_version
-        self.lz = LZDiff(min_match_len)
+        self.lz = LZDiff(min_match_len, v1_grammar=archive_version < 2000)
         self.no_seqs = 0
         self.v_lzp: list[bytes] = []
         self.v_raw: list[bytes] = []

@@ -52,6 +52,11 @@ struct LZContext {
   uint32_t min_match_len;
   uint32_t key_len;
   uint64_t key_mask;
+  // emit the V1 token grammar (reference: CLZDiff_V1::Encode,
+  // lz_diff.cpp:443-584): plain literals only (no '!' same-as-reference
+  // substitution) and matches always carry ",len-mml" (no match-to-end
+  // omission). Used when appending to format-1.x archives.
+  bool v1_grammar = false;
   std::vector<uint8_t> ref;  // padded with key_len invalid symbols
   uint64_t ref_len = 0;      // unpadded length
   std::vector<int64_t> ht;   // position table, -1 empty
@@ -230,6 +235,10 @@ void lz_assure_index(void* vctx) {
   static_cast<LZContext*>(vctx)->assure_index();
 }
 
+void lz_set_v1(void* vctx, int flag) {
+  static_cast<LZContext*>(vctx)->v1_grammar = flag != 0;
+}
+
 // Encode; returns output length, or -(needed) if cap insufficient.
 int64_t lz_encode(void* vctx, const uint8_t* text, uint64_t text_len,
                   uint8_t* out, uint64_t cap) {
@@ -295,8 +304,8 @@ int64_t lz_encode(void* vctx, const uint8_t* text, uint64_t text_len,
       i -= len_bck;
     }
 
-    // rewrite trailing literals equal to the reference as '!'
-    if (match_pos == pred_pos) {
+    // rewrite trailing literals equal to the reference as '!' (V2 only)
+    if (!ctx.v1_grammar && match_pos == pred_pos) {
       size_t e_size = enc.size();
       for (uint64_t j = 1; j < e_size && j < match_pos; ++j) {
         char c = enc[e_size - j];
@@ -309,7 +318,8 @@ int64_t lz_encode(void* vctx, const uint8_t* text, uint64_t text_len,
     uint64_t total = len_bck + len_fwd;
     append_int(enc, static_cast<int64_t>(match_pos) -
                         static_cast<int64_t>(pred_pos));
-    bool to_end = (i + total == text_len) && (match_pos + total == ctx.ref_len);
+    bool to_end = !ctx.v1_grammar && (i + total == text_len) &&
+                  (match_pos + total == ctx.ref_len);
     if (!to_end) {
       enc.push_back(',');
       append_uint(enc, total - mml);

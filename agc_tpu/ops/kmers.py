@@ -652,6 +652,7 @@ def find_splitter_emissions_from_chunks(chunk_recs, n: int, k: int, pool,
     singleton-table sorts. Returns (positions, kmers, tail_pos|None,
     tail_kmer) like find_splitter_emissions.
     """
+    seg_size = max(1, seg_size)  # format-1.x archives carry no segment size
     if n < k or not chunk_recs:
         return np.empty(0, np.int64), np.empty(0, np.uint64), None, 0
     positions: list[int] = []
@@ -717,6 +718,7 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
     emission state carried on host.
     """
     n = len(contig_codes)
+    seg_size = max(1, seg_size)  # format-1.x archives carry no segment size
     if n < k:
         return np.empty(0, np.int64), np.empty(0, np.uint64), None, 0
     if n <= MAX_WHOLE_CONTIG:

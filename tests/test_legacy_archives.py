@@ -179,3 +179,157 @@ def test_read_v2_archive(tmp_path):
     alpha = np.frombuffer(b"ACGTN", np.uint8)
     assert d.get_contig_seq("s1", "c2") == alpha[expect].tobytes()
     d.close()
+
+
+# ---------------------------------------------------------------------------
+# appending to legacy archives (reference: Append works on 1.x/2.x inputs
+# and re-serializes the collection in the original format at close;
+# store_metadata_impl_v1/v2, agc_compressor.cpp:81-168)
+# ---------------------------------------------------------------------------
+
+
+def _legacy_base(w: ArchiveWriter, version: int) -> None:
+    """Contiguous-stream legacy archive like real old creates: raw groups
+    0..15 (dummy first member, reference: agc_compressor.cpp:2313-2321),
+    LZ group 16, sample s1 with contigs c1 (raw, id 1 in group 2) and c2
+    (ref + one V1 delta member in group 16)."""
+    _file_type_info(w, version, 0)
+    for g in range(16):
+        if g == 2:
+            pack = b"\x7f\xff" + RAW_SEQ + b"\xff"
+        else:
+            pack = b"\x7f\xff"
+        w.add_part(f"seg-{g}-delta", _zstd(pack, 17) + b"\x00", len(pack))
+    w.add_part("seg-16-ref", _zstd(REF_SEQ) + b"\x00", len(REF_SEQ))
+    pack = DELTA_V1 + b"\xff"
+    w.add_part("seg-16-delta", _zstd(pack, 17) + b"\x00", len(pack))
+    # splitter metadata (arbitrary pair values; required by append init)
+    import struct
+
+    w.add_part("splitters", struct.pack("<QQ", 5, 9), 2)
+    emp = (1 << 64) - 1
+    seg_spl = struct.pack("<QQI", emp, emp, 0) + struct.pack("<QQI", 5, 9, 16)
+    w.add_part("segment-splitters", seg_spl, 2)
+
+
+def _legacy_v1_collection(w: ArchiveWriter) -> None:
+    data = bytearray()
+    enc_prefix_varint(data, 1)
+    _append_str(data, "s1")
+    enc_prefix_varint(data, 2)
+    _append_str(data, "c1")
+    enc_prefix_varint(data, 1)
+    for v in (zigzag_encode(2), zigzag_encode(1), zigzag_encode(len(RAW_SEQ)), 0):
+        enc_prefix_varint(data, v)
+    _append_str(data, "c2")
+    enc_prefix_varint(data, 2)
+    pg = pig = prl = 0
+    for g, ig, rl in ((16, 0, len(REF_SEQ)), (16, 1, len(MEMBER_SEQ))):
+        enc_prefix_varint(data, zigzag_encode(g - pg))
+        enc_prefix_varint(data, zigzag_encode(ig - pig))
+        enc_prefix_varint(data, zigzag_encode(rl - prl))
+        enc_prefix_varint(data, 0)
+        pg, pig, prl = g, ig, rl
+    enc_prefix_varint(data, 1)
+    _append_str(data, "agc create old")
+    _append_str(data, "")
+    w.add_part("collection-desc", _zstd(bytes(data)), len(data))
+
+
+def _legacy_v2_collection(w: ArchiveWriter) -> None:
+    main = bytearray()
+    enc_prefix_varint(main, 10)
+    enc_prefix_varint(main, 1)
+    _append_str(main, "s1")
+    enc_prefix_varint(main, 2)
+    _append_str(main, "c1")
+    enc_prefix_varint(main, 1)
+    _append_str(main, "c2")
+    enc_prefix_varint(main, 2)
+    enc_prefix_varint(main, 0)
+    w.add_part("collection-main", _zstd(bytes(main)), len(main))
+    det = bytearray()
+    for contig in ([2], [16, 16]):
+        prev = 0
+        for g in contig:
+            enc_prefix_varint(det, zigzag_encode_pred(g, prev))
+            prev = g
+    for contig in ([1], [0, 1]):
+        prev = 0
+        for ig in contig:
+            enc_prefix_varint(det, zigzag_encode_pred(ig, prev))
+            prev = ig
+    for contig in ([len(RAW_SEQ)], [len(REF_SEQ), len(MEMBER_SEQ)]):
+        prev = 0
+        for rl in contig:
+            enc_prefix_varint(det, zigzag_encode_pred(rl, prev))
+            prev = rl
+    for contig in ([0], [0, 0]):
+        for o in contig:
+            enc_prefix_varint(det, o)
+    w.add_part("collection-details", _zstd(bytes(det)), len(det))
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_append_to_legacy_archive(tmp_path, version):
+    import random
+
+    from agc_tpu.core.compressor import CompressorParams, append_archive
+    from util import write_fa
+
+    path = str(tmp_path / f"old_v{version}.agc")
+    w = ArchiveWriter(path)
+    _legacy_base(w, version)
+    if version == 1:
+        _legacy_v1_collection(w)
+        _params(w, 17, 17, 50)
+    else:
+        _legacy_v2_collection(w)
+        _params(w, 17, 17, 50, seg_size=1000)
+    w.close()
+
+    rng = random.Random(3)
+    new_seq = "".join(rng.choice("ACGT") for _ in range(300))
+    new_fa = str(tmp_path / "s2.fa")
+    write_fa(new_fa, [("n1", new_seq)])
+
+    out = str(tmp_path / f"new_v{version}.agc")
+    append_archive(path, out, [new_fa], CompressorParams())
+
+    d = Decompressor(out)
+    assert d.archive_version == version * 1000
+    assert d.list_samples() == ["s1", "s2"]
+    # old contigs still extract
+    assert d.get_contig_seq("s1", "c1") == b"TGCA" * 10
+    full = np.frombuffer(REF_SEQ, np.uint8)
+    mem = np.frombuffer(MEMBER_SEQ, np.uint8)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    assert d.get_contig_seq("s1", "c2") == alpha[
+        np.concatenate([full, mem[17:]])
+    ].tobytes()
+    # new sample round-trips
+    assert d.get_contig_seq("s2", "n1") == new_seq.encode()
+    d.close()
+
+
+def test_v1_grammar_encoder_roundtrip():
+    """V1 token grammar: plain literals only (no '!') and matches always
+    carry ',len'; decode_v1 must replay it exactly."""
+    import random
+
+    import numpy as np
+
+    from agc_tpu.core.lz import LZDiff, decode_v1
+
+    rng = np.random.default_rng(21)
+    ref = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    text = ref.copy()
+    text[100] = (text[100] + 1) % 4
+    text[2000:2030] = 4  # N-run
+    lz = LZDiff(17, v1_grammar=True)
+    lz.prepare(ref.tobytes())
+    enc = lz.encode(text.tobytes())
+    assert b"!" not in enc
+    assert decode_v1(ref.tobytes(), enc, 17) == text.tobytes()
+    # identical member -> empty encoding (IMPROVED_LZ_ENCODING, both V1/V2)
+    assert lz.encode(ref.tobytes()) == b""

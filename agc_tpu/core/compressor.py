@@ -564,18 +564,16 @@ class Compressor:
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
 
-    # host splitter discovery when the reference is a pile of small
-    # contigs (concatenated collections): one device greedy dispatch per
-    # contig would pay a round-trip each, while numpy handles this scale
-    # in seconds (a concatenated discovery reference beyond this bound is
-    # not a realistic input: the reference tool's in-RAM radix sort has
-    # the same ceiling)
-    _HOST_DISCOVERY_MAX = 128 << 20
+    # host splitter discovery for tiny many-contig references: below this
+    # total the device path's fixed costs (pool sort + batched greedy
+    # dispatches) exceed a numpy walk. Larger references use the device
+    # path — the vmapped greedy batches whole groups of contigs per
+    # dispatch, so many-contig references no longer pay per-contig
+    # round-trips.
+    _HOST_DISCOVERY_MAX = 4 << 20
 
     def determine_splitters(self, reference_file: str) -> None:
         """reference: agc_compressor.cpp:428-563."""
-        from ..ops.kmers import collect_kmers_device
-
         self._ref_scan_file = reference_file
         try:
             self._determine_splitters_impl(reference_file)
@@ -629,20 +627,23 @@ class Compressor:
         ):
             # fast path: one pool sort; the greedy probes singletons
             # directly in the sorted pool over the ALREADY-resident
-            # canonical chunks (no singleton-table sorts, no re-upload)
-            from ..ops.kmers import find_splitter_emissions_from_chunks
+            # canonical chunks, with all single-chunk contigs batched into
+            # vmapped dispatches (no singleton-table sorts, no re-upload,
+            # no per-contig round-trips)
+            from ..ops.kmers import find_splitter_emissions_batched
 
             pool = self._sorted_pool(dev_chunks)
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
             self._cand_singletons_dev = None
             cache = []
-            for codes, recs in zip(contigs, contig_recs):
-                pos, kmers, tail_pos, tail_kmer = (
-                    find_splitter_emissions_from_chunks(
-                        recs, len(codes), self.k, pool, self.p.segment_size
-                    )
-                )
+            emissions = find_splitter_emissions_batched(
+                contig_recs, [len(c) for c in contigs], self.k, pool,
+                self.p.segment_size, singleton=True,
+            )
+            for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
+                contigs, emissions
+            ):
                 splitters.extend(int(x) for x in kmers)
                 emitted = [int(x) for x in pos]
                 last = int(pos[-1]) if len(pos) else None
@@ -663,14 +664,17 @@ class Compressor:
         table = self._cand_singletons_dev
         if not self.fallback_filter and table is not None:
             # hits against the singleton table are dense; the greedy
-            # emission chain runs on device (one dispatch per contig)
-            from ..ops.kmers import find_splitter_emissions
+            # emission chains run on device, batched across contigs
+            from ..ops.kmers import find_splitter_emissions_batched
 
             cache = []
-            for codes in contigs:
-                pos, kmers, tail_pos, tail_kmer = find_splitter_emissions(
-                    codes, self.k, table, self.p.segment_size
-                )
+            emissions = find_splitter_emissions_batched(
+                contig_recs, [len(c) for c in contigs], self.k, table,
+                self.p.segment_size, singleton=False, codes_list=contigs,
+            )
+            for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
+                contigs, emissions
+            ):
                 splitters.extend(int(x) for x in kmers)
                 emitted = [int(x) for x in pos]
                 last = int(pos[-1]) if len(pos) else None

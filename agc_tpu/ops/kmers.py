@@ -641,6 +641,79 @@ def splitter_greedy_canon_kernel(canon, n_real, pool, seg_size: int, cap: int,
     )
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def splitter_greedy_canon_batch(canon_rows, n_reals, table, seg_size: int,
+                                cap: int, singleton: bool):
+    """Batched greedy emission: one dispatch runs the per-contig chains of
+    a whole batch of (equal-bucket) contigs via vmap — contigs are
+    independent, so a many-contig reference costs a handful of dispatches
+    instead of one round-trip per contig."""
+    return jax.vmap(
+        lambda c, nr: _greedy_over_canon(
+            c, nr, table, seg_size, cap, 0, singleton=singleton
+        )
+    )(canon_rows, n_reals)
+
+
+def find_splitter_emissions_batched(per_contig_recs, lens, k, table,
+                                    seg_size: int, singleton: bool,
+                                    codes_list=None):
+    """Greedy emissions for MANY contigs: single-chunk contigs are grouped
+    by canon-bucket size and emitted in batched vmap dispatches; rare
+    multi-chunk (>CHUNK) contigs take the sequential chunk-grouped path
+    (singleton pool) or the packed-upload chain (membership table, needs
+    ``codes_list``).
+
+    per_contig_recs: one collect_kmers_device record list per contig.
+    Returns a list of (pos i64[E], kmers u64[E], tail_pos|None, tail_kmer)
+    in contig order.
+    """
+    seg_size = max(1, seg_size)
+    results: list = [None] * len(per_contig_recs)
+    by_bucket: dict[int, list[int]] = {}
+    for i, recs in enumerate(per_contig_recs):
+        if lens[i] < k or not recs:
+            results[i] = (
+                np.empty(0, np.int64), np.empty(0, np.uint64), None, 0,
+            )
+        elif len(recs) == 1 and recs[0][1] == 0 and recs[0][3] == 0:
+            by_bucket.setdefault(int(recs[0][0].shape[0]), []).append(i)
+        elif singleton:
+            # multi-chunk contig: sequential host-carried chain
+            results[i] = find_splitter_emissions_from_chunks(
+                recs, lens[i], k, table, seg_size
+            )
+        else:
+            results[i] = find_splitter_emissions(
+                codes_list[i], k, table, seg_size
+            )
+    for b, idxs in by_bucket.items():
+        cap = b // seg_size + 2
+        max_rows = max(1, (32 << 20) // b)
+        for s in range(0, len(idxs), max_rows):
+            group = idxs[s : s + max_rows]
+            rows = jnp.stack([per_contig_recs[i][0][0] for i in group])
+            n_reals = jnp.asarray(
+                [per_contig_recs[i][0][2] for i in group], dtype=jnp.int64
+            )
+            vecs = np.asarray(
+                splitter_greedy_canon_batch(
+                    rows, n_reals, table, seg_size, cap, singleton
+                )
+            )
+            for row, i in enumerate(group):
+                vec = vecs[row]
+                count = int(vec[0])
+                pos = vec[1 : 1 + cap][:count].astype(np.int64)
+                kms = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+                t_tail = int(vec[1 + 2 * cap])
+                if t_tail < lens[i]:
+                    results[i] = (pos, kms, t_tail, np.uint64(vec[2 + 2 * cap]))
+                else:
+                    results[i] = (pos, kms, None, 0)
+    return results
+
+
 MAX_WHOLE_CONTIG = 1 << 25  # whole-contig greedy bucket ceiling (32 Mbase)
 
 

@@ -372,3 +372,38 @@ def test_oversized_reference_host_paths(tmp_path, mode):
     assert d.get_contig_seq("s1", "c1") == bytes(mut)
     assert d.get_contig_seq("ref", "c1") == ref_seq.encode()
     d.close()
+
+
+def test_batched_greedy_matches_sequential():
+    """The vmapped multi-contig greedy must emit exactly what per-contig
+    dispatches emit (same pool, same chain rules)."""
+    import jax.numpy as jnp
+
+    from agc_tpu.ops.kmers import (
+        collect_kmers_device,
+        find_splitter_emissions_batched,
+        find_splitter_emissions_from_chunks,
+    )
+    from agc_tpu.core.compressor import Compressor  # noqa: F401 (env setup)
+
+    rng = np.random.default_rng(31)
+    k, seg = 21, 700
+    contigs = [
+        rng.integers(0, 4, size=n, dtype=np.uint8)
+        for n in (9000, 5000, 12000, 40, 7000)
+    ]
+    recs = [collect_kmers_device(c, k) for c in contigs]
+    chunks = [r[0] for rr in recs for r in rr]
+    pool = jnp.sort(jnp.concatenate(chunks))
+    got = find_splitter_emissions_batched(
+        recs, [len(c) for c in contigs], k, pool, seg, singleton=True
+    )
+    for c, rr, (pos, kms, tail_pos, tail_kmer) in zip(contigs, recs, got):
+        e_pos, e_kms, e_tail, e_tkm = find_splitter_emissions_from_chunks(
+            rr, len(c), k, pool, seg
+        )
+        assert np.array_equal(pos, e_pos)
+        assert np.array_equal(kms, e_kms)
+        assert tail_pos == e_tail
+        if tail_pos is not None:
+            assert int(tail_kmer) == int(e_tkm)

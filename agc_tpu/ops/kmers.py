@@ -1196,6 +1196,10 @@ _BATCH_ROWS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 # (AGC_TPU_SYNC_DL=1 reverts to lazy downloads on the matcher thread)
 _EAGER_DL = os.environ.get("AGC_TPU_SYNC_DL", "0") != "1"
 
+# merge a flush's power-of-two bucket classes into one dispatch when the
+# padding waste stays under 2x (see ScanBatcher.flush)
+_COALESCE_BUCKETS = True
+
 
 _BATCH_SYMBOL_BUDGET = 32 << 20  # max symbols per batched dispatch
 
@@ -1260,6 +1264,30 @@ class ScanBatcher:
             b = _bucket_size(len(part["codes"]))
             by_bucket.setdefault(b, []).append(part)
         self._buf = []
+        # coalesce bucket classes into the largest when the total padded
+        # work (including the power-of-two ROWS bucket each dispatch pads
+        # to) grows by < 40%: each dispatch costs several tunnel
+        # round-trips, which dwarfs scanning some extra masked padding
+        # (mixed-length contig collections otherwise split every flush
+        # into one dispatch per power-of-two class)
+        if _COALESCE_BUCKETS and len(by_bucket) > 1:
+            def rows_bucket(n):
+                for r in _BATCH_ROWS:
+                    if r >= n:
+                        return r
+                return _BATCH_ROWS[-1]
+
+            bmax = max(by_bucket)
+            n_parts = sum(len(v) for v in by_bucket.values())
+            cost_split = sum(
+                b * rows_bucket(len(v)) for b, v in by_bucket.items()
+            )
+            cost_merged = bmax * rows_bucket(n_parts)
+            if cost_merged * 10 <= cost_split * 14:
+                merged: list = []
+                for v in by_bucket.values():
+                    merged.extend(v)
+                by_bucket = {bmax: merged}
         for b, items in by_bucket.items():
             max_rows = max(1, min(_BATCH_ROWS[-1], _BATCH_SYMBOL_BUDGET // b))
             for start in range(0, len(items), max_rows):

@@ -407,3 +407,43 @@ def test_batched_greedy_matches_sequential():
         assert tail_pos == e_tail
         if tail_pos is not None:
             assert int(tail_kmer) == int(e_tkm)
+
+
+def test_mixed_bucket_scan_coalescing_equivalence():
+    """A flush holding parts of different power-of-two buckets must
+    produce identical hits whether or not classes coalesce into one
+    dispatch."""
+    import jax.numpy as jnp  # noqa: F401
+
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import ScanBatcher, collect_kmers, make_scan_table
+
+    rng = np.random.default_rng(12)
+    k = 21
+    contigs = [
+        rng.integers(0, 4, size=n, dtype=np.uint8)
+        for n in (70000, 20000, 9000, 120000)
+    ]
+    vals = np.sort(np.unique(np.concatenate(
+        [collect_kmers(c, k)[::301] for c in contigs]
+    )))
+    table = make_scan_table(vals, k)
+
+    def run():
+        b = ScanBatcher(k, table)
+        toks = [b.add(c) for c in contigs]
+        b.flush()
+        return [b.collect(t) for t in toks]
+
+    old = KM._COALESCE_BUCKETS
+    try:
+        KM._COALESCE_BUCKETS = True
+        merged = run()
+        KM._COALESCE_BUCKETS = False
+        split = run()
+    finally:
+        KM._COALESCE_BUCKETS = old
+    for (p1, d1, r1), (p2, d2, r2) in zip(merged, split):
+        assert np.array_equal(p1, p2)
+        assert np.array_equal(d1, d2)
+        assert np.array_equal(r1, r2)

@@ -1134,9 +1134,16 @@ class Compressor:
         # pipeline_syms caps buffered memory for huge-contig inputs; in
         # adaptive mode it also bounds how much every splitter merge must
         # delta-rescan, so it stays one flush-quantum deep.
+        # Non-adaptive runs keep a LOW-water target too: draining all
+        # dispatched entries in one burst leaves the device idle while the
+        # host works through barriers; holding ~2 flush quanta in flight
+        # keeps the next dispatch scanning during the drain.
         pipeline_syms = 0
         _MAX_PIPELINE_SYMS = (
             (8 << 20) if self.p.adaptive_compression else (64 << 20)
+        )
+        _TARGET_SYMS = (
+            0 if self.p.adaptive_compression else (16 << 20)
         )
         _MIN_DEPTH = 4
 
@@ -1155,7 +1162,11 @@ class Compressor:
             pipeline_syms += len(codes)
             while pipeline and (
                 pipeline_syms > _MAX_PIPELINE_SYMS
-                or (len(pipeline) > _MIN_DEPTH and oldest_dispatched())
+                or (
+                    pipeline_syms > _TARGET_SYMS
+                    and len(pipeline) > _MIN_DEPTH
+                    and oldest_dispatched()
+                )
             ):
                 if not oldest_dispatched():
                     batcher.flush()

@@ -174,6 +174,13 @@ def _dispatch(args) -> int:
             pack_cardinality=_clamp(args.batch, 1, 1_000_000_000),
             verbosity=args.verbosity,
         )
+        # reference: the full command line is recorded unless -d
+        # (main.cpp:31-44, 116-117); only v1/v2 collections persist it
+        cmd_line = (
+            None
+            if getattr(args, "no_cmd_line", False)
+            else "agc-tpu " + " ".join(sys.argv[1:])
+        )
         inputs = list(args.inputs)
         if getattr(args, "input_list", ""):
             with open(args.input_list) as f:
@@ -217,9 +224,14 @@ def _dispatch(args) -> int:
                             n_shards=args.shards, worker=args.shard_workers,
                         )
                 else:
-                    create_archive(out_archive, args.inputs, params)
+                    create_archive(
+                        out_archive, args.inputs, params, cmd_line=cmd_line
+                    )
             else:
-                append_archive(args.in_archive, out_archive, args.inputs, params)
+                append_archive(
+                    args.in_archive, out_archive, args.inputs, params,
+                    cmd_line=cmd_line,
+                )
             if to_stdout:
                 with open(out_archive, "rb") as f:
                     import shutil

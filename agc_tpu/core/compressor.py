@@ -819,6 +819,14 @@ class Compressor:
             if self.p.verbosity > 1:
                 print(f"No. of splitters: {len(self._splitter_set)}")
 
+    def add_cmd_line(self, cmd: str) -> None:
+        """reference: CAGCCompressor::AddCmdLine (agc_compressor.cpp:2395).
+        Persisted only by the v1/v2 collection serializers, like the
+        reference (the v3 serializer drops command lines)."""
+        fn = getattr(self.collection, "add_cmd_line", None)
+        if fn is not None:
+            fn(cmd)
+
     def splitter_set_snapshot(self) -> set:
         self._ensure_splitters()
         return set(self._splitter_set)
@@ -2177,12 +2185,15 @@ def create_archive(
     out_path: str,
     input_files: list[str],
     params: CompressorParams | None = None,
+    cmd_line: str | None = None,
 ) -> None:
     """``agc create``: first input is the reference (reference: main.cpp:76-120)."""
     # de-duplicate, preserving order (reference: sanitize_input_file_names)
     seen = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     comp = Compressor(out_path, params, reference_file=files[0])
+    if cmd_line:
+        comp.add_cmd_line(cmd_line)
     sample_files = [(sample_name_from_path(f), f) for f in files]
     comp.add_sample_files(sample_files)
     comp.close()
@@ -2193,10 +2204,13 @@ def append_archive(
     out_path: str,
     input_files: list[str],
     params: CompressorParams | None = None,
+    cmd_line: str | None = None,
 ) -> None:
     seen = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     comp = Compressor(out_path, params, in_path=in_path)
+    if cmd_line:
+        comp.add_cmd_line(cmd_line)
     sample_files = [(sample_name_from_path(f), f) for f in files]
     comp.add_sample_files(sample_files)
     comp.close()

@@ -333,3 +333,32 @@ def test_v1_grammar_encoder_roundtrip():
     assert decode_v1(ref.tobytes(), enc, 17) == text.tobytes()
     # identical member -> empty encoding (IMPROVED_LZ_ENCODING, both V1/V2)
     assert lz.encode(ref.tobytes()) == b""
+
+
+def test_legacy_append_preserves_and_adds_cmd_lines(tmp_path):
+    """Appending to a v1 archive keeps the original command-line history
+    and records the new run (reference: AddCmdLine + CCollection_V1
+    serialization; v3 archives drop cmd lines like the reference)."""
+    import random
+
+    from agc_tpu.core.compressor import CompressorParams, append_archive
+    from util import write_fa
+
+    path = str(tmp_path / "old.agc")
+    w = ArchiveWriter(path)
+    _legacy_base(w, 1)
+    _legacy_v1_collection(w)
+    _params(w, 17, 17, 50)
+    w.close()
+
+    rng = random.Random(4)
+    new_fa = str(tmp_path / "s2.fa")
+    write_fa(new_fa, [("n1", "".join(rng.choice("ACGT") for _ in range(200)))])
+    out = str(tmp_path / "new.agc")
+    append_archive(path, out, [new_fa], CompressorParams(),
+                   cmd_line="agc-tpu append old.agc s2.fa")
+
+    d = Decompressor(out)
+    cmds = [c for c, _ in d.collection.cmd_lines]
+    assert cmds == ["agc create old", "agc-tpu append old.agc s2.fa"]
+    d.close()

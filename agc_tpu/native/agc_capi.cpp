@@ -315,7 +315,8 @@ class AgcFile {
     if (!arch_.open(path, prefetch)) return false;
     if (!load_file_type_info()) return false;
     if (!load_params()) return false;
-    if (archive_version_ < 3000) return false;  // v3+ only in the C API
+    if (archive_version_ < 2000) return load_collection_v1();
+    if (archive_version_ < 3000) return load_collection_v2();
     return load_sample_names();
   }
 
@@ -478,6 +479,129 @@ class AgcFile {
     min_match_len_ = rd_u32(4);
     pack_cardinality_ = rd_u32(8);
     segment_size_ = data.size() >= 16 ? rd_u32(12) : 0;
+    return true;
+  }
+
+  static bool read_cstr(const std::vector<uint8_t>& data, size_t& pos,
+                        std::string& out) {
+    const void* nul = memchr(data.data() + pos, 0, data.size() - pos);
+    if (!nul) return false;
+    out.assign((const char*)data.data() + pos);
+    pos = (const uint8_t*)nul - data.data() + 1;
+    return true;
+  }
+
+  static int64_t zigzag_decode_plain(uint64_t x) {
+    return (x & 1) ? -(int64_t)((x + 1) / 2) : (int64_t)(x / 2);
+  }
+
+  // legacy 1.x collection: one zstd blob in "collection-desc"
+  // (reference: collection_v1.cpp serialize/deserialize)
+  bool load_collection_v1() {
+    std::vector<uint8_t> data;
+    if (!load_batch_zstd_part("collection-desc", 0, data)) return false;
+    size_t pos = 0;
+    uint64_t n_samples = 0;
+    if (!dec_prefix_varint(data.data(), data.size(), pos, n_samples))
+      return false;
+    samples_.resize(n_samples);
+    for (uint64_t i = 0; i < n_samples; ++i) {
+      Sample& s = samples_[i];
+      if (!read_cstr(data, pos, s.name)) return false;
+      sample_ids_[s.name] = i;
+      uint64_t n_contigs = 0;
+      if (!dec_prefix_varint(data.data(), data.size(), pos, n_contigs))
+        return false;
+      s.contigs.assign(n_contigs, Contig{});
+      for (uint64_t j = 0; j < n_contigs; ++j) {
+        Contig& c = s.contigs[j];
+        if (!read_cstr(data, pos, c.name)) return false;
+        uint64_t n_seg = 0;
+        if (!dec_prefix_varint(data.data(), data.size(), pos, n_seg))
+          return false;
+        c.segments.resize(n_seg);
+        int64_t pg = 0, pig = 0, prl = 0;
+        for (uint64_t m = 0; m < n_seg; ++m) {
+          uint64_t eg, ei, er, eo;
+          if (!dec_prefix_varint(data.data(), data.size(), pos, eg) ||
+              !dec_prefix_varint(data.data(), data.size(), pos, ei) ||
+              !dec_prefix_varint(data.data(), data.size(), pos, er) ||
+              !dec_prefix_varint(data.data(), data.size(), pos, eo))
+            return false;
+          pg += zigzag_decode_plain(eg);
+          pig += zigzag_decode_plain(ei);
+          prl += zigzag_decode_plain(er);
+          c.segments[m] = {(uint32_t)pg, (uint32_t)pig, eo != 0,
+                           (uint32_t)prl};
+        }
+      }
+      s.contigs_loaded = s.details_loaded = true;
+    }
+    return true;  // trailing cmd lines not needed by the C API surface
+  }
+
+  // legacy 2.x collection: "collection-main" + per-batch
+  // "collection-details" (4 concatenated field-major substreams;
+  // reference: collection_v2.cpp)
+  bool load_collection_v2() {
+    std::vector<uint8_t> main;
+    if (!load_batch_zstd_part("collection-main", 0, main)) return false;
+    size_t pos = 0;
+    uint64_t batch_size = 0, n_samples = 0;
+    if (!dec_prefix_varint(main.data(), main.size(), pos, batch_size) ||
+        !dec_prefix_varint(main.data(), main.size(), pos, n_samples))
+      return false;
+    if (!batch_size) batch_size = 1;
+    samples_.resize(n_samples);
+    for (uint64_t i = 0; i < n_samples; ++i) {
+      Sample& s = samples_[i];
+      if (!read_cstr(main, pos, s.name)) return false;
+      sample_ids_[s.name] = i;
+      uint64_t n_contigs = 0;
+      if (!dec_prefix_varint(main.data(), main.size(), pos, n_contigs))
+        return false;
+      s.contigs.assign(n_contigs, Contig{});
+      for (uint64_t j = 0; j < n_contigs; ++j) {
+        Contig& c = s.contigs[j];
+        if (!read_cstr(main, pos, c.name)) return false;
+        uint64_t n_seg = 0;
+        if (!dec_prefix_varint(main.data(), main.size(), pos, n_seg))
+          return false;
+        c.segments.resize(n_seg);
+      }
+      s.contigs_loaded = true;
+    }
+    uint64_t batch_id = 0;
+    for (uint64_t base = 0; base < n_samples; base += batch_size, ++batch_id) {
+      std::vector<uint8_t> det;
+      if (!load_batch_zstd_part("collection-details", batch_id, det))
+        return false;
+      uint64_t hi = std::min(base + batch_size, n_samples);
+      size_t dpos = 0;
+      for (int field = 0; field < 4; ++field) {
+        for (uint64_t i = base; i < hi; ++i) {
+          for (auto& c : samples_[i].contigs) {
+            int64_t prev = 0;
+            for (auto& seg : c.segments) {
+              uint64_t v = 0;
+              if (!dec_prefix_varint(det.data(), det.size(), dpos, v))
+                return false;
+              switch (field) {
+                case 0: seg.group_id = (uint32_t)(prev =
+                            zigzag_decode_pred(v, prev)); break;
+                case 1: seg.in_group_id = (uint32_t)(prev =
+                            zigzag_decode_pred(v, prev)); break;
+                case 2: seg.raw_length = (uint32_t)(prev =
+                            zigzag_decode_pred(v, prev)); break;
+                default: seg.is_rev_comp = v != 0;
+              }
+            }
+          }
+        }
+      }
+      for (uint64_t i = base; i < hi; ++i)
+        samples_[i].details_loaded = true;
+    }
     return true;
   }
 
@@ -693,11 +817,24 @@ class AgcFile {
     std::map<size_t, std::vector<uint8_t>> pack_data;
   };
 
-  bool load_pack(const std::string& base, size_t part_id, SegGroup& g) {
+  // version-aware segment stream names (reference: utils.cpp ss_*;
+  // v3: "x<b64>r"/"x<b64>d", v1/v2: "seg-<n>-ref"/"seg-<n>-delta")
+  std::string ref_stream(uint32_t gid) const {
+    if (archive_version_ < 3000)
+      return "seg-" + std::to_string(gid) + "-ref";
+    return "x" + int_to_base64(gid) + "r";
+  }
+  std::string delta_stream(uint32_t gid) const {
+    if (archive_version_ < 3000)
+      return "seg-" + std::to_string(gid) + "-delta";
+    return "x" + int_to_base64(gid) + "d";
+  }
+
+  bool load_pack(const std::string& delta_name, size_t part_id, SegGroup& g) {
     if (g.pack_data.count(part_id)) return true;
     std::vector<uint8_t> part;
     uint64_t raw_size = 0;
-    if (!arch_.get_part(base + "d", part_id, part, raw_size)) return false;
+    if (!arch_.get_part(delta_name, part_id, part, raw_size)) return false;
     std::vector<uint8_t> pack;
     if (raw_size) {
       if (!zstd_decompress_tolerant(part.data(), part.size(), raw_size, pack))
@@ -727,12 +864,12 @@ class AgcFile {
                           std::vector<uint8_t>& out) {
     std::lock_guard<std::mutex> lk(seg_mtx_);
     SegGroup& g = groups_[group_id];
-    std::string base = "x" + int_to_base64(group_id);
+    const std::string d_name = delta_stream(group_id);
     const uint32_t NO_RAW_GROUPS = 16;  // reference: agc_basic.h:81
     if (group_id < NO_RAW_GROUPS) {
       size_t part_id = in_group_id / pack_cardinality_;
       size_t idx = in_group_id % pack_cardinality_;
-      if (!load_pack(base, part_id, g)) return false;
+      if (!load_pack(d_name, part_id, g)) return false;
       auto& index = g.pack_index[part_id];
       if (idx >= index.size()) return false;
       auto [off, len] = index[idx];
@@ -743,7 +880,7 @@ class AgcFile {
     if (!g.ref_loaded) {
       std::vector<uint8_t> part;
       uint64_t raw_size = 0;
-      if (!arch_.get_part(base + "r", 0, part, raw_size)) return false;
+      if (!arch_.get_part(ref_stream(group_id), 0, part, raw_size)) return false;
       if (raw_size == 0) {
         g.ref = std::move(part);
       } else {
@@ -766,7 +903,7 @@ class AgcFile {
     }
     size_t part_id = (in_group_id - 1) / pack_cardinality_;
     size_t idx = (in_group_id - 1) % pack_cardinality_;
-    if (!load_pack(base, part_id, g)) return false;
+    if (!load_pack(d_name, part_id, g)) return false;
     auto& index = g.pack_index[part_id];
     if (idx >= index.size()) return false;
     auto [off, len] = index[idx];

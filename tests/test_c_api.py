@@ -156,3 +156,52 @@ def test_c_header_compiles(tmp_path):
         capture_output=True,
     )
     assert res.returncode == 0, res.stderr.decode()
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_c_api_reads_legacy_archives(tmp_path, version):
+    """The standalone C library must open 1.x/2.x archives like the
+    reference's libagc (legacy collection loaders + seg-N stream names)."""
+    from agc_tpu.native import get_capi
+
+    lib = get_capi()
+    if lib is None:
+        pytest.skip("C API unavailable")
+
+    from test_legacy_archives import (
+        _legacy_base,
+        _legacy_v1_collection,
+        _legacy_v2_collection,
+        _params,
+    )
+    from agc_tpu.core.archive import ArchiveWriter
+
+    path = str(tmp_path / f"legacy_v{version}.agc")
+    w = ArchiveWriter(path)
+    _legacy_base(w, version)
+    if version == 1:
+        _legacy_v1_collection(w)
+        _params(w, 17, 17, 50)
+    else:
+        _legacy_v2_collection(w)
+        _params(w, 17, 17, 50, seg_size=1000)
+    w.close()
+
+    h = lib.agc_open(path.encode(), 1)
+    assert h
+    try:
+        assert lib.agc_n_sample(h) == 1
+        assert lib.agc_n_ctg(h, b"s1") == 2
+        n = lib.agc_get_ctg_len(h, b"s1", b"c1")
+        assert n == 40
+        buf = ctypes.create_string_buffer(n + 1)
+        assert lib.agc_get_ctg_seq(h, b"s1", b"c1", -1, -1, buf) == n
+        assert buf.value == b"TGCA" * 10
+        # c2 = ref + one V1-grammar delta member, k-overlap stitched
+        n2 = lib.agc_get_ctg_len(h, b"s1", b"c2")
+        buf2 = ctypes.create_string_buffer(n2 + 1)
+        assert lib.agc_get_ctg_seq(h, b"s1", b"c2", -1, -1, buf2) == n2
+        assert buf2.value.startswith(b"ACGT")
+        assert n2 == 120 + 120 - 17
+    finally:
+        lib.agc_close(h)

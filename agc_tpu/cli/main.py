@@ -251,6 +251,10 @@ def _dispatch(args) -> int:
     from ..core.decompressor import Decompressor
 
     prefetch = not getattr(args, "no_prefetch", False)
+    if args.mode in ("listref", "listset", "listctg", "info"):
+        # metadata-only modes never benefit from buffering the whole
+        # archive in RAM (the reference buffers here too; we skip it)
+        prefetch = False
 
     if mode == "getcol":
         d = Decompressor(args.in_archive, prefetch=prefetch)

@@ -591,6 +591,12 @@ class Compressor:
     def _determine_splitters_impl(self, reference_file: str) -> None:
         from ..ops.kmers import collect_kmers_device
 
+        if self.p.verbosity > 0:
+            import sys
+
+            # reference stage messages (agc_compressor.cpp:448, 481)
+            print("Gathering reference k-mers", file=sys.stderr)
+            print("Determination of splitters", file=sys.stderr)
         named = [
             (cid, preprocess_raw_contig(raw))
             for cid, raw in read_contigs_raw(reference_file)

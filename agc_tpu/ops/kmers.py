@@ -1200,6 +1200,17 @@ _EAGER_DL = os.environ.get("AGC_TPU_SYNC_DL", "0") != "1"
 # padding waste stays under 2x (see ScanBatcher.flush)
 _COALESCE_BUCKETS = True
 
+# bin-pack a flush's parts into fixed CHUNK-wide rows (with >=31 invalid
+# symbols between parts so no k-mer window spans a seam): mixed-length
+# contig collections then cost one dispatch per ~32 Mbase instead of one
+# per power-of-two size class. Rows use EXACT counts (<=8 per dispatch, a
+# bounded executable set) — a pow2 rows bucket would scan up to 2x
+# padding. A small last row drops to its own pow2-width single-row
+# dispatch so short flushes don't pay a full-width scan.
+_PACK_ROWS = True
+_SEAM = 32  # invalid symbols between packed parts (> max k - 1, even)
+_PACK_CAP = 2048  # per-row hit cap for multi-part rows
+
 
 _BATCH_SYMBOL_BUDGET = 32 << 20  # max symbols per batched dispatch
 
@@ -1257,6 +1268,9 @@ class ScanBatcher:
 
     def flush(self) -> None:
         if not self._buf:
+            return
+        if _PACK_ROWS:
+            self._flush_packed()
             return
         self._pending_syms = 0
         by_bucket: dict[int, list] = {}
@@ -1332,6 +1346,78 @@ class ScanBatcher:
                     part["rows"] = rows
                     part["bucket"] = b
 
+    def _flush_packed(self) -> None:
+        """Bin-pack the buffered parts into CHUNK-wide rows (first-fit
+        decreasing, _SEAM invalid symbols between parts) and dispatch
+        exact-row-count batches; a lone small last row is re-bucketed to
+        its own pow2 width."""
+        parts = self._buf
+        self._buf = []
+        self._pending_syms = 0
+        parts.sort(key=lambda p: -len(p["codes"]))
+        rows: list[list] = []  # each: list of (part, offset)
+        used: list[int] = []
+        for part in parts:
+            n = len(part["codes"])
+            placed = False
+            for r, u in enumerate(used):
+                off = (u + _SEAM + 1) & ~1  # even offset (nibble packing)
+                if off + n <= CHUNK:
+                    rows[r].append((part, off))
+                    used[r] = off + n
+                    placed = True
+                    break
+            if not placed:
+                rows.append([(part, 0)])
+                used.append(n)
+
+        # a small LAST row gets its own pow2-width single-row dispatch
+        tail = None
+        if rows and used[-1] <= CHUNK // 2:
+            tail = (rows.pop(), used.pop())
+
+        def submit(group_rows, width, cap):
+            def job(group_rows=group_rows, width=width, cap=cap):
+                mat = np.full((len(group_rows), width // 2), 0xFF,
+                              dtype=np.uint8)
+                for r, row in enumerate(group_rows):
+                    for part, off in row:
+                        pk = pack4_np(part.pop("codes"))
+                        mat[r, off // 2 : off // 2 + len(pk)] = pk
+                return _dispatch_scan_batch(mat, self.table, cap), mat
+
+            def download(dispatch_fut):
+                (out, is_global), mat = dispatch_fut.result()
+                return (np.asarray(out), is_global), mat
+
+            dispatch_fut = _xfer_pool().submit(job)
+            fut = (
+                _dl_pool().submit(download, dispatch_fut)
+                if _EAGER_DL
+                else dispatch_fut
+            )
+            for r, row in enumerate(group_rows):
+                for part, off in row:
+                    part["out"] = fut
+                    part["row"] = r
+                    part["offset"] = off
+                    part["cap"] = cap
+                    part["rows"] = len(group_rows)
+                    part["bucket"] = width
+
+        max_rows = max(1, _BATCH_SYMBOL_BUDGET // CHUNK)
+        for s in range(0, len(rows), max_rows):
+            group = rows[s : s + max_rows]
+            multi = any(len(r) > 1 for r in group)
+            cap = min(_PACK_CAP if multi else _SCAN_CAP, CHUNK)
+            submit(group, CHUNK, cap)
+        if tail is not None:
+            row, u = tail
+            width = _bucket_size(u)
+            multi = len(row) > 1
+            cap = min(_PACK_CAP if multi else _SCAN_CAP, width)
+            submit([row], width, cap)
+
     def _resolve(self, fut):
         """Wait for a dispatch job, download its result once (cached
         briefly); returns (result_np, is_global, packed_mat).
@@ -1405,9 +1491,10 @@ class ScanBatcher:
                         vec, cap, self.table
                     )
             part.pop("out", None)
+            off = part.get("offset", 0)  # row-packed parts sit at an offset
             keep_from = part["start"] - part["lo"]
-            m = (pos >= keep_from) & (pos < part["real"])
-            all_pos.append(pos[m] - keep_from + part["start"])
+            m = (pos >= off + keep_from) & (pos < off + part["real"])
+            all_pos.append(pos[m] - off - keep_from + part["start"])
             all_dir.append(udir[m])
             all_rc.append(urc[m])
         return (

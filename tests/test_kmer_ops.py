@@ -447,3 +447,42 @@ def test_mixed_bucket_scan_coalescing_equivalence():
         assert np.array_equal(p1, p2)
         assert np.array_equal(d1, d2)
         assert np.array_equal(r1, r2)
+
+
+def test_row_packing_scan_equivalence():
+    """Row-packed dispatches (parts bin-packed into CHUNK-wide rows with
+    invalid-symbol seams) must produce identical hits to per-bucket
+    dispatches for every part."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import ScanBatcher, collect_kmers, make_scan_table
+
+    rng = np.random.default_rng(18)
+    k = 21
+    contigs = [
+        rng.integers(0, 4, size=n, dtype=np.uint8)
+        for n in (70000, 20000, 9000, 120000, 64, 300000)
+    ]
+    contigs[1][100:140] = 4  # invalid symbols inside a part
+    vals = np.sort(np.unique(np.concatenate(
+        [collect_kmers(c, k)[::173] for c in contigs if len(c) >= k]
+    )))
+    table = make_scan_table(vals, k)
+
+    def run():
+        b = ScanBatcher(k, table)
+        toks = [b.add(c) for c in contigs]
+        b.flush()
+        return [b.collect(t) for t in toks]
+
+    old = KM._PACK_ROWS
+    try:
+        KM._PACK_ROWS = True
+        packed = run()
+        KM._PACK_ROWS = False
+        split = run()
+    finally:
+        KM._PACK_ROWS = old
+    for (p1, d1, r1), (p2, d2, r2) in zip(packed, split):
+        assert np.array_equal(p1, p2)
+        assert np.array_equal(d1, d2)
+        assert np.array_equal(r1, r2)

@@ -618,12 +618,24 @@ class Compressor:
             self._determine_splitters_sampled(contigs)
             return
 
+        from ..ops import kmers as _km
+        from ..ops.kmers import CHUNK, collect_kmers_device_packed
+
+        packed = None  # (canon_flat, placements) for all-small references
         contig_recs = []
         dev_chunks = []
-        for codes in contigs:
-            recs = collect_kmers_device(codes, self.k)
-            contig_recs.append(recs)
-            dev_chunks.extend(r[0] for r in recs)
+        if _km._PACK_DISCOVERY and len(contigs) > 1 and all(
+            len(c) <= CHUNK for c in contigs
+        ):
+            # many small contigs: pack them into CHUNK rows and canonize
+            # in a handful of dispatches (one per ~32 Mbase)
+            packed = collect_kmers_device_packed(contigs, self.k)
+            dev_chunks = [packed[0]]
+        else:
+            for codes in contigs:
+                recs = collect_kmers_device(codes, self.k)
+                contig_recs.append(recs)
+                dev_chunks.extend(r[0] for r in recs)
 
         splitters: list[int] = []
         if (
@@ -636,17 +648,26 @@ class Compressor:
             # canonical chunks, with all single-chunk contigs batched into
             # vmapped dispatches (no singleton-table sorts, no re-upload,
             # no per-contig round-trips)
-            from ..ops.kmers import find_splitter_emissions_batched
+            from ..ops.kmers import (
+                find_splitter_emissions_batched,
+                find_splitter_emissions_packed,
+            )
 
             pool = self._sorted_pool(dev_chunks)
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
             self._cand_singletons_dev = None
             cache = []
-            emissions = find_splitter_emissions_batched(
-                contig_recs, [len(c) for c in contigs], self.k, pool,
-                self.p.segment_size, singleton=True,
-            )
+            if packed is not None:
+                emissions = find_splitter_emissions_packed(
+                    packed[0], packed[1], self.k, pool,
+                    self.p.segment_size, singleton=True,
+                )
+            else:
+                emissions = find_splitter_emissions_batched(
+                    contig_recs, [len(c) for c in contigs], self.k, pool,
+                    self.p.segment_size, singleton=True,
+                )
             for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
                 contigs, emissions
             ):
@@ -671,13 +692,22 @@ class Compressor:
         if not self.fallback_filter and table is not None:
             # hits against the singleton table are dense; the greedy
             # emission chains run on device, batched across contigs
-            from ..ops.kmers import find_splitter_emissions_batched
+            from ..ops.kmers import (
+                find_splitter_emissions_batched,
+                find_splitter_emissions_packed,
+            )
 
             cache = []
-            emissions = find_splitter_emissions_batched(
-                contig_recs, [len(c) for c in contigs], self.k, table,
-                self.p.segment_size, singleton=False, codes_list=contigs,
-            )
+            if packed is not None:
+                emissions = find_splitter_emissions_packed(
+                    packed[0], packed[1], self.k, table,
+                    self.p.segment_size, singleton=False,
+                )
+            else:
+                emissions = find_splitter_emissions_batched(
+                    contig_recs, [len(c) for c in contigs], self.k, table,
+                    self.p.segment_size, singleton=False, codes_list=contigs,
+                )
             for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
                 contigs, emissions
             ):

@@ -641,6 +641,39 @@ def splitter_greedy_canon_kernel(canon, n_real, pool, seg_size: int, cap: int,
     )
 
 
+@partial(jax.jit, static_argnums=(1,))
+def canon_rows_p4(packed_mat, k: int):
+    """Per-row canonical k-mers over a matrix of nibble-packed rows
+    (row-packed contigs with invalid-symbol seams): windows touching a
+    seam or pad are invalid automatically, so no per-part masking is
+    needed. Returns u64[rows, row_len] with SENTINEL at invalid windows."""
+    def one(packed):
+        codes = _unpack4_dev(packed)
+        udir, urc, valid = _kmer_core(codes, k)
+        canon = jnp.minimum(udir, urc)
+        return jnp.where(valid, canon, SENTINEL)
+
+    return jax.vmap(one)(packed_mat)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def splitter_greedy_packed_batch(canon_flat, starts, n_reals, bucket: int,
+                                 seg_size: int, cap: int, singleton: bool,
+                                 table=None):
+    """Greedy emission chains for contigs that live at ``starts`` offsets
+    inside one flat packed canon array: each row dynamic-slices its
+    window (contiguous DMA, not a gather) and runs the chain. One
+    compiled shape per (bucket, seg, cap) regardless of where contigs
+    landed in the packing."""
+    def one(start, n_real):
+        window = jax.lax.dynamic_slice(canon_flat, (start,), (bucket,))
+        return _greedy_over_canon(
+            window, n_real, table, seg_size, cap, 0, singleton=singleton
+        )
+
+    return jax.vmap(one)(starts, n_reals)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def splitter_greedy_canon_batch(canon_rows, n_reals, table, seg_size: int,
                                 cap: int, singleton: bool):
@@ -692,10 +725,20 @@ def find_splitter_emissions_batched(per_contig_recs, lens, k, table,
         max_rows = max(1, (32 << 20) // b)
         for s in range(0, len(idxs), max_rows):
             group = idxs[s : s + max_rows]
-            rows = jnp.stack([per_contig_recs[i][0][0] for i in group])
-            n_reals = jnp.asarray(
-                [per_contig_recs[i][0][2] for i in group], dtype=jnp.int64
-            )
+            # pad the row count to a power of two (dummy rows have
+            # n_real=0 and exit their chains immediately): the compiled
+            # executable set stays bounded instead of one shape per
+            # distinct contig count
+            n_rows = 1
+            while n_rows < len(group):
+                n_rows <<= 1
+            arrs = [per_contig_recs[i][0][0] for i in group]
+            reals = [per_contig_recs[i][0][2] for i in group]
+            while len(arrs) < n_rows:
+                arrs.append(arrs[0])
+                reals.append(0)
+            rows = jnp.stack(arrs)
+            n_reals = jnp.asarray(reals, dtype=jnp.int64)
             vecs = np.asarray(
                 splitter_greedy_canon_batch(
                     rows, n_reals, table, seg_size, cap, singleton
@@ -857,6 +900,111 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
     pos_arr = np.asarray(positions, dtype=np.int64)
     kmer_arr = np.asarray(kmers, dtype=np.uint64)
     return pos_arr, kmer_arr, tail_pos, tail_kmer
+
+
+def collect_kmers_device_packed(contigs: list, k: int):
+    """Canonical k-mers for MANY (<= CHUNK-sized) contigs in a handful of
+    dispatches: contigs are bin-packed into CHUNK-wide rows on the host
+    (first-fit decreasing, _SEAM invalid symbols between parts), nibble-
+    packed, uploaded once, and canonized with one vmapped kernel. Returns
+    (canon_flat u64[rows*CHUNK + CHUNK], placements) where placements[i] =
+    (flat_start, n) for contig i; canon_flat is SENTINEL-padded so any
+    ``dynamic_slice(start, bucket)`` stays in bounds.
+
+    Seam/pad windows come out SENTINEL automatically (any window touching
+    an invalid symbol is invalid), so the flat array doubles as the k-mer
+    pool: sentinels sort to the end like explicit padding."""
+    order = sorted(range(len(contigs)), key=lambda i: -len(contigs[i]))
+    rows: list[list] = []
+    used: list[int] = []
+    placements = [None] * len(contigs)
+    for i in order:
+        n = len(contigs[i])
+        placed = False
+        for r, u in enumerate(used):
+            off = (u + _SEAM + 1) & ~1
+            if off + n <= CHUNK:
+                rows[r].append((i, off))
+                used[r] = off + n
+                placed = True
+                break
+        if not placed:
+            rows.append([(i, 0)])
+            used.append(len(contigs[i]))
+    n_rows = 1
+    while n_rows < max(1, len(rows)):
+        n_rows <<= 1
+    mat = np.full((n_rows, CHUNK // 2), 0xFF, dtype=np.uint8)
+    for r, row in enumerate(rows):
+        for i, off in row:
+            pk = pack4_np(np.ascontiguousarray(contigs[i]))
+            mat[r, off // 2 : off // 2 + len(pk)] = pk
+            placements[i] = (r * CHUNK + off, len(contigs[i]))
+    canon = canon_rows_p4(jnp.asarray(mat), k)
+    # keep only the real rows (the pow2 row pad exists for the kernel
+    # shape); one trailing sentinel CHUNK keeps every dynamic_slice of
+    # up to CHUNK in bounds
+    canon_flat = jnp.concatenate(
+        [
+            canon[: max(1, len(rows))].reshape(-1),
+            jnp.full(CHUNK, SENTINEL, dtype=jnp.uint64),
+        ]
+    )
+    return canon_flat, placements
+
+
+def find_splitter_emissions_packed(canon_flat, placements, k: int, table,
+                                   seg_size: int, singleton: bool):
+    """Greedy emissions for packed contigs (see
+    collect_kmers_device_packed): contigs grouped by pow2 window bucket,
+    each group one vmapped dynamic-slice dispatch. Returns the same
+    per-contig tuples as find_splitter_emissions_batched."""
+    seg_size = max(1, seg_size)
+    results: list = [None] * len(placements)
+    by_bucket: dict[int, list[int]] = {}
+    for i, (start, n) in enumerate(placements):
+        if n < k:
+            results[i] = (
+                np.empty(0, np.int64), np.empty(0, np.uint64), None, 0,
+            )
+        else:
+            b = _MIN_BUCKET
+            while b < n:
+                b <<= 1
+            by_bucket.setdefault(b, []).append(i)
+    for b, idxs in by_bucket.items():
+        cap = b // seg_size + 2
+        max_rows = max(1, (32 << 20) // b)
+        for s in range(0, len(idxs), max_rows):
+            group = idxs[s : s + max_rows]
+            n_rows = 1
+            while n_rows < len(group):
+                n_rows <<= 1
+            starts = [placements[i][0] for i in group]
+            reals = [placements[i][1] for i in group]
+            while len(starts) < n_rows:
+                starts.append(0)
+                reals.append(0)
+            vecs = np.asarray(
+                splitter_greedy_packed_batch(
+                    canon_flat,
+                    jnp.asarray(starts, dtype=jnp.int64),
+                    jnp.asarray(reals, dtype=jnp.int64),
+                    b, seg_size, cap, singleton, table=table,
+                )
+            )
+            for row, i in enumerate(group):
+                vec = vecs[row]
+                count = int(vec[0])
+                pos = vec[1 : 1 + cap][:count].astype(np.int64)
+                kms = vec[1 + cap : 1 + 2 * cap][:count].astype(np.uint64)
+                t_tail = int(vec[1 + 2 * cap])
+                n = placements[i][1]
+                if t_tail < n:
+                    results[i] = (pos, kms, t_tail, np.uint64(vec[2 + 2 * cap]))
+                else:
+                    results[i] = (pos, kms, None, 0)
+    return results
 
 
 def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
@@ -1210,6 +1358,10 @@ _COALESCE_BUCKETS = True
 _PACK_ROWS = True
 _SEAM = 32  # invalid symbols between packed parts (> max k - 1, even)
 _PACK_CAP = 2048  # per-row hit cap for multi-part rows
+
+# pack all-small multi-contig references for discovery (canon + greedy in
+# a handful of dispatches); False falls back to per-contig records
+_PACK_DISCOVERY = True
 
 
 _BATCH_SYMBOL_BUDGET = 32 << 20  # max symbols per batched dispatch

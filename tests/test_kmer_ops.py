@@ -486,3 +486,58 @@ def test_row_packing_scan_equivalence():
         assert np.array_equal(p1, p2)
         assert np.array_equal(d1, d2)
         assert np.array_equal(r1, r2)
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_packed_discovery_matches_unpacked(tmp_path, adaptive):
+    """Packed discovery (canon + greedy over bin-packed rows) must emit
+    the same splitter set — and hence identical archive streams — as the
+    per-contig path."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from tests.util import write_fa
+
+    rng = np.random.default_rng(41)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def seq(n):
+        return bytes(alpha[rng.integers(0, 4, size=n)]).decode()
+
+    contigs = [(f"c{i}", seq(4000 + 700 * i)) for i in range(6)]
+    ref = tmp_path / "ref.fa"
+    write_fa(str(ref), contigs)
+    s1 = tmp_path / "s1.fa"
+    mut = [(n, "".join(
+        (ch if rng.random() > 0.002 else "ACGT"[int(rng.integers(0, 4))])
+        for ch in s)) for n, s in contigs]
+    write_fa(str(s1), mut)
+
+    params = CompressorParams(
+        segment_size=1500, adaptive_compression=adaptive
+    )
+
+    def contents(path):
+        r = ArchiveReader(str(path))
+        out = {
+            sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+            for sn in r.stream_names()
+        }
+        r.close()
+        return out
+
+    old = KM._PACK_DISCOVERY
+    try:
+        KM._PACK_DISCOVERY = True
+        a1 = tmp_path / "p.agc"
+        create_archive(str(a1), [str(ref), str(s1)], params)
+        KM._PACK_DISCOVERY = False
+        a2 = tmp_path / "u.agc"
+        create_archive(str(a2), [str(ref), str(s1)], params)
+    finally:
+        KM._PACK_DISCOVERY = old
+
+    c1, c2 = contents(a1), contents(a2)
+    assert set(c1) == set(c2)
+    for sn in c1:
+        assert c1[sn] == c2[sn], f"stream {sn} differs"

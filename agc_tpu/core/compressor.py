@@ -1050,10 +1050,11 @@ class Compressor:
                 if out is not None:
                     return out
             try:
-                return [
-                    (cid, preprocess_raw_contig(raw))
-                    for cid, raw in read_contigs_raw(path)
-                ]
+                with self.timers.stage("parse_fasta"):
+                    return [
+                        (cid, preprocess_raw_contig(raw))
+                        for cid, raw in read_contigs_raw(path)
+                    ]
             except OSError:
                 # unopenable input: warn and skip, like the reference
                 # (agc_compressor.cpp:2165-2168)
@@ -1193,11 +1194,12 @@ class Compressor:
 
         for si, sname, cid, codes, ci in gen():
             hits = cached_hits(si, ci, codes)
-            token = (
-                {"kind": "precomputed", "hits": hits}
-                if hits is not None
-                else batcher.add(codes)
-            )
+            with self.timers.stage("pack_dispatch"):
+                token = (
+                    {"kind": "precomputed", "hits": hits}
+                    if hits is not None
+                    else batcher.add(codes)
+                )
             pipeline.append(
                 {"si": si, "sname": sname, "cid": cid, "codes": codes,
                  "token": token, "batcher": batcher,
@@ -2041,6 +2043,9 @@ class Compressor:
         if self._closed:
             return False
         self._closed = True
+        import time as _time
+
+        _t_close = _time.perf_counter()
         self._ensure_splitters()
         self._join_pending_store()
         # finalize partial packs on the store worker while this thread
@@ -2105,6 +2110,10 @@ class Compressor:
             self._store_pool.shutdown(wait=True)
             self._store_pool = None
         self.writer.flush_buffers()
+        if self.p.verbosity > 0:
+            # all parts (incl. async-finished packs and buffered writes)
+            # have landed; stream sizes are final now
+            self._print_component_sizes()
         self._store_file_type_info()
         self.writer.close()
         if self._mode == "append":
@@ -2112,6 +2121,9 @@ class Compressor:
         if self.p.verbosity > 0:
             import sys
 
+            self.timers.times["close_finalize"] += (
+                _time.perf_counter() - _t_close
+            )
             print(self.timers.report(), file=sys.stderr)
         return True
 
@@ -2139,9 +2151,6 @@ class Compressor:
             v_tmp += fixed_u64(k2)
             v_tmp += fixed_u32(gid)
         self.writer.add_part("segment-splitters", bytes(v_tmp), len(entries))
-
-        if self.p.verbosity > 0:
-            self._print_component_sizes()
 
     def _print_component_sizes(self) -> None:
         """Verbose component-size breakdown (reference: store_metadata,

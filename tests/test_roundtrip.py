@@ -115,6 +115,46 @@ def test_concatenated_mode(tmp_path):
     d.close()
 
 
+def test_concatenated_mode_reuses_groups(tmp_path):
+    """-c with the documented invocation (reference given as a SEPARATE
+    file; reference README.md:37-38,175): near-identical genomes in one
+    concatenated file must share segment groups, not spawn one group per
+    genome.  Regression for the degenerate-looking group explosion that
+    only the UNdocumented single-file form produces (there the discovery
+    pool holds every genome, so shared k-mers are non-singletons and the
+    splitters land on per-genome mutation sites — same in the reference
+    tool)."""
+    rng = random.Random(5)
+    base = random_seq(rng, 6000)
+    ref_path = str(tmp_path / "ref.fa")
+    write_fa(ref_path, [("base", base)])
+    genomes = [(f"g{i:03d}", mutate(rng, base, subs=6, indels=1))
+               for i in range(30)]
+    cat_path = str(tmp_path / "all.fa")
+    write_fa(cat_path, genomes)
+    params = CompressorParams(
+        kmer_length=17,
+        segment_size=2000,
+        min_match_len=15,
+        concatenated_genomes=True,
+        adaptive_compression=True,
+    )
+    archive = str(tmp_path / "cat.agc")
+    create_archive(archive, [ref_path, cat_path], params)
+    d = Decompressor(archive)
+    assert sorted(d.list_samples()) == sorted(["base"] + [n for n, _ in genomes])
+    for name, seq in genomes[::7]:
+        assert d.get_contig_seq(name, name).decode() == seq
+    n_groups = sum(
+        1 for s in d.reader.stream_names()
+        if s.startswith("x") and s.endswith("r")
+    )
+    d.close()
+    # ~3 segments/genome, all shared against the base: a handful of
+    # groups, far fewer than one per genome
+    assert n_groups <= 12, n_groups
+
+
 def test_getctg_ranges_on_own_archive(tmp_path):
     files = make_collection(tmp_path, n_samples=1)
     archive = str(tmp_path / "g.agc")

@@ -215,6 +215,16 @@ class Compressor:
         self._buf_new: list[tuple[int, int, _PendingSeg]] = []
         self.processed_samples = 0
         self.processed_bases = 0
+        # high-water mark of samples covered by stored metadata batches.
+        # The reference re-stores the final batch when the contig count of
+        # a -c create lands exactly on a batch boundary (the unconditional
+        # end-of-input sync token, agc_compressor.cpp:2240-2248, reaches
+        # the barrier store at :1153-1154 after the names were already
+        # evicted), appending a spurious EMPTY batch part that corrupts a
+        # later append (collection_v3.cpp:97-104 copies it verbatim and
+        # shifts every later batch).  We guard instead of replicating the
+        # bug; see also the trailing-part drop in _init_append.
+        self._batches_stored_end = 0
         self.file_type_info = {
             "producer": PRODUCER,
             "producer_version_major": str(PRODUCER_VERSION[0]),
@@ -305,7 +315,20 @@ class Compressor:
             n_old = self.collection.get_no_samples()
             bs = self.collection.batch_size
             last_batch_full = n_old % bs == 0
-            n_copy = n_batches if last_batch_full else n_batches - 1
+            # real batch count from the sample count, NOT the part count:
+            # reference -c archives whose contig total lands exactly on a
+            # batch boundary carry a spurious trailing EMPTY batch part
+            # (agc_compressor.cpp:2240-2248 + :1153-1154 store the final
+            # batch twice, the second time after eviction); copying it
+            # would shift every appended batch by one part (that is the
+            # reference's own appending bug, collection_v3.cpp:97-104)
+            real_batches = (n_old + bs - 1) // bs
+            n_copy = (
+                min(n_batches, real_batches)
+                if last_batch_full
+                else real_batches - 1
+            )
+            self._batches_stored_end = n_copy * bs
             for i in range(n_copy):
                 data, meta = reader.get_part("collection-contigs", i)
                 self.writer.add_part("collection-contigs", data, meta)
@@ -1267,6 +1290,11 @@ class Compressor:
         if (
             self.processed_samples % self.p.pack_cardinality == 0
             and self.archive_version >= 3000
+            # skip when this batch is already on disk: the end-of-input
+            # sync of a -c create re-enters here with an unchanged,
+            # batch-aligned sample count (the reference then writes an
+            # empty duplicate batch, agc_compressor.cpp:1153-1154)
+            and self.processed_samples > self._batches_stored_end
         ):
             # batch metadata serializes placements: in-flight stores must land
             self._join_pending_store()
@@ -1274,6 +1302,7 @@ class Compressor:
                 from concurrent.futures import ThreadPoolExecutor
 
                 self._store_pool = ThreadPoolExecutor(max_workers=1)
+            self._batches_stored_end = self.processed_samples
             fut = self.collection.store_contig_batch(
                 self.writer,
                 self.processed_samples - self.p.pack_cardinality,

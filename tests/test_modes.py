@@ -162,6 +162,101 @@ def test_append_chain_three_steps(tmp_path):
     _check(one, files, tmp_path)
 
 
+def test_concatenated_append(tmp_path):
+    """append -c: every contig of the appended file becomes its own
+    sample, resuming the partial contig batch of the existing archive
+    (reference: AddSampleFiles, agc_compressor.cpp:2155-2156, where
+    cnt_contigs_in_sample restarts at processed_samples %
+    pack_cardinality)."""
+    rng = random.Random(21)
+    base = random_seq(rng, 9000)
+    ref = str(tmp_path / "ref.fa")
+    write_fa(ref, [("base", base)])
+    batch1 = [(f"g{i}", mutate(rng, base, subs=8, indels=1)) for i in range(3)]
+    batch2 = [(f"h{i}", mutate(rng, base, subs=8, indels=1)) for i in range(5)]
+    f1 = str(tmp_path / "b1.fa")
+    f2 = str(tmp_path / "b2.fa")
+    write_fa(f1, batch1)
+    write_fa(f2, batch2)
+    params = CompressorParams(
+        kmer_length=17,
+        segment_size=2000,
+        min_match_len=15,
+        pack_cardinality=2,  # appended contigs straddle batch boundaries
+        concatenated_genomes=True,
+    )
+    a1 = str(tmp_path / "step1.agc")
+    a2 = str(tmp_path / "step2.agc")
+    create_archive(a1, [ref, f1], params)
+    append_archive(a1, a2, [f2], params)
+    d = Decompressor(a2)
+    want = ["base"] + [n for n, _ in batch1 + batch2]
+    assert sorted(d.list_samples()) == sorted(want)
+    for name, seq in batch1 + batch2:
+        assert d.get_contig_seq(name, name).decode() == seq
+    d.close()
+
+
+def test_append_tolerates_spurious_empty_batch(tmp_path):
+    """The reference tool's -c create appends an EMPTY duplicate metadata
+    batch when the contig count lands exactly on a batch boundary
+    (agc_compressor.cpp:2240-2248 re-fires the barrier store :1153-1154
+    after eviction).  Appending must drop that spurious trailing part
+    instead of copying it verbatim (the reference's own append,
+    collection_v3.cpp:97-104, copies it and shifts every later batch)."""
+    from agc_tpu.core.archive import ArchiveReader, ArchiveWriter
+    from agc_tpu.core.collection import CollectionV3
+
+    rng = random.Random(31)
+    base = random_seq(rng, 9000)
+    ref = str(tmp_path / "ref.fa")
+    write_fa(ref, [("base", base)])
+    b1 = [(f"g{i}", mutate(rng, base, subs=8)) for i in range(3)]
+    f1 = str(tmp_path / "b1.fa")
+    write_fa(f1, b1)
+    params = CompressorParams(
+        kmer_length=17,
+        segment_size=2000,
+        min_match_len=15,
+        pack_cardinality=2,
+        concatenated_genomes=True,
+    )
+    clean = str(tmp_path / "clean.agc")
+    create_archive(clean, [ref, f1], params)  # 4 samples = 2 full batches
+
+    # fabricate the reference tool's buggy output: same archive plus one
+    # empty trailing batch part in collection-contigs/-details
+    buggy = str(tmp_path / "buggy.agc")
+    r = ArchiveReader(clean)
+    w = ArchiveWriter(buggy)
+    for s in r.stream_names():
+        w.register_stream(s)
+        for i in range(r.n_parts(s)):
+            data, meta = r.get_part(s, i)
+            w.add_part(s, data, meta)
+    r.close()
+    scratch = CollectionV3(
+        batch_size=2, segment_size=2000, kmer_length=17
+    )
+    scratch.register_sample_contig("", "pad0")
+    scratch.register_sample_contig("", "pad1")
+    for s in scratch.samples:
+        s.contigs = []  # evicted, like the reference at the second store
+    scratch.store_contig_batch(w, 0, 2)
+    w.flush_buffers()
+    w.close()
+
+    b2 = [(f"h{i}", mutate(rng, base, subs=8)) for i in range(5)]
+    f2 = str(tmp_path / "b2.fa")
+    write_fa(f2, b2)
+    out = str(tmp_path / "out.agc")
+    append_archive(buggy, out, [f2], params)
+    d = Decompressor(out)
+    for name, seq in b1 + b2:
+        assert d.get_contig_seq(name, name).decode() == seq, name
+    d.close()
+
+
 def test_py_agc_api_shim(tmp_path):
     """Smoke test mirroring the reference's py_agc_test.py
     (reference: src/py_agc_api/py_agc_test.py)."""

@@ -277,6 +277,7 @@ class Compressor:
         self.collection = CollectionV3(
             self.p.pack_cardinality, self.p.segment_size, self.k
         )
+        self._register_collection_streams()
         self.v_segments = [None] * NO_RAW_GROUPS
         for gid in range(NO_RAW_GROUPS):
             self.writer.register_stream(ss_delta_name(self.archive_version, gid))
@@ -284,6 +285,20 @@ class Compressor:
             self.v_segments[gid] = seg
             seg.add_raw(b"\x7f")  # ensure raw groups exist (agc_compressor.cpp:2313-2321)
         self.no_segments = NO_RAW_GROUPS
+
+    def _register_collection_streams(self) -> None:
+        """v3 archives MUST carry collection-samples/-contigs/-details as
+        stream ids 0/1/2: the reference's append resolves these streams in
+        the INPUT archive by the ids it just registered in the output
+        archive ("in and out ids for collection-* must be the same!",
+        collection_v3.cpp:48-61) and segfaults on any other layout."""
+        if self.archive_version >= 3000:
+            for s in (
+                "collection-samples",
+                "collection-contigs",
+                "collection-details",
+            ):
+                self.writer.register_stream(s)
 
     def _init_append(self, in_path: str, prefetch: bool) -> None:
         """reference: CAGCCompressor::Append + appending_init
@@ -306,6 +321,7 @@ class Compressor:
 
         self.collection = d.collection
         reader = d.reader
+        self._register_collection_streams()
         if self.archive_version >= 3000:
             # Copy all complete old metadata batches verbatim to the new
             # archive; only the last partial batch is re-serialized together

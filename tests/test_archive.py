@@ -126,3 +126,35 @@ def test_corrupted_archive_errors(tmp_path):
     with pytest.raises((ValueError, KeyError, IndexError)):
         d = Decompressor(str(cut))
         d.get_contig_seq(files[0][0], "c1")
+
+
+def test_v3_collection_streams_are_ids_0_1_2(tmp_path):
+    """The reference's append resolves collection-samples/-contigs/-details
+    in the INPUT archive by the ids it registered in its OUTPUT archive
+    ("in and out ids for collection-* must be the same!",
+    collection_v3.cpp:48-61); any other layout segfaults it. Pin the trio
+    to stream ids 0/1/2 on both create and append outputs."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import make_collection
+    from agc_tpu.core.compressor import (
+        CompressorParams,
+        append_archive,
+        create_archive,
+    )
+
+    trio = ["collection-samples", "collection-contigs", "collection-details"]
+    small = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=10, min_match_len=15
+    )
+    files = make_collection(tmp_path, n_samples=2)
+    base = str(tmp_path / "b.agc")
+    create_archive(base, [p for _, p in files[:2]], small)
+    r = ArchiveReader(base)
+    assert r.stream_names()[:3] == trio
+    r.close()
+    ext = str(tmp_path / "e.agc")
+    append_archive(base, ext, [files[2][1]], small)
+    r = ArchiveReader(ext)
+    assert r.stream_names()[:3] == trio
+    r.close()

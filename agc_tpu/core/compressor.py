@@ -984,7 +984,11 @@ class Compressor:
             out.append(d)
             fb_range(fb_start, p + 1, prev_splitter, d)
             prev_splitter = d
-            fb_start = p + 1
+            # the reference Resets its rolling k-mer at the cut, so the
+            # k-1 windows after an emission are never full and contribute
+            # no fallback k-mers (find_splitters_in_contig,
+            # agc_compressor.cpp:806 kmer.Reset())
+            fb_start = p + k
             last_emit = p
 
         # rightmost-candidate fallback (agc_compressor.cpp:817-824)

@@ -541,3 +541,83 @@ def test_packed_discovery_matches_unpacked(tmp_path, adaptive):
     assert set(c1) == set(c2)
     for sn in c1:
         assert c1[sn] == c2[sn], f"stream {sn} differs"
+
+
+def test_fallback_collection_matches_reference_walk(tmp_path):
+    """Fallback-minimizer records from _find_splitters_in_contig must
+    equal a direct emulation of the reference's find_splitters_in_contig
+    walk (agc_compressor.cpp:762-825): the rolling k-mer Resets at each
+    emission, so the k-1 windows after a cut contribute NO fallback
+    k-mers, and the per-segment list maps to (prev_splitter, emitted)."""
+    from util import write_fa
+
+    from agc_tpu.core.compressor import EMPTY, Compressor, CompressorParams
+
+    k, seg = 17, 300
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, size=15000, dtype=np.uint8)
+    codes[rng.integers(0, len(codes), 40)] = 4  # N resets
+    kmers = collect_kmers(codes, k)
+    uniq, counts = np.unique(kmers, return_counts=True)
+    cand = uniq[counts == 1]
+
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", "ACGT" * 200)])
+    comp = Compressor(
+        str(tmp_path / "x.agc"),
+        CompressorParams(
+            kmer_length=k, segment_size=seg, min_match_len=15,
+            fallback_frac=0.05,
+        ),
+        reference_file=ref,
+    )
+    try:
+        got_spl, got_fb = comp._find_splitters_in_contig(codes, cand)
+    finally:
+        comp.writer.close()
+
+    # direct reference emulation (same k-mer update as ref_kmers)
+    fb = comp.fallback_filter
+    candset = set(int(x) for x in cand)
+    mask = ((1 << 64) - 1) - ((1 << (64 - 2 * k)) - 1)
+    kd = kr = 0
+    cur = 0
+    current_len = seg  # init to segment_size: 1st candidate emits at once
+    prev = EMPTY
+    exp_spl, exp_fb, cur_fb, recent = [], [], [], []
+    for x in codes:
+        if x > 3:
+            kd = kr = 0
+            cur = 0
+        else:
+            kr = (kr >> 2) + ((3 - int(x)) << 62)
+            kr &= mask
+            if cur == k:
+                kd = ((kd << 2) & 0xFFFFFFFFFFFFFFFF) + (int(x) << (64 - 2 * k))
+            else:
+                cur += 1
+                kd += int(x) << (64 - 2 * cur)
+            if cur == k:
+                d = min(kd, kr)
+                recent.append(d)
+                if kd != kr and fb(d):
+                    cur_fb.append((d, kd <= kr))
+                if current_len >= seg and d in candset:
+                    exp_spl.append(d)
+                    exp_fb.extend((prev, d, km, dirn) for km, dirn in cur_fb)
+                    cur_fb = []
+                    recent = []
+                    prev = d
+                    current_len = 0
+                    kd = kr = 0
+                    cur = 0
+        current_len += 1
+    for d in reversed(recent):
+        if d in candset:
+            exp_spl.append(d)
+            exp_fb.extend((prev, d, km, dirn) for km, dirn in cur_fb)
+            break
+
+    assert got_spl == exp_spl
+    assert [(p, c, km, bool(dirn)) for p, c, km, dirn in got_fb] == exp_fb
+    assert len(exp_fb) > 20  # the 0.05 filter must actually sample

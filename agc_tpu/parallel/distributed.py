@@ -65,7 +65,7 @@ class _CapturingCompressor(Compressor):
     (ordered) member list per local group so the merge step can replay
     them into the global archive."""
 
-    def __init__(self, params, splitter_set, shard_id):
+    def __init__(self, params, splitter_set, shard_id, fallback_records=()):
         # bypass Compressor.__init__ archive plumbing: build state manually
         self.p = params
         self.k = params.kmer_length
@@ -98,7 +98,15 @@ class _CapturingCompressor(Compressor):
 
         self.fallback_filter = _FallbackFilter(params.fallback_frac)
         self.map_fallback = {}
-        self._pending_fallback = []
+        # Discovery's fallback records, with plain-create timing (the
+        # reference merges them at the FIRST registration barrier,
+        # agc_compressor.cpp:1126): shard 0's first sample IS the
+        # reference, so it keeps them pending until its first barrier;
+        # every other shard's first sample followed that barrier in the
+        # single-host order, so those shards pre-merge before compressing.
+        self._pending_fallback = list(fallback_records)
+        if shard_id != 0:
+            self._merge_fallback_mappings()
         self.cand_singletons = np.empty(0, dtype=np.uint64)
         self.cand_duplicated = np.empty(0, dtype=np.uint64)
         self._cand_singletons_dev = None
@@ -203,7 +211,7 @@ def _run_shard_task(args):
     the splitter set is the replicated state, the returned _ShardResult is
     what travels to the writer host (it is plain picklable data).
     """
-    params, splitter_set, shard_id, shard_files = args
+    params, splitter_set, shard_id, shard_files, fallback_records = args
     # spawned workers must pick their platform BEFORE first device use;
     # a registered TPU plugin outranks the JAX_PLATFORMS env var, so the
     # choice is applied through the config (single-chip hosts set
@@ -216,7 +224,7 @@ def _run_shard_task(args):
         import jax
 
         jax.config.update("jax_platforms", plat.split(",")[0])
-    comp = _CapturingCompressor(params, splitter_set, shard_id)
+    comp = _CapturingCompressor(params, splitter_set, shard_id, fallback_records)
     comp.add_sample_files(shard_files)
     return comp.result()
 
@@ -244,9 +252,11 @@ def create_archive_sharded(
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     sample_files = [(sample_name_from_path(f), f) for f in files]
 
-    # Phase 1: splitters from the reference genome (shared by every shard)
+    # Phase 1: splitters (and -f fallback records) from the reference
+    # genome, shared by every shard
     boot = Compressor(out_path + ".tmp0", params, reference_file=files[0])
     splitter_set = set(boot.splitter_set_snapshot())
+    fallback_records = list(boot._pending_fallback)
     boot.writer.close()
     os.unlink(out_path + ".tmp0")
 
@@ -255,7 +265,8 @@ def create_archive_sharded(
     for i, sf in enumerate(sample_files):
         shards[i % n_shards].append(sf)
     tasks = [
-        (params, splitter_set, sid, shards[sid]) for sid in range(n_shards)
+        (params, splitter_set, sid, shards[sid], fallback_records)
+        for sid in range(n_shards)
     ]
 
     if n_shards > 1 and worker == "process":

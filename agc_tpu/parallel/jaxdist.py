@@ -257,6 +257,20 @@ def run_worker(
 ) -> None:
     """One host's role in a distributed create. Call once per process;
     process 0 writes the archive."""
+    from ..core.compressor import CompressorParams
+
+    params = params or CompressorParams()
+    if (
+        params.adaptive_compression
+        or params.concatenated_genomes
+        or params.fallback_frac
+    ):
+        raise NotImplementedError(
+            "distributed create currently supports the default mode "
+            "(no -a/-c/-f; the range-partitioned discovery does not yet "
+            "collect fallback-minimizer records)"
+        )
+
     import jax
 
     plat = os.environ.get("AGC_TPU_WORKER_PLATFORM")
@@ -271,15 +285,8 @@ def run_worker(
 
     kv = _dist.global_state.client
 
-    from ..core.compressor import CompressorParams
     from ..core.genome_io import sample_name_from_path
     from .distributed import _CapturingCompressor, _merge_shards
-
-    params = params or CompressorParams()
-    if params.adaptive_compression or params.concatenated_genomes:
-        raise NotImplementedError(
-            "distributed create currently supports the default mode"
-        )
 
     seen: set = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]

@@ -82,3 +82,67 @@ def test_process_workers_match_threads(tmp_path):
         assert dt.get_contig_seq(sample, "c1") == dp.get_contig_seq(sample, "c1")
     dt.close()
     dp.close()
+
+
+def test_sharded_fallback_records_reach_shards(tmp_path):
+    """-f (fallback minimizers): the boot discovery's fallback records
+    must reach every shard with plain-create timing (the reference merges
+    them at the first registration barrier, agc_compressor.cpp:1126).
+    With one shard this makes the sharded archive byte-identical to a
+    plain create, stream for stream; with several shards grouping may
+    legitimately differ (each shard's group dictionary evolves
+    independently) but extraction stays byte-identical."""
+    import random
+
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.core.compressor import create_archive
+    from util import mutate, random_seq, write_fa
+
+    rng = random.Random(5)
+    base = random_seq(rng, 30000)
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", base)])
+    s0 = str(tmp_path / "s0.fa")
+    write_fa(s0, [("c1", mutate(rng, base[5000:25000], 50, 5))])
+    s1 = str(tmp_path / "s1.fa")
+    write_fa(s1, [("c1", mutate(rng, base[3000:28000], 60, 6))])
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=10,
+        min_match_len=15, fallback_frac=0.05,
+    )
+
+    def contents(path):
+        r = ArchiveReader(path)
+        out = {
+            sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+            for sn in r.stream_names()
+        }
+        r.close()
+        return out
+
+    plain = str(tmp_path / "p.agc")
+    create_archive(plain, [ref, s0, s1], params)
+    sh1 = str(tmp_path / "1.agc")
+    create_archive_sharded(sh1, [ref, s0, s1], params, n_shards=1)
+    assert contents(plain) == contents(sh1)
+
+    sh3 = str(tmp_path / "3.agc")
+    create_archive_sharded(sh3, [ref, s0, s1], params, n_shards=3)
+    d = Decompressor(sh3)
+    for sample, path in [("r", ref), ("s0", s0), ("s1", s1)]:
+        out = str(tmp_path / f"fb3_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()
+
+
+def test_jaxdist_rejects_fallback_mode(tmp_path):
+    """jaxdist's range-partitioned discovery does not collect fallback
+    records yet; -f must be an explicit error, not a silent quality
+    regression."""
+    from agc_tpu.parallel.jaxdist import run_worker
+
+    params = CompressorParams(fallback_frac=0.01)
+    with pytest.raises(NotImplementedError):
+        run_worker(0, 1, "127.0.0.1:1", str(tmp_path / "x.agc"),
+                   ["nope.fa"], params)

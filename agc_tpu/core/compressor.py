@@ -154,6 +154,67 @@ def _rc_numeric(arr: np.ndarray) -> np.ndarray:
     return out
 
 
+def greedy_splitter_walk(n, k, seg, hits, hit_canon, fb_ctx=None):
+    """Greedy splitter emission over membership hits, with optional -f
+    fallback-record collection (reference: find_splitters_in_contig,
+    agc_compressor.cpp:762-825). Shared by the single-host compressor and
+    the jax.distributed discovery so both produce identical records.
+
+    ``hits``: sorted positions (k-mer END index) of candidate-set members;
+    ``hit_canon``: their canonical codes; ``fb_ctx``: dense per-position
+    (valid, canon, udir, urc, fallback_filter) arrays for -f.
+    Returns (splitters, fallback-records (prev, cur, kmer, is_dir))."""
+    out: list[int] = []
+    fallbacks: list[tuple[int, int, int, bool]] = []
+
+    if fb_ctx is not None:
+        valid, canon, udir, urc, fb_filter = fb_ctx
+
+        def fb_range(lo_pos, hi_pos, prev_sp, cur_sp):
+            """Collect fallback k-mers with asymmetric orientation in
+            positions [lo_pos, hi_pos)."""
+            vv = np.flatnonzero(valid[lo_pos:hi_pos]) + lo_pos
+            for p in vv.tolist():
+                d = int(canon[p])
+                if udir[p] != urc[p] and fb_filter(d):
+                    fallbacks.append(
+                        (prev_sp, cur_sp, d, bool(udir[p] <= urc[p]))
+                    )
+    else:
+        def fb_range(lo_pos, hi_pos, prev_sp, cur_sp):
+            pass
+
+    prev_splitter = EMPTY
+    last_emit = None  # position of last emission
+    fb_start = 0  # first position whose fallback kmers belong to open segment
+
+    for hi, p in enumerate(hits.tolist()):
+        if last_emit is not None and (p - last_emit) < seg:
+            continue
+        if last_emit is not None and p < last_emit + k:
+            continue
+        d = int(hit_canon[hi])
+        out.append(d)
+        fb_range(fb_start, p + 1, prev_splitter, d)
+        prev_splitter = d
+        # the reference Resets its rolling k-mer at the cut, so the
+        # k-1 windows after an emission are never full and contribute
+        # no fallback k-mers (find_splitters_in_contig,
+        # agc_compressor.cpp:806 kmer.Reset())
+        fb_start = p + k
+        last_emit = p
+
+    # rightmost-candidate fallback (agc_compressor.cpp:817-824)
+    floor = (last_emit + k) if last_emit is not None else 0
+    tail = np.flatnonzero(hits >= floor)
+    if len(tail):
+        hi = int(tail[-1])
+        d = int(hit_canon[hi])
+        out.append(d)
+        fb_range(fb_start, n, prev_splitter, d)
+    return out, fallbacks
+
+
 class _FallbackFilter:
     """Hashed k-mer fraction filter (reference: agc_compressor.h:570-599)."""
 
@@ -936,11 +997,8 @@ class Compressor:
         from ..ops.kmers import scan_contig, scan_contig_hits
 
         n = len(codes)
-        out: list[int] = []
-        fallbacks: list[tuple[int, int, int, bool]] = []
         if n < self.k:
-            return out, fallbacks
-        seg = self.p.segment_size
+            return [], []
         k = self.k
         fb_on = bool(self.fallback_filter)
 
@@ -954,52 +1012,16 @@ class Compressor:
             canon, udir, urc, valid, member = scan_contig(codes, k, cand_np)
             hits = np.flatnonzero(member)
             hit_canon = canon[hits]
+            fb_ctx = (valid, canon, udir, urc, self.fallback_filter)
         else:
             if hits is None:
                 hits = scan_contig_hits(codes, k, candidates)
             hits, h_udir, h_urc = hits
             hit_canon = np.minimum(h_udir, h_urc)
-
-        def fb_range(lo_pos, hi_pos, prev_sp, cur_sp):
-            """Collect fallback k-mers with asymmetric orientation in
-            positions [lo_pos, hi_pos)."""
-            if not fb_on:
-                return
-            vv = np.flatnonzero(valid[lo_pos:hi_pos]) + lo_pos
-            for p in vv.tolist():
-                d = int(canon[p])
-                if udir[p] != urc[p] and self.fallback_filter(d):
-                    fallbacks.append((prev_sp, cur_sp, d, bool(udir[p] <= urc[p])))
-
-        prev_splitter = EMPTY
-        last_emit = None  # position of last emission
-        fb_start = 0  # first position whose fallback kmers belong to open segment
-
-        for hi, p in enumerate(hits.tolist()):
-            if last_emit is not None and (p - last_emit) < seg:
-                continue
-            if last_emit is not None and p < last_emit + k:
-                continue
-            d = int(hit_canon[hi])
-            out.append(d)
-            fb_range(fb_start, p + 1, prev_splitter, d)
-            prev_splitter = d
-            # the reference Resets its rolling k-mer at the cut, so the
-            # k-1 windows after an emission are never full and contribute
-            # no fallback k-mers (find_splitters_in_contig,
-            # agc_compressor.cpp:806 kmer.Reset())
-            fb_start = p + k
-            last_emit = p
-
-        # rightmost-candidate fallback (agc_compressor.cpp:817-824)
-        floor = (last_emit + k) if last_emit is not None else 0
-        tail = np.flatnonzero(hits >= floor)
-        if len(tail):
-            hi = int(tail[-1])
-            d = int(hit_canon[hi])
-            out.append(d)
-            fb_range(fb_start, n, prev_splitter, d)
-        return out, fallbacks
+            fb_ctx = None
+        return greedy_splitter_walk(
+            n, k, self.p.segment_size, hits, hit_canon, fb_ctx
+        )
 
     # ==================================================================
     # sample ingestion

@@ -145,14 +145,15 @@ def _revcomp_np(dir_u: np.ndarray, k: int) -> np.ndarray:
     return full - x
 
 
-def canon_kmers_np(codes: np.ndarray, k: int):
-    """Host (numpy) canonical k-mers: same log-doubling construction as
-    the device kernel, in u64. For small contigs the fixed device
-    round-trip costs more than computing on the host (e.g. adaptive
-    new-splitter discovery on 30 kb genomes). Returns (canon, valid)."""
+def dir_rc_kmers_np(codes: np.ndarray, k: int):
+    """Host (numpy) per-position k-mer codes, both orientations:
+    (udir, urc, valid), left-aligned u64 — the host counterpart of the
+    device ``contig_kmers_dir_rc`` (the matcher and -f fallback
+    bookkeeping need orientation, kmer.h:545-560)."""
     n = len(codes)
     if n < k:
-        return np.zeros(0, np.uint64), np.zeros(0, bool)
+        z = np.zeros(0, np.uint64)
+        return z, z.copy(), np.zeros(0, bool)
     sym = np.where(codes > 3, 0, codes).astype(np.uint64)
 
     def shift_index(arr, p):
@@ -178,13 +179,21 @@ def canon_kmers_np(codes: np.ndarray, k: int):
         b <<= 1
     rc = _revcomp_np(res, k)
     shift = np.uint64(_shift_for(k))
-    canon = np.minimum(res, rc) << shift
     inv = (codes > 3).astype(np.int32)
     csum = np.cumsum(inv)
     csum_shift = np.zeros(n, np.int32)
     csum_shift[k:] = csum[:-k]
     valid = ((csum - csum_shift) == 0) & (np.arange(n) >= k - 1)
-    return canon, valid
+    return res << shift, rc << shift, valid
+
+
+def canon_kmers_np(codes: np.ndarray, k: int):
+    """Host (numpy) canonical k-mers: same log-doubling construction as
+    the device kernel, in u64. For small contigs the fixed device
+    round-trip costs more than computing on the host (e.g. adaptive
+    new-splitter discovery on 30 kb genomes). Returns (canon, valid)."""
+    udir, urc, valid = dir_rc_kmers_np(codes, k)
+    return np.minimum(udir, urc), valid
 
 
 def _kmer_halves(codes: jnp.ndarray, k: int):

@@ -172,23 +172,26 @@ def _all_to_all_buckets(mesh, pid: int, n: int, buckets: list[np.ndarray]):
 
 def _distributed_splitters(
     mesh, pid: int, n: int, reference_file: str, params
-) -> set:
+) -> tuple:
     """Phases 1-3 of the module docstring. Returns the (identical on every
-    host) splitter k-mer set."""
+    host) splitter k-mer set and -f fallback records [(prev, cur, kmer,
+    is_dir), ...] (empty without -f)."""
+    from ..core.compressor import _FallbackFilter, greedy_splitter_walk
     from ..core.genome_io import preprocess_raw_contig, read_contigs_raw
-    from ..ops.kmers import canon_kmers_np
+    from ..ops.kmers import dir_rc_kmers_np
 
     k = params.kmer_length
     contigs = [
         preprocess_raw_contig(raw) for _, raw in read_contigs_raw(reference_file)
     ]
     my_contigs = list(range(pid, len(contigs), n))
+    fb_filter = _FallbackFilter(params.fallback_frac)
 
     # 1. local k-mer occurrences -> range-partitioned exchange
     locs = []
     for ci in my_contigs:
-        canon, valid = canon_kmers_np(contigs[ci], k)
-        locs.append(canon[valid])
+        udir, urc, valid = dir_rc_kmers_np(contigs[ci], k)
+        locs.append(np.minimum(udir, urc)[valid])
     local = (
         np.concatenate(locs) if locs else np.empty(0, dtype=np.uint64)
     )
@@ -209,37 +212,53 @@ def _distributed_splitters(
     table = _allgather_u64(mesh, pid, n, singles)
     table.sort()
 
-    # 3. greedy emission over my contig slice (reference rules:
-    #    agc_compressor.cpp:762-825), union across hosts
-    seg = params.segment_size
+    # 3. greedy emission over my contig slice (the shared reference walk,
+    #    agc_compressor.cpp:762-825), union across hosts; with -f the walk
+    #    also yields this slice's fallback records
     found: list[int] = []
+    records: list[tuple] = []
     for ci in my_contigs:
         codes = contigs[ci]
         if len(codes) < k:
             continue
-        canon, valid = canon_kmers_np(codes, k)
+        udir, urc, valid = dir_rc_kmers_np(codes, k)
+        canon = np.minimum(udir, urc)
         ix = np.searchsorted(table, canon)
         member = valid & (
             table[np.minimum(ix, max(0, table.size - 1))] == canon
         ) if table.size else np.zeros(len(canon), dtype=bool)
         hits = np.flatnonzero(member)
-        last_emit = None
-        for p in hits.tolist():
-            if last_emit is not None and (p - last_emit) < seg:
-                continue
-            if last_emit is not None and p < last_emit + k:
-                continue
-            found.append(int(canon[p]))
-            last_emit = p
-        floor = (last_emit + k) if last_emit is not None else 0
-        tail = hits[hits >= floor]
-        if len(tail):
-            found.append(int(canon[tail[-1]]))
+        fb_ctx = (
+            (valid, canon, udir, urc, fb_filter) if fb_filter else None
+        )
+        spl, fbs = greedy_splitter_walk(
+            len(codes), k, params.segment_size, hits, canon[hits], fb_ctx
+        )
+        found.extend(spl)
+        records.extend(fbs)
 
     merged = _allgather_u64(
         mesh, pid, n, np.array(sorted(set(found)), dtype=np.uint64)
     )
-    return set(int(x) for x in merged)
+    splitter_set = set(int(x) for x in merged)
+
+    if fb_filter:
+        # union the fallback records (order is irrelevant: the voting
+        # matcher counts pairs into sets); rows of 4 u64 ride the same
+        # padded all_gather
+        flat = np.array(
+            sorted(
+                {(p, c, km, int(d)) for p, c, km, d in records}
+            ),
+            dtype=np.uint64,
+        ).reshape(-1)
+        rows = _allgather_u64(mesh, pid, n, flat).reshape(-1, 4)
+        fallback_records = sorted(
+            {(int(r[0]), int(r[1]), int(r[2]), bool(r[3])) for r in rows}
+        )
+    else:
+        fallback_records = []
+    return splitter_set, fallback_records
 
 
 # ---------------------------------------------------------------------------
@@ -260,15 +279,10 @@ def run_worker(
     from ..core.compressor import CompressorParams
 
     params = params or CompressorParams()
-    if (
-        params.adaptive_compression
-        or params.concatenated_genomes
-        or params.fallback_frac
-    ):
+    if params.adaptive_compression or params.concatenated_genomes:
         raise NotImplementedError(
             "distributed create currently supports the default mode "
-            "(no -a/-c/-f; the range-partitioned discovery does not yet "
-            "collect fallback-minimizer records)"
+            "(no -a/-c)"
         )
 
     import jax
@@ -293,11 +307,13 @@ def run_worker(
     sample_files = [(sample_name_from_path(f), f) for f in files]
 
     mesh = _host_mesh(n_procs)
-    splitter_set = _distributed_splitters(mesh, pid, n_procs, files[0], params)
+    splitter_set, fallback_records = _distributed_splitters(
+        mesh, pid, n_procs, files[0], params
+    )
 
     # phase 4: compress my sample shard
     my_files = [sf for i, sf in enumerate(sample_files) if i % n_procs == pid]
-    comp = _CapturingCompressor(params, splitter_set, pid)
+    comp = _CapturingCompressor(params, splitter_set, pid, fallback_records)
     comp.add_sample_files(my_files)
     res = comp.result()
 

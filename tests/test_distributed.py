@@ -136,13 +136,16 @@ def test_sharded_fallback_records_reach_shards(tmp_path):
     d.close()
 
 
-def test_jaxdist_rejects_fallback_mode(tmp_path):
-    """jaxdist's range-partitioned discovery does not collect fallback
-    records yet; -f must be an explicit error, not a silent quality
-    regression."""
+def test_jaxdist_rejects_unsupported_modes(tmp_path):
+    """Adaptive and concatenated modes need cross-shard splitter growth /
+    shared grouping the distributed path does not implement; they must be
+    an explicit error, not silent divergence."""
     from agc_tpu.parallel.jaxdist import run_worker
 
-    params = CompressorParams(fallback_frac=0.01)
-    with pytest.raises(NotImplementedError):
-        run_worker(0, 1, "127.0.0.1:1", str(tmp_path / "x.agc"),
-                   ["nope.fa"], params)
+    for params in (
+        CompressorParams(adaptive_compression=True),
+        CompressorParams(concatenated_genomes=True),
+    ):
+        with pytest.raises(NotImplementedError):
+            run_worker(0, 1, "127.0.0.1:1", str(tmp_path / "x.agc"),
+                       ["nope.fa"], params)

@@ -90,3 +90,39 @@ def test_jaxdist_matches_single_host_splitters(collection, tmp_path):
     create_archive_jaxdist(str(dist), files, params, n_procs=2)
 
     assert _archive_splitters(dist) == _archive_splitters(plain)
+
+
+def test_jaxdist_fallback_matches_plain_create(tmp_path):
+    """-f: the collective discovery's fallback records (collected by the
+    shared greedy walk, exchanged with the same padded all_gather) must
+    reproduce single-host grouping — a 1-process distributed create is
+    stream-identical to a plain create with -f."""
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from agc_tpu.parallel.jaxdist import create_archive_jaxdist
+
+    rng = random.Random(5)
+    base = random_seq(rng, 30000)
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", base)])
+    s0 = str(tmp_path / "s0.fa")
+    write_fa(s0, [("c1", mutate(rng, base[5000:25000], 50, 5))])
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=10,
+        min_match_len=15, fallback_frac=0.05,
+    )
+
+    def contents(path):
+        r = ArchiveReader(str(path))
+        out = {
+            sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+            for sn in r.stream_names()
+        }
+        r.close()
+        return out
+
+    plain = tmp_path / "p.agc"
+    create_archive(str(plain), [ref, s0], params)
+    dist = tmp_path / "d1.agc"
+    create_archive_jaxdist(str(dist), [ref, s0], params, n_procs=1)
+    assert contents(plain) == contents(dist)

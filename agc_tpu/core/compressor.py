@@ -1300,22 +1300,7 @@ class Compressor:
         store, metadata batch (reference: worker protocol,
         agc_compressor.cpp:1114-1237)."""
         if self.p.adaptive_compression:
-            self._merge_new_splitters()
-            hard = self._raw_contigs
-            self._raw_contigs = []
-            if hard:
-                # one batched dispatch for all hard-contig rescans (the
-                # merged table now includes their new splitters)
-                from ..ops.kmers import ScanBatcher
-
-                hb = ScanBatcher(self.k, self._splitters_dev)
-                tokens = [hb.add(codes) for _, _, codes in hard]
-                hb.flush()
-                for (sample_name, cid, codes), token in zip(hard, tokens):
-                    self._process_contig(
-                        sample_name, cid, codes, hard_contig=True,
-                        hits=hb.collect(token),
-                    )
+            self._adaptive_barrier()
         self._register_segments()
         with self.timers.stage("store_segments"):
             self._store_segments(async_ok=True)
@@ -1355,6 +1340,39 @@ class Compressor:
             if fut is not None:
                 self._pending_meta.append(fut)
         self.writer.flush_buffers()
+
+    def _adaptive_barrier(self) -> None:
+        """Adaptive-mode half of the barrier: merge the pending new
+        splitters into the table, then rescan the requeued hard contigs
+        against the grown table (reference: new_splitters token,
+        agc_compressor.cpp:1187-1237). Shared by the archive-writing
+        barrier and the capturing (multi-host shard) barrier."""
+        self._pending_new_splitters = self._exchange_new_splitters(
+            self._pending_new_splitters
+        )
+        self._merge_new_splitters()
+        hard = self._raw_contigs
+        self._raw_contigs = []
+        if hard:
+            # one batched dispatch for all hard-contig rescans (the
+            # merged table now includes their new splitters)
+            from ..ops.kmers import ScanBatcher
+
+            hb = ScanBatcher(self.k, self._splitters_dev)
+            tokens = [hb.add(codes) for _, _, codes in hard]
+            hb.flush()
+            for (sample_name, cid, codes), token in zip(hard, tokens):
+                self._process_contig(
+                    sample_name, cid, codes, hard_contig=True,
+                    hits=hb.collect(token),
+                )
+
+    def _exchange_new_splitters(self, pending: list[int]) -> list[int]:
+        """Hook for distributed shards: replace the locally-discovered
+        pending new splitters with the cross-shard union (the distributed
+        analogue of the reference's in-band ``new_splitters`` token,
+        agc_compressor.cpp:1187-1237). Single host: identity."""
+        return pending
 
     def _merge_new_splitters(self) -> None:
         if not self._pending_new_splitters:

@@ -65,7 +65,16 @@ class _CapturingCompressor(Compressor):
     (ordered) member list per local group so the merge step can replay
     them into the global archive."""
 
-    def __init__(self, params, splitter_set, shard_id, fallback_records=()):
+    def __init__(
+        self,
+        params,
+        splitter_set,
+        shard_id,
+        fallback_records=(),
+        cand_singletons=None,
+        cand_duplicated=None,
+        exchanger=None,
+    ):
         # bypass Compressor.__init__ archive plumbing: build state manually
         self.p = params
         self.k = params.kmer_length
@@ -107,11 +116,25 @@ class _CapturingCompressor(Compressor):
         self._pending_fallback = list(fallback_records)
         if shard_id != 0:
             self._merge_fallback_mappings()
-        self.cand_singletons = np.empty(0, dtype=np.uint64)
-        self.cand_duplicated = np.empty(0, dtype=np.uint64)
+        # adaptive mode: the discovery's candidate tables (reference
+        # singletons + duplicated k-mers) gate which k-mers a splitterless
+        # contig may promote (find_new_splitters, agc_compressor.cpp:2054)
+        self.cand_singletons = (
+            np.asarray(cand_singletons, dtype=np.uint64)
+            if cand_singletons is not None
+            else np.empty(0, dtype=np.uint64)
+        )
+        self.cand_duplicated = (
+            np.asarray(cand_duplicated, dtype=np.uint64)
+            if cand_duplicated is not None
+            else np.empty(0, dtype=np.uint64)
+        )
         self._cand_singletons_dev = None
         self._pending_new_splitters = []
+        self._splitter_log = []
         self._raw_contigs = []
+        # cross-shard new-splitter exchanger (pod path); None = shard-local
+        self._exchanger = exchanger
         self._buf_known = {}
         self._buf_new = []
         self.processed_samples = 0
@@ -156,11 +179,20 @@ class _CapturingCompressor(Compressor):
 
     def _synchronize(self) -> None:
         """Shard-local barrier: registration + capture only (the global
-        metadata/archive writes happen in the merge phase)."""
+        metadata/archive writes happen in the merge phase). Adaptive mode
+        runs the same merge-then-rescan half-barrier as a plain create
+        (with the cross-shard exchange hook when an exchanger is wired)."""
+        if self.p.adaptive_compression:
+            self._adaptive_barrier()
         self._register_segments()
         self._store_segments()
         self._merge_fallback_mappings()
         self.processed_samples += 1
+
+    def _exchange_new_splitters(self, pending):
+        if self._exchanger is None:
+            return pending
+        return self._exchanger.exchange(pending)
 
     def _register_segments(self) -> None:
         super()._register_segments()
@@ -211,7 +243,8 @@ def _run_shard_task(args):
     the splitter set is the replicated state, the returned _ShardResult is
     what travels to the writer host (it is plain picklable data).
     """
-    params, splitter_set, shard_id, shard_files, fallback_records = args
+    (params, splitter_set, shard_id, shard_files, fallback_records,
+     cand_singletons, cand_duplicated) = args
     # spawned workers must pick their platform BEFORE first device use;
     # a registered TPU plugin outranks the JAX_PLATFORMS env var, so the
     # choice is applied through the config (single-chip hosts set
@@ -224,7 +257,10 @@ def _run_shard_task(args):
         import jax
 
         jax.config.update("jax_platforms", plat.split(",")[0])
-    comp = _CapturingCompressor(params, splitter_set, shard_id, fallback_records)
+    comp = _CapturingCompressor(
+        params, splitter_set, shard_id, fallback_records,
+        cand_singletons=cand_singletons, cand_duplicated=cand_duplicated,
+    )
     comp.add_sample_files(shard_files)
     return comp.result()
 
@@ -244,28 +280,37 @@ def create_archive_sharded(
     the writer by value); ``"thread"`` shares this process's device.
     """
     params = params or CompressorParams()
-    if params.adaptive_compression or params.concatenated_genomes:
+    if params.concatenated_genomes:
         raise NotImplementedError(
-            "sharded create currently supports the default mode"
+            "sharded create does not support concatenated mode (-c): its "
+            "grouping is defined by a single global contig stream"
         )
     seen = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     sample_files = [(sample_name_from_path(f), f) for f in files]
 
-    # Phase 1: splitters (and -f fallback records) from the reference
-    # genome, shared by every shard
+    # Phase 1: splitters (and -f fallback records; adaptive candidate
+    # tables) from the reference genome, shared by every shard
     boot = Compressor(out_path + ".tmp0", params, reference_file=files[0])
     splitter_set = set(boot.splitter_set_snapshot())
     fallback_records = list(boot._pending_fallback)
+    cand_singletons = np.asarray(boot.cand_singletons, dtype=np.uint64)
+    cand_duplicated = np.asarray(boot.cand_duplicated, dtype=np.uint64)
     boot.writer.close()
     os.unlink(out_path + ".tmp0")
 
-    # Phase 2: shard the samples round-robin and compress independently
+    # Phase 2: shard the samples round-robin and compress independently.
+    # Adaptive mode here is SHARD-LOCAL: each shard grows its own splitter
+    # table from its splitterless contigs (deterministic for a given shard
+    # count, identical between thread and process workers); the pod path
+    # (parallel/jaxdist.py) instead exchanges new splitters at every sample
+    # barrier with collectives, like the reference's new_splitters token.
     shards: list[list] = [[] for _ in range(n_shards)]
     for i, sf in enumerate(sample_files):
         shards[i % n_shards].append(sf)
     tasks = [
-        (params, splitter_set, sid, shards[sid], fallback_records)
+        (params, splitter_set, sid, shards[sid], fallback_records,
+         cand_singletons, cand_duplicated)
         for sid in range(n_shards)
     ]
 
@@ -304,7 +349,12 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
     merged.terminators = {}
     merged.v_segments = []
     merged.no_segments = 0
+    # adaptive shards grow their tables; the archive's splitters stream is
+    # the union (stored sorted, so shard order is immaterial). Non-adaptive
+    # shards all hold exactly the boot set.
     merged._splitter_set = set(splitter_set)
+    for res in results:
+        merged._splitter_set |= res.splitter_set
     merged.processed_samples = 0
     merged.processed_bases = 0
     merged._closed = False

@@ -28,7 +28,13 @@ Collective schedule (the distributed analogue of the reference's in-band
    order-independent, hence identical on every host.
 4. **Data-parallel compression** — samples round-robin across hosts, each
    host runs the standard device-scan + host-matcher pipeline against the
-   replicated splitter set (``_CapturingCompressor``).
+   replicated splitter set (``_CapturingCompressor``). Adaptive mode
+   (``-a``) keeps the growing splitter table synchronized: at every sample
+   barrier each host contributes its pending new splitters to one padded
+   ``all_gather`` and merges the union before rescanning its hard contigs
+   (the reference's ``new_splitters`` token, agc_compressor.cpp:1187-1237,
+   as a collective); hosts with shorter shards drain the remaining rounds
+   with empty contributions so the collectives stay lockstep.
 5. **Merge on the writer host** — shard results are posted to the
    coordination KV store; host 0 replays them with the deterministic
    merge (``_merge_shards``), producing an archive whose extraction
@@ -174,8 +180,11 @@ def _distributed_splitters(
     mesh, pid: int, n: int, reference_file: str, params
 ) -> tuple:
     """Phases 1-3 of the module docstring. Returns the (identical on every
-    host) splitter k-mer set and -f fallback records [(prev, cur, kmer,
-    is_dir), ...] (empty without -f)."""
+    host) splitter k-mer set, -f fallback records [(prev, cur, kmer,
+    is_dir), ...] (empty without -f), and the adaptive-mode candidate
+    tables (reference singletons / duplicated k-mers; empty without -a,
+    reference: determine_splitters' adaptive branch,
+    agc_compressor.cpp:515-517)."""
     from ..core.compressor import _FallbackFilter, greedy_splitter_walk
     from ..core.genome_io import preprocess_raw_contig, read_contigs_raw
     from ..ops.kmers import dir_rc_kmers_np
@@ -205,12 +214,23 @@ def _distributed_splitters(
         first = np.concatenate(([True], owned[1:] != owned[:-1]))
         last = np.concatenate((owned[1:] != owned[:-1], [True]))
         singles = owned[first & last]
+        dup_uniques = owned[first & ~last]
     else:
         singles = owned
+        dup_uniques = owned
 
-    # 2. replicate the full singleton table
+    # 2. replicate the full singleton table (adaptive mode additionally
+    # replicates the duplicated-unique table: find_new_splitters excludes
+    # both from promotion, agc_compressor.cpp:2054-2082)
     table = _allgather_u64(mesh, pid, n, singles)
     table.sort()
+    if params.adaptive_compression:
+        cand_duplicated = _allgather_u64(mesh, pid, n, dup_uniques)
+        cand_duplicated.sort()
+        cand_singletons = table
+    else:
+        cand_duplicated = np.empty(0, dtype=np.uint64)
+        cand_singletons = np.empty(0, dtype=np.uint64)
 
     # 3. greedy emission over my contig slice (the shared reference walk,
     #    agc_compressor.cpp:762-825), union across hosts; with -f the walk
@@ -258,7 +278,28 @@ def _distributed_splitters(
         )
     else:
         fallback_records = []
-    return splitter_set, fallback_records
+    return splitter_set, fallback_records, cand_singletons, cand_duplicated
+
+
+class _CollectiveSplitterExchange:
+    """Per-barrier union of pending new splitters across all hosts (the
+    reference's new_splitters token, agc_compressor.cpp:1187-1237, as one
+    padded all_gather per sample barrier). Every host must perform the
+    same TOTAL number of exchanges; hosts that finish their sample shard
+    early drain the remaining rounds with empty contributions
+    (run_worker)."""
+
+    def __init__(self, mesh, pid: int, n: int):
+        self.mesh, self.pid, self.n = mesh, pid, n
+        self.rounds_done = 0
+
+    def exchange(self, pending) -> list[int]:
+        vals = np.array(
+            sorted({int(x) for x in pending}), dtype=np.uint64
+        )
+        merged = _allgather_u64(self.mesh, self.pid, self.n, vals)
+        self.rounds_done += 1
+        return [int(x) for x in merged]
 
 
 # ---------------------------------------------------------------------------
@@ -279,10 +320,10 @@ def run_worker(
     from ..core.compressor import CompressorParams
 
     params = params or CompressorParams()
-    if params.adaptive_compression or params.concatenated_genomes:
+    if params.concatenated_genomes:
         raise NotImplementedError(
-            "distributed create currently supports the default mode "
-            "(no -a/-c)"
+            "distributed create does not support concatenated mode (-c): "
+            "its grouping is defined by a single global contig stream"
         )
 
     import jax
@@ -307,14 +348,36 @@ def run_worker(
     sample_files = [(sample_name_from_path(f), f) for f in files]
 
     mesh = _host_mesh(n_procs)
-    splitter_set, fallback_records = _distributed_splitters(
-        mesh, pid, n_procs, files[0], params
+    splitter_set, fallback_records, cand_singletons, cand_duplicated = (
+        _distributed_splitters(mesh, pid, n_procs, files[0], params)
     )
 
-    # phase 4: compress my sample shard
+    # phase 4: compress my sample shard. Adaptive mode synchronizes the
+    # growing splitter table across hosts: one exchange per sample
+    # barrier, every host performing exactly max_rounds exchanges (shard 0
+    # holds the most samples under round-robin; shorter shards — or shards
+    # that skipped a barrier for an unopenable/empty input — drain the
+    # difference with empty contributions so the collectives stay
+    # lockstep).
     my_files = [sf for i, sf in enumerate(sample_files) if i % n_procs == pid]
-    comp = _CapturingCompressor(params, splitter_set, pid, fallback_records)
+    exchanger = (
+        _CollectiveSplitterExchange(mesh, pid, n_procs)
+        if params.adaptive_compression and n_procs > 1
+        else None
+    )
+    comp = _CapturingCompressor(
+        params, splitter_set, pid, fallback_records,
+        cand_singletons=cand_singletons, cand_duplicated=cand_duplicated,
+        exchanger=exchanger,
+    )
     comp.add_sample_files(my_files)
+    if exchanger is not None:
+        max_rounds = len(sample_files[0::n_procs])
+        while exchanger.rounds_done < max_rounds:
+            comp._pending_new_splitters = exchanger.exchange(
+                comp._pending_new_splitters
+            )
+            comp._merge_new_splitters()
     res = comp.result()
 
     # phase 5: results to the writer host via the coordination KV store.

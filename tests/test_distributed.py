@@ -136,16 +136,89 @@ def test_sharded_fallback_records_reach_shards(tmp_path):
     d.close()
 
 
-def test_jaxdist_rejects_unsupported_modes(tmp_path):
-    """Adaptive and concatenated modes need cross-shard splitter growth /
-    shared grouping the distributed path does not implement; they must be
-    an explicit error, not silent divergence."""
+def test_jaxdist_rejects_concatenated_mode(tmp_path):
+    """Concatenated mode's grouping is defined by one global contig
+    stream; the distributed paths must reject it explicitly, not diverge
+    silently."""
     from agc_tpu.parallel.jaxdist import run_worker
 
-    for params in (
-        CompressorParams(adaptive_compression=True),
-        CompressorParams(concatenated_genomes=True),
-    ):
-        with pytest.raises(NotImplementedError):
-            run_worker(0, 1, "127.0.0.1:1", str(tmp_path / "x.agc"),
-                       ["nope.fa"], params)
+    params = CompressorParams(concatenated_genomes=True)
+    with pytest.raises(NotImplementedError):
+        run_worker(0, 1, "127.0.0.1:1", str(tmp_path / "x.agc"),
+                   ["nope.fa"], params)
+    with pytest.raises(NotImplementedError):
+        create_archive_sharded(
+            str(tmp_path / "y.agc"), ["nope.fa"], params, n_shards=2
+        )
+
+
+def _adaptive_fixture(tmp_path):
+    """Reference + two samples each carrying a contig with NO reference
+    k-mers (novel sequence >= segment_size): compressing them requires
+    adaptive new-splitter promotion. s1's novel contig is a lightly
+    mutated copy of s0's, so splitters promoted from s0 should segment it."""
+    import random
+
+    from util import mutate, random_seq, write_fa
+
+    rng = random.Random(77)
+    base = random_seq(rng, 24000)
+    novel = random_seq(rng, 8000)
+    ref = str(tmp_path / "aref.fa")
+    write_fa(ref, [("c1", base)])
+    s0 = str(tmp_path / "as0.fa")
+    write_fa(s0, [("c1", mutate(rng, base, 30, 3)), ("nv", novel)])
+    s1 = str(tmp_path / "as1.fa")
+    write_fa(s1, [("c1", mutate(rng, base, 25, 2)),
+                  ("nv", mutate(rng, novel, subs=8))])
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=10,
+        min_match_len=15, adaptive_compression=True,
+    )
+    return [ref, s0, s1], params
+
+
+def _stream_contents(path):
+    from agc_tpu.core.archive import ArchiveReader
+
+    r = ArchiveReader(str(path))
+    out = {
+        sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+        for sn in r.stream_names()
+    }
+    r.close()
+    return out
+
+
+def test_sharded_adaptive_create(tmp_path):
+    """Adaptive (-a) sharded create: one shard is stream-identical to a
+    plain adaptive create; several shards (shard-local splitter growth)
+    still extract byte-identically."""
+    from agc_tpu.core.compressor import create_archive
+
+    files, params = _adaptive_fixture(tmp_path)
+    plain = str(tmp_path / "ap.agc")
+    create_archive(plain, files, params)
+    sh1 = str(tmp_path / "a1.agc")
+    create_archive_sharded(sh1, files, params, n_shards=1)
+    assert _stream_contents(plain) == _stream_contents(sh1)
+
+    sh3 = str(tmp_path / "a3.agc")
+    create_archive_sharded(sh3, files, params, n_shards=3)
+    d = Decompressor(sh3)
+    for sample, path in zip(("aref", "as0", "as1"), files):
+        out = str(tmp_path / f"a3_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()
+
+
+def test_sharded_adaptive_process_workers_match_threads(tmp_path):
+    """Shard-local adaptive growth is deterministic for a given shard
+    count, so thread and process workers must agree stream for stream."""
+    files, params = _adaptive_fixture(tmp_path)
+    a_thr = str(tmp_path / "at.agc")
+    a_proc = str(tmp_path / "apx.agc")
+    create_archive_sharded(a_thr, files, params, n_shards=2)
+    create_archive_sharded(a_proc, files, params, n_shards=2, worker="process")
+    assert _stream_contents(a_thr) == _stream_contents(a_proc)

@@ -126,3 +126,79 @@ def test_jaxdist_fallback_matches_plain_create(tmp_path):
     dist = tmp_path / "d1.agc"
     create_archive_jaxdist(str(dist), [ref, s0], params, n_procs=1)
     assert contents(plain) == contents(dist)
+
+
+def _adaptive_fixture(tmp_path):
+    """Reference + two samples each carrying a contig with NO reference
+    k-mers (adaptive promotion required); s1's novel contig is a lightly
+    mutated copy of s0's, so s0's promoted splitters must segment it --
+    but only if the new splitters actually crossed shards."""
+    rng = random.Random(77)
+    base = random_seq(rng, 24000)
+    novel = random_seq(rng, 8000)
+    ref = str(tmp_path / "aref.fa")
+    write_fa(ref, [("c1", base)])
+    s0 = str(tmp_path / "as0.fa")
+    write_fa(s0, [("c1", mutate(rng, base, 30, 3)), ("nv", novel)])
+    s1 = str(tmp_path / "as1.fa")
+    write_fa(s1, [("c1", mutate(rng, base, 25, 2)),
+                  ("nv", mutate(rng, novel, subs=8))])
+    from agc_tpu.core.compressor import CompressorParams
+
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=10,
+        min_match_len=15, adaptive_compression=True,
+    )
+    return [ref, s0, s1], params
+
+
+def test_jaxdist_adaptive_single_proc_matches_plain_create(tmp_path):
+    """-a at 1 process follows the plain-create schedule exactly: the
+    archive is stream-identical."""
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.core.compressor import create_archive
+    from agc_tpu.parallel.jaxdist import create_archive_jaxdist
+
+    files, params = _adaptive_fixture(tmp_path)
+
+    def contents(path):
+        r = ArchiveReader(str(path))
+        out = {
+            sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+            for sn in r.stream_names()
+        }
+        r.close()
+        return out
+
+    plain = tmp_path / "ap.agc"
+    create_archive(str(plain), files, params)
+    dist = tmp_path / "ad1.agc"
+    create_archive_jaxdist(str(dist), files, params, n_procs=1)
+    assert contents(plain) == contents(dist)
+
+
+def test_jaxdist_adaptive_exchange_crosses_shards(tmp_path):
+    """-a at 2 processes: the per-barrier all_gather must carry s0's
+    promoted splitters (shard 1, round 0) to shard 0 before it compresses
+    s1 (round 1). When it does, s1's novel contig is segmented by the
+    exchanged table and promotes nothing, so the archive's splitter set
+    equals the single-host one; round-trip extraction stays exact."""
+    from agc_tpu.core.compressor import create_archive
+    from agc_tpu.core.decompressor import Decompressor
+    from agc_tpu.parallel.jaxdist import create_archive_jaxdist
+
+    files, params = _adaptive_fixture(tmp_path)
+    plain = tmp_path / "ap2.agc"
+    create_archive(str(plain), files, params)
+    dist = tmp_path / "ad2.agc"
+    create_archive_jaxdist(str(dist), files, params, n_procs=2)
+    assert _archive_splitters(dist) == _archive_splitters(plain)
+
+    import filecmp
+
+    d = Decompressor(str(dist))
+    for sample, path in zip(("aref", "as0", "as1"), files):
+        out = str(tmp_path / f"ad2_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()

@@ -1821,6 +1821,15 @@ class Compressor:
         if n == 0:
             return EMPTY, 0
 
+        # reference parity: groups still PACKED from appending_init report
+        # ref_size 0 and contribute no cost vector (segment.cpp:103); one
+        # packed side ⇒ length mismatch ⇒ no middle (agc_compressor.cpp:
+        # 1605-1608), both packed ⇒ empty sums ⇒ split position 0
+        e1 = seg1.get_ref_size() == 0
+        e2 = seg2.get_ref_size() == 0
+        if e1 or e2:
+            return (middle, 0) if (e1 and e2) else (EMPTY, 0)
+
         lz1, lz2 = seg1.lz, seg2.lz
         if lz1._ctx is not None and lz2._ctx is not None:
             # fused native path: both cost walks + cumulative sums +

@@ -338,6 +338,13 @@ class SegmentWriter:
         return self.lz.estimate(bytes(seq), bound)
 
     def get_coding_cost(self, seq: bytes, prefix_costs: bool) -> np.ndarray:
+        # reference parity: a group still packed from appending_init has
+        # ref_size 0 and yields NO costs (CSegment::get_coding_cost,
+        # segment.cpp:103 — ref_size is only set by unpack); the
+        # missing-middle search then bails / splits at 0 rather than
+        # paying the unpack (agc_compressor.cpp:1605-1608)
+        if self.ref_size == 0:
+            return np.empty(0, dtype=np.uint32)
         self._ensure_unpacked()
         return self.lz.get_coding_cost_vector(bytes(seq), prefix_costs)
 

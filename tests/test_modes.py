@@ -365,3 +365,38 @@ def test_missing_input_skipped(tmp_path, capsys):
     d = Decompressor(archive)
     assert sorted(d.list_samples()) == sorted(s for s, _ in files)
     d.close()
+
+
+def test_packed_group_costs_mirror_reference(tmp_path):
+    """A group rehydrated by appending_init stays PACKED until a member
+    is added; while packed, estimate() returns 0 and get_coding_cost()
+    yields NO costs (reference: CSegment segment.cpp:85,103 — ref_size is
+    set only by unpack), so the append-mode missing-middle search bails /
+    splits at 0 instead of paying the unpack (agc_compressor.cpp:
+    1605-1608)."""
+    from agc_tpu.core.compressor import Compressor, NO_RAW_GROUPS
+
+    files = make_collection(tmp_path, n_samples=2, contig_lens=(20000,))
+    params = CompressorParams(segment_size=1000, kmer_length=17)
+    archive = str(tmp_path / "packed.agc")
+    create_archive(archive, [p for _, p in files], params)
+
+    out = str(tmp_path / "packed2.agc")
+    comp = Compressor(out, CompressorParams(), in_path=archive)
+    try:
+        gid = next(
+            g for g in range(NO_RAW_GROUPS, comp.no_segments)
+            if comp.v_segments[g] is not None
+            and comp.v_segments[g]._packed_ref is not None
+        )
+        seg = comp.v_segments[gid]
+        assert seg.get_ref_size() == 0  # packed: size unknown
+        assert seg.estimate(b"\x00\x01\x02\x03" * 50, 1000) == 0
+        assert len(seg.get_coding_cost(b"\x00\x01\x02\x03" * 50, True)) == 0
+        assert seg._packed_ref is not None  # still packed: no unpack paid
+        # adding a member unpacks and restores real behavior
+        seg.add(b"\x00\x01\x02\x03" * 50)
+        assert seg.get_ref_size() > 0
+        assert len(seg.get_coding_cost(b"\x00\x01\x02\x03" * 50, True)) > 0
+    finally:
+        comp.writer.close()

@@ -15,10 +15,12 @@ Collective schedule (the distributed analogue of the reference's in-band
 1. **K-mer pool merge, range-partitioned** — each host collects the
    canonical k-mers of its slice of the reference contigs, buckets them by
    owner (``kmer % n_procs``) and exchanges buckets with one
-   ``all_to_all`` over the host mesh axis. Each host then counts ONLY its
-   owned range and keeps the globally-unique k-mers (singletons). This is
-   the distributed replacement for the reference's single radix sort +
-   ``remove_non_singletons`` (agc_compressor.cpp:490, 664).
+   ``all_to_all`` over the host mesh axis; the received range is sorted
+   and reduced to singleton/duplicate boundary masks INSIDE the same
+   device program (``_exchange_and_reduce_owned``), so the pool never
+   round-trips through the host. This is the distributed replacement for
+   the reference's single radix sort + ``remove_non_singletons``
+   (agc_compressor.cpp:490, 664).
 2. **Singleton table replication** — one padded ``all_gather``; every host
    ends up with the identical sorted singleton table.
 3. **Greedy splitter emission, contig-sharded** — the reference's greedy
@@ -142,33 +144,73 @@ def _allgather_u64(mesh, pid: int, n: int, values: np.ndarray) -> np.ndarray:
     return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
 
 
-def _all_to_all_buckets(mesh, pid: int, n: int, buckets: list[np.ndarray]):
-    """Send bucket j to process j; receive this process's bucket from
-    everyone. Buckets are sentinel-padded to the global max bucket size."""
+def _exchange_and_reduce_owned(
+    mesh, pid: int, n: int, buckets: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Range-partitioned k-mer pool merge as ONE device program: send
+    bucket j to process j (``all_to_all``), then — without returning the
+    pool to the host — sort the received range and reduce it to boundary
+    masks on the device. Returns (global singletons, duplicated uniques)
+    of the k-mer range this process owns, sorted ascending.
+
+    This is the distributed replacement for the reference's single-host
+    radix sort + ``remove_non_singletons`` (agc_compressor.cpp:490, 664):
+    the sort that dominates discovery runs on every host's accelerator,
+    and only the (much smaller) reduced tables ever reach the host. Rows
+    are padded to the all-process maximum bucket size (pow2, so repeat
+    runs reuse the executable); the sentinel sorts above every canonical
+    code (rc(all-ones) == 0, doc at _SENTINEL) so padding never mixes
+    with real k-mers."""
     import jax
+    import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     local_max = max((len(b) for b in buckets), default=0)
     counts = _allgather_counts(mesh, pid, n, local_max)
-    m = max(1, int(counts.max()))
+    m = max(1, 1 << int(counts.max() - 1).bit_length())
     block = np.full((n, m), _SENTINEL, dtype=np.uint64)
     for j, b in enumerate(buckets):
         block[j, : len(b)] = b
     arr = _global_rows(mesh, block)
+
+    def body(x):
+        y = jax.lax.all_to_all(
+            x, "host", split_axis=0, concat_axis=0, tiled=True
+        )  # (n, m): row j = my range's k-mers from process j
+        s = jnp.sort(y.reshape(-1))  # sentinels sort to the tail
+        diff_prev = jnp.concatenate(
+            [jnp.ones(1, bool), s[1:] != s[:-1]]
+        )
+        diff_next = jnp.concatenate(
+            [s[1:] != s[:-1], jnp.ones(1, bool)]
+        )
+        valid = s != _SENTINEL
+        single = diff_prev & diff_next & valid
+        dup_first = diff_prev & ~diff_next & valid
+        return (
+            s.reshape(1, -1),
+            single.reshape(1, -1),
+            dup_first.reshape(1, -1),
+        )
+
     f = jax.jit(
         shard_map(
-            lambda x: jax.lax.all_to_all(
-                x, "host", split_axis=0, concat_axis=0, tiled=True
-            ),
+            body,
             mesh=mesh,
             in_specs=P("host", None),
-            out_specs=P("host", None),
+            out_specs=(P("host", None), P("host", None), P("host", None)),
+            check_vma=False,
         )
     )
-    rows = _replicated_np(f(arr))  # (n, m): row j = my bucket from proc j
-    mine = rows.reshape(-1)
-    return mine[mine != _SENTINEL]
+    s_g, single_g, dup_g = f(arr)
+
+    def _mine(a) -> np.ndarray:
+        # one device per process: shard 0 is this process's row
+        return np.asarray(jax.device_get(a.addressable_shards[0].data))[0]
+
+    s = _mine(s_g)
+    return s[_mine(single_g)], s[_mine(dup_g)]
 
 
 # ---------------------------------------------------------------------------
@@ -206,18 +248,10 @@ def _distributed_splitters(
     )
     owner = (local % np.uint64(n)).astype(np.int64)
     buckets = [local[owner == j] for j in range(n)]
-    owned = _all_to_all_buckets(mesh, pid, n, buckets)
-
-    # owned range: global singleton = appears exactly once anywhere
-    owned.sort()
-    if len(owned):
-        first = np.concatenate(([True], owned[1:] != owned[:-1]))
-        last = np.concatenate((owned[1:] != owned[:-1], [True]))
-        singles = owned[first & last]
-        dup_uniques = owned[first & ~last]
-    else:
-        singles = owned
-        dup_uniques = owned
+    # exchange + owned-range reduction stay on device (sort + boundary
+    # masks inside the collective program); only the reduced tables
+    # (global singletons / duplicated uniques of my range) come back
+    singles, dup_uniques = _exchange_and_reduce_owned(mesh, pid, n, buckets)
 
     # 2. replicate the full singleton table (adaptive mode additionally
     # replicates the duplicated-unique table: find_new_splitters excludes

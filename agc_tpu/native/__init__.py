@@ -168,6 +168,12 @@ def get_lib():
         lib.numeric_to_fasta.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint32, u8p,
         ]
+        lib.rans_compress.restype = ctypes.c_int64
+        lib.rans_compress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.rans_decompress.restype = ctypes.c_int64
+        lib.rans_decompress.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
         for fn in (lib.lz_decode_v2, lib.lz_decode_v1):
             fn.restype = ctypes.c_int64
             fn.argtypes = [

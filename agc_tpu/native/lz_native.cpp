@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC lz_native.cpp -o liblznative.so
 
+#include <algorithm>
 #include <cstdint>
 #include <atomic>
 #include <cstring>
@@ -719,6 +720,236 @@ void pack_nibbles(const uint8_t* in, uint64_t n, uint8_t* out) {
     uint8_t a = in[i] > 3 ? 15 : in[i];
     out[o] = (uint8_t)(a | 0xF0);
   }
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Lane-interleaved order-0 rANS (TPU-native archive profile entropy stage).
+//
+// BITSTREAM SPEC: agc_tpu/core/entropy.py (the host/device reference
+// implementation). This scalar path exploits that lanes are fully
+// independent: lane j owns positions j, j+L, j+2L, ... with its own
+// 32-bit state and byte stream, so it encodes/decodes lane-by-lane in
+// cache order and produces byte-identical blobs to the lockstep
+// host-numpy and device-XLA implementations.
+// ===========================================================================
+
+namespace rans {
+
+constexpr uint32_t kProbBits = 12;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;
+constexpr uint8_t kMagic = 0xA9;
+constexpr uint8_t kRawFlag = 0x80;
+
+inline int lanes_for(int64_t n) {
+  if (n >= (1 << 16)) return 1024;
+  if (n >= (1 << 13)) return 256;
+  if (n >= (1 << 10)) return 64;
+  if (n >= 64) return 8;
+  return 1;
+}
+
+inline void put_varint(std::vector<uint8_t>& out, uint64_t v) {
+  while (true) {
+    uint8_t b = v & 0x7F;
+    v >>= 7;
+    if (v) out.push_back(b | 0x80); else { out.push_back(b); return; }
+  }
+}
+
+inline bool get_varint(const uint8_t* buf, int64_t len, int64_t& pos,
+                       uint64_t& v) {
+  v = 0;
+  int shift = 0;
+  while (pos < len) {
+    uint8_t b = buf[pos++];
+    v |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) return true;
+    shift += 7;
+  }
+  return false;
+}
+
+inline int varint_len(uint64_t v) {
+  int n = 1;
+  while (v >= 0x80) { v >>= 7; ++n; }
+  return n;
+}
+
+// integer-deterministic quantization; mirrors entropy.quantize_freqs
+// (ties: larger remainder first / ascending symbol; -1 pass unfiltered)
+inline void quantize(const uint64_t counts[256], uint32_t q[256]) {
+  uint64_t total = 0;
+  for (int i = 0; i < 256; ++i) total += counts[i];
+  if (!total) { for (int i = 0; i < 256; ++i) q[i] = 0; return; }
+  int64_t qq[256], rem[256];
+  int64_t sum = 0;
+  for (int i = 0; i < 256; ++i) {
+    unsigned __int128 p = (unsigned __int128)counts[i] * kProbScale;
+    qq[i] = (int64_t)(p / total);
+    rem[i] = (int64_t)(p % total);
+    if (counts[i] && !qq[i]) qq[i] = 1;
+    sum += qq[i];
+  }
+  int64_t diff = (int64_t)kProbScale - sum;
+  int ord[256];
+  for (int i = 0; i < 256; ++i) ord[i] = i;
+  if (diff > 0) {
+    std::stable_sort(ord, ord + 256,
+                     [&](int a, int b) { return rem[a] > rem[b]; });
+    int m = 0;
+    for (int i = 0; i < 256; ++i)
+      if (counts[ord[i]]) ord[m++] = ord[i];
+    for (int64_t i = 0; i < diff; ++i) qq[ord[i % m]] += 1;
+  } else if (diff < 0) {
+    std::stable_sort(ord, ord + 256,
+                     [&](int a, int b) { return rem[a] < rem[b]; });
+    while (diff < 0) {
+      for (int i = 0; i < 256 && diff < 0; ++i) {
+        int s = ord[i];
+        if (qq[s] > 1) { qq[s] -= 1; ++diff; }
+      }
+    }
+  }
+  for (int i = 0; i < 256; ++i) q[i] = (uint32_t)qq[i];
+}
+
+}  // namespace rans
+
+extern "C" {
+
+// Compress n bytes into the rANS blob; returns blob length, or -needed
+// when cap is too small (call again with a bigger buffer).
+int64_t rans_compress(const uint8_t* data, int64_t n, uint8_t* out,
+                      int64_t cap) {
+  using namespace rans;
+  std::vector<uint8_t> blob;
+  blob.reserve((size_t)n + 4096);
+  blob.push_back(kMagic);
+  if (n == 0) {
+    blob.push_back(0);
+    put_varint(blob, 0);
+  } else {
+    uint64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; ++i) counts[data[i]]++;
+    uint32_t F[256];
+    quantize(counts, F);
+    uint32_t C[257];
+    C[0] = 0;
+    for (int i = 0; i < 256; ++i) C[i + 1] = C[i] + F[i];
+
+    const int L = lanes_for(n);
+    int flags = 0;
+    while ((1 << flags) < L) ++flags;
+    blob.push_back((uint8_t)flags);
+    put_varint(blob, (uint64_t)n);
+    for (int i = 0; i < 256; ++i) put_varint(blob, F[i]);
+
+    std::vector<std::vector<uint8_t>> streams((size_t)L);
+    std::vector<uint32_t> states((size_t)L);
+    const uint32_t xmax_base = (kRansL >> kProbBits) << 8;
+    for (int j = 0; j < L; ++j) {
+      uint32_t x = kRansL;
+      auto& st = streams[(size_t)j];
+      const int64_t cnt = (n - j + L - 1) / L;
+      for (int64_t t = cnt - 1; t >= 0; --t) {
+        const uint8_t s = data[j + t * L];
+        const uint32_t f = F[s];
+        const uint32_t x_max = xmax_base * f;
+        while (x >= x_max) { st.push_back((uint8_t)(x & 0xFF)); x >>= 8; }
+        x = ((x / f) << kProbBits) + (x % f) + C[s];
+      }
+      std::reverse(st.begin(), st.end());
+      states[(size_t)j] = x;
+    }
+    for (int j = 0; j < L; ++j) put_varint(blob, streams[(size_t)j].size());
+    for (int j = 0; j < L; ++j) {
+      uint32_t v = states[(size_t)j];
+      blob.push_back((uint8_t)(v & 0xFF));
+      blob.push_back((uint8_t)((v >> 8) & 0xFF));
+      blob.push_back((uint8_t)((v >> 16) & 0xFF));
+      blob.push_back((uint8_t)((v >> 24) & 0xFF));
+    }
+    for (int j = 0; j < L; ++j)
+      blob.insert(blob.end(), streams[(size_t)j].begin(),
+                  streams[(size_t)j].end());
+    if ((int64_t)blob.size() >= n + 2 + varint_len((uint64_t)n)) {
+      blob.clear();
+      blob.push_back(kMagic);
+      blob.push_back(kRawFlag);
+      put_varint(blob, (uint64_t)n);
+      blob.insert(blob.end(), data, data + n);
+    }
+  }
+  if ((int64_t)blob.size() > cap) return -(int64_t)blob.size();
+  std::memcpy(out, blob.data(), blob.size());
+  return (int64_t)blob.size();
+}
+
+// Decode a blob (trailing bytes ignored); returns n, or -1 on error /
+// -needed when cap is too small.
+int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
+                        int64_t cap) {
+  using namespace rans;
+  if (blob_len < 2 || blob[0] != kMagic) return -1;
+  const uint8_t flags = blob[1];
+  int64_t pos = 2;
+  uint64_t n64;
+  if (!get_varint(blob, blob_len, pos, n64)) return -1;
+  const int64_t n = (int64_t)n64;
+  if (n == 0) return 0;
+  if (n > cap) return -n;
+  if (flags & kRawFlag) {
+    if (pos + n > blob_len) return -1;
+    std::memcpy(out, blob + pos, (size_t)n);
+    return n;
+  }
+  uint32_t F[256];
+  for (int i = 0; i < 256; ++i) {
+    uint64_t v;
+    if (!get_varint(blob, blob_len, pos, v)) return -1;
+    F[i] = (uint32_t)v;
+  }
+  uint32_t C[257];
+  C[0] = 0;
+  for (int i = 0; i < 256; ++i) C[i + 1] = C[i] + F[i];
+  if (C[256] != kProbScale) return -1;
+  // slot -> symbol table
+  std::vector<uint8_t> cum2sym(kProbScale);
+  for (int s = 0; s < 256; ++s)
+    for (uint32_t i = C[s]; i < C[s + 1]; ++i) cum2sym[i] = (uint8_t)s;
+
+  const int L = lanes_for(n);
+  std::vector<uint64_t> lens((size_t)L);
+  for (int j = 0; j < L; ++j)
+    if (!get_varint(blob, blob_len, pos, lens[(size_t)j])) return -1;
+  if (pos + 4 * (int64_t)L > blob_len) return -1;
+  std::vector<uint32_t> states((size_t)L);
+  for (int j = 0; j < L; ++j) {
+    states[(size_t)j] = (uint32_t)blob[pos] | ((uint32_t)blob[pos + 1] << 8) |
+                        ((uint32_t)blob[pos + 2] << 16) |
+                        ((uint32_t)blob[pos + 3] << 24);
+    pos += 4;
+  }
+  int64_t off = pos;
+  for (int j = 0; j < L; ++j) {
+    const uint8_t* ptr = blob + off;
+    const uint8_t* end = ptr + lens[(size_t)j];
+    if (end > blob + blob_len) return -1;
+    off += (int64_t)lens[(size_t)j];
+    uint32_t x = states[(size_t)j];
+    const int64_t cnt = (n - j + L - 1) / L;
+    for (int64_t t = 0; t < cnt; ++t) {
+      const uint32_t slot = x & (kProbScale - 1);
+      const uint8_t s = cum2sym[slot];
+      out[j + t * L] = s;
+      x = F[s] * (x >> kProbBits) + slot - C[s];
+      while (x < kRansL && ptr < end) x = (x << 8) | *ptr++;
+    }
+  }
+  return n;
 }
 
 }  // extern "C"

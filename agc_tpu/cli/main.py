@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="", help="output archive (default: stdout)")
     _add_create_opts(p)
     p.add_argument(
+        "--profile", choices=("zstd", "tpu-rans"), default="zstd",
+        help="archive profile: zstd (reference-compatible, default) or "
+        "tpu-rans (TPU-native entropy stage; readable by agc-tpu and its "
+        "C API, convertible with 'agc-tpu convert')",
+    )
+    p.add_argument(
         "--shards", type=int, default=1,
         help="data-parallel shards (multi-host scale-out; output archives "
         "extract identically for any shard count)",
@@ -116,6 +122,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="")
     p.add_argument("-p", "--no-prefetch", action="store_true")
 
+    p = sub.add_parser(
+        "convert",
+        help="rewrite an archive in another profile (agc-tpu extension): "
+        "zstd (reference-compatible) <-> tpu-rans (TPU-native entropy)",
+    )
+    p.add_argument("in_archive")
+    p.add_argument("out_archive")
+    p.add_argument(
+        "--profile", choices=("zstd", "tpu-rans"), required=True,
+        help="target archive profile",
+    )
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+
     p = sub.add_parser("info", help="archive info")
     p.add_argument("in_archive")
     p.add_argument("-o", "--output", default="", help="output file (default: stderr)")
@@ -173,6 +192,7 @@ def _dispatch(args) -> int:
             fallback_frac=_clamp(args.fallback_frac, 0.0, 0.05),
             pack_cardinality=_clamp(args.batch, 1, 1_000_000_000),
             verbosity=args.verbosity,
+            profile=getattr(args, "profile", "zstd"),
         )
         # reference: the full command line is recorded unless -d
         # (main.cpp:31-44, 116-117); only v1/v2 collections persist it
@@ -246,6 +266,16 @@ def _dispatch(args) -> int:
                     _os.unlink(out_archive)
                 except OSError:
                     pass
+        return 0
+
+    if mode == "convert":
+        from ..core.convert import convert_archive
+
+        try:
+            convert_archive(args.in_archive, args.out_archive, args.profile)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
         return 0
 
     from ..core.decompressor import Decompressor
@@ -344,6 +374,11 @@ def _dispatch(args) -> int:
             print(f"Segment size     : {p['segment_size']}", file=out)
         print(f"Batch size       : {p['pack_cardinality']}", file=out)
         print(f"Reference name   : {d.get_reference_sample()}", file=out)
+        prof = d.file_type_info.get("compression-profile", "zstd")
+        if prof != "zstd":
+            # non-default profile decides reference-tool compatibility:
+            # always surface it (agc-tpu extension key)
+            print(f"Archive profile  : {prof}", file=out)
         print("Command lines:", file=out)
         for cmd, when in getattr(d.collection, "cmd_lines", []):
             print(f"{when} : {cmd}", file=out)

@@ -36,10 +36,10 @@ from .codecs import (
 SAME_COMPONENT_MARKER = 0x81  # signed char -127 (collection_v3.cpp:377)
 
 
-def _zstd_c(data: bytes, level: int) -> bytes:
-    from .segment import _zstd_level
+def _zstd_c(data: bytes, level: int, profile: str = "zstd") -> bytes:
+    from .segment import part_compress
 
-    return _zstd_level(level).compress(data)
+    return part_compress(data, level, profile)
 
 
 def _zstd_d(data: bytes, raw_size: int) -> bytes:
@@ -487,6 +487,7 @@ class CollectionV3:
     """Writer + reader of V3 collection metadata."""
 
     def __init__(self, batch_size: int, segment_size: int, kmer_length: int):
+        self.profile = "zstd"  # archive profile; set by the compressor
         self.batch_size = max(1, batch_size)
         self.segment_size = segment_size
         self.kmer_length = kmer_length
@@ -616,9 +617,11 @@ class CollectionV3:
 
         def finish():
             writer.add_part_buffered(
-                "collection-contigs", _zstd_c(names_raw, 18), len(names_raw)
+                "collection-contigs",
+                _zstd_c(names_raw, 18, self.profile),
+                len(names_raw),
             )
-            v_packed = [_zstd_c(d, 19) for d in v_data]
+            v_packed = [_zstd_c(d, 19, self.profile) for d in v_data]
             stream = bytearray()
             for raw, packed in zip(v_data, v_packed):
                 enc_prefix_varint(stream, len(raw))
@@ -634,7 +637,9 @@ class CollectionV3:
 
     def complete_serialization(self, writer) -> None:
         raw = self.serialize_sample_names()
-        writer.add_part_buffered("collection-samples", _zstd_c(raw, 19), len(raw))
+        writer.add_part_buffered(
+            "collection-samples", _zstd_c(raw, 19, self.profile), len(raw)
+        )
 
     # ------------------------------------------------------------------
     # deserialization (decompression side)

@@ -68,6 +68,11 @@ class CompressorParams:
     adaptive_compression: bool = False
     fallback_frac: float = 0.0
     verbosity: int = 0
+    # archive profile: "zstd" (reference-compatible container, default) or
+    # "tpu-rans" (same container/layout, parts coded by the lane-
+    # interleaved rANS stage; readable by agc-tpu and its C API, not by
+    # the reference binary; see core/entropy.py and core/convert.py)
+    profile: str = "zstd"
 
 
 class Kmer:
@@ -295,6 +300,10 @@ class Compressor:
             "file_version_minor": str(AGC_FILE_MINOR),
             "comment": COMMENT,
         }
+        if self.p.profile not in ("zstd", "tpu-rans"):
+            raise ValueError(f"unknown archive profile {self.p.profile!r}")
+        if self.p.profile != "zstd":
+            self.file_type_info["compression-profile"] = self.p.profile
         self._closed = False
         self._mode = None
         self._n_threads = max(1, (os.cpu_count() or 2) // 2)
@@ -338,6 +347,7 @@ class Compressor:
         self.collection = CollectionV3(
             self.p.pack_cardinality, self.p.segment_size, self.k
         )
+        self.collection.profile = self.p.profile
         self._register_collection_streams()
         self.v_segments = [None] * NO_RAW_GROUPS
         for gid in range(NO_RAW_GROUPS):
@@ -379,8 +389,16 @@ class Compressor:
         for key, val in d.file_type_info.items():
             if key.startswith("file_version"):
                 self.file_type_info[key] = val
+        # the profile is an archive property: appends continue whatever
+        # profile the input archive was written with
+        self.p.profile = d.file_type_info.get("compression-profile", "zstd")
+        if self.p.profile != "zstd":
+            self.file_type_info["compression-profile"] = self.p.profile
+        elif "compression-profile" in self.file_type_info:
+            del self.file_type_info["compression-profile"]
 
         self.collection = d.collection
+        self.collection.profile = self.p.profile
         reader = d.reader
         self._register_collection_streams()
         if self.archive_version >= 3000:
@@ -483,13 +501,15 @@ class Compressor:
         self._set_candidates(chunks)
 
     def _make_writer(self, gid: int) -> SegmentWriter:
-        return SegmentWriter(
+        w = SegmentWriter(
             ss_base(self.archive_version, gid),
             self.writer,
             self.p.pack_cardinality,
             self.p.min_match_len,
             self.archive_version,
         )
+        w.profile = self.p.profile
+        return w
 
     # ==================================================================
     # splitter discovery (device kernels + host greedy)

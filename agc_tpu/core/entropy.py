@@ -297,7 +297,7 @@ def decompress(blob, expected_size: int | None = None) -> bytes:
                 raw.ctypes.data_as(u8p), len(raw),
                 out.ctypes.data_as(u8p), cap,
             )
-            if m == -1:
+            if m == -(1 << 63):  # INT64_MIN: corrupt blob
                 raise ValueError("corrupt rANS blob")
             if m < 0:
                 cap = -m

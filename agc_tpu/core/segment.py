@@ -28,13 +28,31 @@ _zstd_d_tls = __import__("threading").local()
 
 
 def zstd_decompress_tolerant(data: bytes) -> bytes:
-    """Decompress one zstd frame, ignoring trailing bytes (the reference
+    """Decompress one frame, ignoring trailing bytes (the reference
     appends a marker byte after the frame and passes the full buffer to
-    ZSTD_decompressDCtx; segment.cpp:304)."""
+    ZSTD_decompressDCtx; segment.cpp:304). Frames are self-identifying —
+    zstd starts 0x28 B5 2F FD, the tpu-rans profile's blobs start 0xA9 —
+    so every reader serves both archive profiles without knowing which
+    one produced the part."""
+    if len(data) >= 2 and data[0] == 0xA9:
+        from .entropy import decompress as _rans_d
+
+        return _rans_d(data)
     d = getattr(_zstd_d_tls, "d", None)
     if d is None:
         d = _zstd_d_tls.d = zstandard.ZstdDecompressor()
     return d.decompressobj().decompress(bytes(data))
+
+
+def part_compress(data: bytes, level: int, profile: str = "zstd") -> bytes:
+    """Profile dispatch for one compressed part: the default profile uses
+    zstd at the reference's pinned level; the "tpu-rans" profile uses the
+    lane-interleaved rANS stage (core/entropy.py) instead."""
+    if profile == "tpu-rans":
+        from .entropy import compress as _rans_c
+
+        return _rans_c(data)
+    return _zstd_level(level).compress(data)
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +235,43 @@ def _zstd_level(level: int):
     return c
 
 
+def store_ref_blob(data: bytes, profile: str = "zstd") -> tuple[bytes, int]:
+    """The full reference-part store decision (probe -> tuples repack ->
+    compress -> raw fallback), shared by SegmentWriter and the profile
+    converter so a converted archive is part-identical to a direct
+    create. reference: segment.h:218-255."""
+    arr = np.frombuffer(data[:8192], dtype=np.uint8)
+    best_frac = 0.0
+    acgt = arr < 4
+    for lag in range(4, 32):
+        if lag >= len(arr):
+            break
+        cnt = int(np.count_nonzero(arr[:-lag] == arr[lag:]))
+        cur = int(np.count_nonzero(acgt[:-lag]))
+        frac = cnt / cur if cur else 0.0
+        if frac > best_frac:
+            best_frac = frac
+            if best_frac >= 0.5:
+                break
+    if best_frac < 0.5:
+        tuples = bytes2tuples(data)
+        z = part_compress(tuples, 13, profile) + b"\x01"
+    else:
+        z = part_compress(data, 19, profile) + b"\x00"
+    if len(z) < len(data):
+        return z, len(data)
+    return data, 0
+
+
+def store_pack_blob(pack: bytes, profile: str = "zstd") -> tuple[bytes, int]:
+    """Delta-pack store decision (compress -> raw fallback), shared with
+    the profile converter."""
+    z = part_compress(pack, 17, profile) + b"\x00"
+    if len(z) < len(pack):
+        return z, len(pack)
+    return pack, 0
+
+
 class SegmentWriter:
     """Accumulates one group's members and writes packs to the archive."""
 
@@ -233,6 +288,7 @@ class SegmentWriter:
         self.pack = pack_cardinality
         self.min_match_len = min_match_len
         self.archive_version = archive_version
+        self.profile = "zstd"  # archive profile; set by the compressor
         self.lz = LZDiff(min_match_len, v1_grammar=archive_version < 2000)
         self.no_seqs = 0
         self.v_lzp: list[bytes] = []
@@ -248,43 +304,19 @@ class SegmentWriter:
     # -- store helpers ---------------------------------------------------
 
     def _store_ref(self, data: bytes) -> None:
-        """reference: segment.h:218-255 (autocorrelation probe -> tuples)."""
+        """reference: segment.h:218-255 (autocorrelation probe -> tuples).
+        The 8 KiB probe sample in store_ref_blob decides the repacking
+        mode as reliably as the whole segment and caps the probe at O(1)
+        (reference probes the full segment: segment.h:218)."""
         stream = self.name + ss_ref_ext(self.archive_version)
-        # The autocorrelation probe only picks a repacking mode; an 8 KiB
-        # sample decides it as reliably as the whole segment and caps the
-        # probe at O(1) (reference probes the full segment: segment.h:218).
-        arr = np.frombuffer(data[:8192], dtype=np.uint8)
-        best_frac = 0.0
-        acgt = arr < 4
-        n_acgt_prefix = None
-        for lag in range(4, 32):
-            if lag >= len(arr):
-                break
-            cnt = int(np.count_nonzero(arr[:-lag] == arr[lag:]))
-            cur = int(np.count_nonzero(acgt[:-lag]))
-            frac = cnt / cur if cur else 0.0
-            if frac > best_frac:
-                best_frac = frac
-                if best_frac >= 0.5:
-                    break
-        if best_frac < 0.5:
-            tuples = bytes2tuples(data)
-            z = _zstd_level(13).compress(tuples) + b"\x01"
-        else:
-            z = _zstd_level(19).compress(data) + b"\x00"
-        if len(z) < len(data):
-            self.writer.add_part_buffered(stream, z, len(data))
-        else:
-            self.writer.add_part_buffered(stream, data, 0)
+        blob, meta = store_ref_blob(data, self.profile)
+        self.writer.add_part_buffered(stream, blob, meta)
 
     def _store_pack(self, items: list[bytes]) -> None:
         stream = self.name + ss_delta_ext(self.archive_version)
         pack = b"\xff".join(items) + b"\xff"
-        z = _zstd_level(17).compress(pack) + b"\x00"
-        if len(z) < len(pack):
-            self.writer.add_part_buffered(stream, z, len(pack))
-        else:
-            self.writer.add_part_buffered(stream, pack, 0)
+        blob, meta = store_pack_blob(pack, self.profile)
+        self.writer.add_part_buffered(stream, blob, meta)
 
     # -- public ----------------------------------------------------------
 

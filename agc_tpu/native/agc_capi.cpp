@@ -232,11 +232,32 @@ class Archive {
   std::unordered_map<std::string, size_t> by_name_;
 };
 
-// one zstd frame, ignoring trailing marker bytes (the writer appends a
-// 1-byte marker after the frame; reference: segment.cpp:304)
+// lane-interleaved rANS decoder from lz_native.cpp (linked into this
+// library): the tpu-rans archive profile replaces zstd frames with
+// self-identifying 0xA9 blobs (spec: agc_tpu/core/entropy.py)
+extern "C" int64_t rans_decompress(const uint8_t* blob, int64_t blob_len,
+                                   uint8_t* out, int64_t cap);
+
+// one compressed frame, ignoring trailing marker bytes (the writer
+// appends a 1-byte marker after the frame; reference: segment.cpp:304).
+// zstd frames start 0x28 B5 2F FD; tpu-rans blobs start 0xA9 — sniffed,
+// so one reader serves both archive profiles.
 static bool zstd_decompress_tolerant(const uint8_t* src, size_t src_len,
                                      uint64_t raw_size,
                                      std::vector<uint8_t>& out) {
+  if (src_len >= 2 && src[0] == 0xA9) {
+    out.resize(raw_size);
+    int64_t m = rans_decompress(src, (int64_t)src_len, out.data(),
+                                (int64_t)out.size());
+    if (m < 0 && m != INT64_MIN) {  // -needed: grow and retry
+      out.resize((size_t)(-m));
+      m = rans_decompress(src, (int64_t)src_len, out.data(),
+                          (int64_t)out.size());
+    }
+    if (m < 0) return false;
+    out.resize((size_t)m);
+    return true;
+  }
   size_t frame = ZSTD_findFrameCompressedSize(src, src_len);
   if (ZSTD_isError(frame)) return false;
   out.resize(raw_size);

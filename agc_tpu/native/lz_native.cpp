@@ -888,34 +888,35 @@ int64_t rans_compress(const uint8_t* data, int64_t n, uint8_t* out,
   return (int64_t)blob.size();
 }
 
-// Decode a blob (trailing bytes ignored); returns n, or -1 on error /
-// -needed when cap is too small.
+// Decode a blob (trailing bytes ignored); returns n, INT64_MIN on a
+// corrupt blob, or -needed when cap is too small.
 int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
                         int64_t cap) {
   using namespace rans;
-  if (blob_len < 2 || blob[0] != kMagic) return -1;
+  constexpr int64_t kCorrupt = INT64_MIN;
+  if (blob_len < 2 || blob[0] != kMagic) return kCorrupt;
   const uint8_t flags = blob[1];
   int64_t pos = 2;
   uint64_t n64;
-  if (!get_varint(blob, blob_len, pos, n64)) return -1;
+  if (!get_varint(blob, blob_len, pos, n64)) return kCorrupt;
   const int64_t n = (int64_t)n64;
   if (n == 0) return 0;
   if (n > cap) return -n;
   if (flags & kRawFlag) {
-    if (pos + n > blob_len) return -1;
+    if (pos + n > blob_len) return kCorrupt;
     std::memcpy(out, blob + pos, (size_t)n);
     return n;
   }
   uint32_t F[256];
   for (int i = 0; i < 256; ++i) {
     uint64_t v;
-    if (!get_varint(blob, blob_len, pos, v)) return -1;
+    if (!get_varint(blob, blob_len, pos, v)) return kCorrupt;
     F[i] = (uint32_t)v;
   }
   uint32_t C[257];
   C[0] = 0;
   for (int i = 0; i < 256; ++i) C[i + 1] = C[i] + F[i];
-  if (C[256] != kProbScale) return -1;
+  if (C[256] != kProbScale) return kCorrupt;
   // slot -> symbol table
   std::vector<uint8_t> cum2sym(kProbScale);
   for (int s = 0; s < 256; ++s)
@@ -924,8 +925,8 @@ int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
   const int L = lanes_for(n);
   std::vector<uint64_t> lens((size_t)L);
   for (int j = 0; j < L; ++j)
-    if (!get_varint(blob, blob_len, pos, lens[(size_t)j])) return -1;
-  if (pos + 4 * (int64_t)L > blob_len) return -1;
+    if (!get_varint(blob, blob_len, pos, lens[(size_t)j])) return kCorrupt;
+  if (pos + 4 * (int64_t)L > blob_len) return kCorrupt;
   std::vector<uint32_t> states((size_t)L);
   for (int j = 0; j < L; ++j) {
     states[(size_t)j] = (uint32_t)blob[pos] | ((uint32_t)blob[pos + 1] << 8) |
@@ -937,7 +938,7 @@ int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
   for (int j = 0; j < L; ++j) {
     const uint8_t* ptr = blob + off;
     const uint8_t* end = ptr + lens[(size_t)j];
-    if (end > blob + blob_len) return -1;
+    if (end > blob + blob_len) return kCorrupt;
     off += (int64_t)lens[(size_t)j];
     uint32_t x = states[(size_t)j];
     const int64_t cnt = (n - j + L - 1) / L;

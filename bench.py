@@ -24,6 +24,9 @@ BASELINE_BASES_PER_S = 400e6
 
 REF_MB = int(os.environ.get("AGC_TPU_BENCH_REF_MB", "16"))
 N_SAMPLES = int(os.environ.get("AGC_TPU_BENCH_SAMPLES", "7"))
+# "zstd" (reference-compatible container, the comparable number) or
+# "tpu-rans" (TPU-native entropy profile)
+PROFILE = os.environ.get("AGC_TPU_BENCH_PROFILE", "zstd")
 
 
 def _make_seq(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -93,7 +96,7 @@ def main() -> None:
     # -- warmup: identical workload, so every kernel shape is compiled
     #    (and lands in the persistent cache) before the measured run
     t0 = time.time()
-    create_archive(os.path.join(tmp, "warm.agc"), files, CompressorParams())
+    create_archive(os.path.join(tmp, "warm.agc"), files, CompressorParams(profile=PROFILE))
     print(f"# warmup (incl. compiles): {time.time() - t0:.2f}s", file=sys.stderr)
 
     # -- measured runs: MINIMUM of 5 (timeit's rationale: the workload is
@@ -105,7 +108,7 @@ def main() -> None:
     times = []
     for _ in range(5):
         t0 = time.time()
-        create_archive(archive, files, CompressorParams())
+        create_archive(archive, files, CompressorParams(profile=PROFILE))
         times.append(time.time() - t0)
     dt = min(times)
     print(f"# runs: {['%.2f' % t for t in times]}", file=sys.stderr)

@@ -850,16 +850,30 @@ int64_t rans_compress(const uint8_t* data, int64_t n, uint8_t* out,
     std::vector<std::vector<uint8_t>> streams((size_t)L);
     std::vector<uint32_t> states((size_t)L);
     const uint32_t xmax_base = (kRansL >> kProbBits) << 8;
+    // division-free encode step: ((x/f)<<12) + x%f + c  ==
+    // x + (x/f)*(4096-f) + c, with floor(x/f) by exact fixed-point
+    // reciprocal (rcp = floor(2^45/f)+1 is exact for x < 2^31, f <= 4096:
+    // the error term x*e/(f*2^45) < 2^-14 never crosses a floor boundary
+    // since frac(x/f) <= 1 - 2^-12). Handles f = 4096 uniformly (cmpl 0).
+    uint64_t rcp[256];
+    uint32_t cmpl[256], bias[256];
+    for (int s = 0; s < 256; ++s) {
+      const uint64_t f = F[s] ? F[s] : 1;
+      rcp[s] = ((uint64_t)1 << 45) / f + 1;
+      cmpl[s] = kProbScale - (uint32_t)f;
+      bias[s] = C[s];
+    }
     for (int j = 0; j < L; ++j) {
       uint32_t x = kRansL;
       auto& st = streams[(size_t)j];
       const int64_t cnt = (n - j + L - 1) / L;
       for (int64_t t = cnt - 1; t >= 0; --t) {
         const uint8_t s = data[j + t * L];
-        const uint32_t f = F[s];
-        const uint32_t x_max = xmax_base * f;
+        const uint32_t x_max = xmax_base * F[s];
         while (x >= x_max) { st.push_back((uint8_t)(x & 0xFF)); x >>= 8; }
-        x = ((x / f) << kProbBits) + (x % f) + C[s];
+        const uint32_t q =
+            (uint32_t)(((unsigned __int128)x * rcp[s]) >> 45);
+        x = x + q * cmpl[s] + bias[s];
       }
       std::reverse(st.begin(), st.end());
       states[(size_t)j] = x;

@@ -948,12 +948,68 @@ int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
                         ((uint32_t)blob[pos + 3] << 24);
     pos += 4;
   }
-  int64_t off = pos;
-  for (int j = 0; j < L; ++j) {
-    const uint8_t* ptr = blob + off;
-    const uint8_t* end = ptr + lens[(size_t)j];
-    if (end > blob + blob_len) return kCorrupt;
-    off += (int64_t)lens[(size_t)j];
+  // per-lane stream bounds
+  std::vector<const uint8_t*> ptrs((size_t)L), ends((size_t)L);
+  {
+    int64_t off = pos;
+    for (int j = 0; j < L; ++j) {
+      ptrs[(size_t)j] = blob + off;
+      off += (int64_t)lens[(size_t)j];
+      ends[(size_t)j] = blob + off;
+      if (off > blob_len) return kCorrupt;
+    }
+  }
+  // 4-way lane interleave: each lane's state chain is serial (multiply ->
+  // table lookup -> refill), so decoding four independent lanes per loop
+  // iteration hides the chain latency. Lane counts within a group of 4
+  // adjacent lanes differ by at most one symbol (interleaved layout);
+  // the shared loop runs to the group minimum, tails finish per lane.
+  int j = 0;
+  for (; j + 4 <= L; j += 4) {
+    uint32_t x0 = states[(size_t)j], x1 = states[(size_t)j + 1];
+    uint32_t x2 = states[(size_t)j + 2], x3 = states[(size_t)j + 3];
+    const uint8_t *p0 = ptrs[(size_t)j], *p1 = ptrs[(size_t)j + 1];
+    const uint8_t *p2 = ptrs[(size_t)j + 2], *p3 = ptrs[(size_t)j + 3];
+    const uint8_t *e0 = ends[(size_t)j], *e1 = ends[(size_t)j + 1];
+    const uint8_t *e2 = ends[(size_t)j + 2], *e3 = ends[(size_t)j + 3];
+    const int64_t cnt_min = (n - (j + 3) + L - 1) / L;
+    uint8_t* o = out + j;
+    for (int64_t t = 0; t < cnt_min; ++t, o += L) {
+      uint32_t slot0 = x0 & (kProbScale - 1), slot1 = x1 & (kProbScale - 1);
+      uint32_t slot2 = x2 & (kProbScale - 1), slot3 = x3 & (kProbScale - 1);
+      const uint8_t s0 = cum2sym[slot0], s1 = cum2sym[slot1];
+      const uint8_t s2 = cum2sym[slot2], s3 = cum2sym[slot3];
+      o[0] = s0; o[1] = s1; o[2] = s2; o[3] = s3;
+      x0 = F[s0] * (x0 >> kProbBits) + slot0 - C[s0];
+      x1 = F[s1] * (x1 >> kProbBits) + slot1 - C[s1];
+      x2 = F[s2] * (x2 >> kProbBits) + slot2 - C[s2];
+      x3 = F[s3] * (x3 >> kProbBits) + slot3 - C[s3];
+      while (x0 < kRansL && p0 < e0) x0 = (x0 << 8) | *p0++;
+      while (x1 < kRansL && p1 < e1) x1 = (x1 << 8) | *p1++;
+      while (x2 < kRansL && p2 < e2) x2 = (x2 << 8) | *p2++;
+      while (x3 < kRansL && p3 < e3) x3 = (x3 << 8) | *p3++;
+    }
+    // tails (lanes with one extra symbol) + write back cursors
+    uint32_t xs[4] = {x0, x1, x2, x3};
+    const uint8_t* ps[4] = {p0, p1, p2, p3};
+    const uint8_t* es[4] = {e0, e1, e2, e3};
+    for (int u = 0; u < 4; ++u) {
+      const int lane = j + u;
+      const int64_t cnt = (n - lane + L - 1) / L;
+      uint32_t x = xs[u];
+      const uint8_t* ptr = ps[u];
+      for (int64_t t = cnt_min; t < cnt; ++t) {
+        const uint32_t slot = x & (kProbScale - 1);
+        const uint8_t s = cum2sym[slot];
+        out[lane + t * L] = s;
+        x = F[s] * (x >> kProbBits) + slot - C[s];
+        while (x < kRansL && ptr < es[u]) x = (x << 8) | *ptr++;
+      }
+    }
+  }
+  for (; j < L; ++j) {
+    const uint8_t* ptr = ptrs[(size_t)j];
+    const uint8_t* end = ends[(size_t)j];
     uint32_t x = states[(size_t)j];
     const int64_t cnt = (n - j + L - 1) / L;
     for (int64_t t = 0; t < cnt; ++t) {

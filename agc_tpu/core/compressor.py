@@ -2351,15 +2351,18 @@ def create_archive(
     cmd_line: str | None = None,
 ) -> None:
     """``agc create``: first input is the reference (reference: main.cpp:76-120)."""
+    from ..utils.profiling import device_trace
+
     # de-duplicate, preserving order (reference: sanitize_input_file_names)
     seen = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]
-    comp = Compressor(out_path, params, reference_file=files[0])
-    if cmd_line:
-        comp.add_cmd_line(cmd_line)
-    sample_files = [(sample_name_from_path(f), f) for f in files]
-    comp.add_sample_files(sample_files)
-    comp.close()
+    with device_trace("create"):
+        comp = Compressor(out_path, params, reference_file=files[0])
+        if cmd_line:
+            comp.add_cmd_line(cmd_line)
+        sample_files = [(sample_name_from_path(f), f) for f in files]
+        comp.add_sample_files(sample_files)
+        comp.close()
 
 
 def append_archive(
@@ -2369,11 +2372,14 @@ def append_archive(
     params: CompressorParams | None = None,
     cmd_line: str | None = None,
 ) -> None:
+    from ..utils.profiling import device_trace
+
     seen = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]
-    comp = Compressor(out_path, params, in_path=in_path)
-    if cmd_line:
-        comp.add_cmd_line(cmd_line)
-    sample_files = [(sample_name_from_path(f), f) for f in files]
-    comp.add_sample_files(sample_files)
-    comp.close()
+    with device_trace("append"):
+        comp = Compressor(out_path, params, in_path=in_path)
+        if cmd_line:
+            comp.add_cmd_line(cmd_line)
+        sample_files = [(sample_name_from_path(f), f) for f in files]
+        comp.add_sample_files(sample_files)
+        comp.close()

@@ -158,6 +158,35 @@ def test_c_header_compiles(tmp_path):
     assert res.returncode == 0, res.stderr.decode()
 
 
+def test_cpp_example_compiles_and_runs(tmp_path):
+    """The committed C++ example client (examples/example_agc_lib_cpp.cpp)
+    builds against the native library and runs on a real archive."""
+    import subprocess
+
+    from agc_tpu.native import get_capi_path
+
+    path = get_capi_path()
+    assert path is not None
+    hdr_dir = os.path.dirname(path)
+    repo = os.path.dirname(hdr_dir.rstrip(os.sep))
+    example = os.path.join(os.path.dirname(repo), "examples",
+                           "example_agc_lib_cpp.cpp")
+    assert os.path.exists(example), example
+    exe = tmp_path / "example_cpp"
+    res = subprocess.run(
+        ["g++", "-std=c++17", example, "-I", hdr_dir, "-L", hdr_dir,
+         "-lagcnative", f"-Wl,-rpath,{hdr_dir}", "-o", str(exe)],
+        capture_output=True,
+    )
+    assert res.returncode == 0, res.stderr.decode()
+    out = subprocess.run(
+        [str(exe), "/root/reference/toy_ex/toy_ex.agc"],
+        capture_output=True,
+    )
+    assert out.returncode == 0, out.stderr.decode()
+    assert b"reference sample: ref" in out.stdout
+
+
 @pytest.mark.parametrize("version", [1, 2])
 def test_c_api_reads_legacy_archives(tmp_path, version):
     """The standalone C library must open 1.x/2.x archives like the

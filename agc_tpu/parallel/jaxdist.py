@@ -250,8 +250,35 @@ def _distributed_splitters(
     buckets = [local[owner == j] for j in range(n)]
     # exchange + owned-range reduction stay on device (sort + boundary
     # masks inside the collective program); only the reduced tables
-    # (global singletons / duplicated uniques of my range) come back
-    singles, dup_uniques = _exchange_and_reduce_owned(mesh, pid, n, buckets)
+    # (global singletons / duplicated uniques of my range) come back.
+    # Pools past the exchange budget run in value-range chunks: every
+    # bucket is sub-partitioned by the k-mers' top bits, one collective
+    # round per chunk — chunks are value-disjoint AND value-ordered, so
+    # per-chunk singleton/duplicate verdicts are globally correct and
+    # their concatenation is already sorted.
+    budget = int(
+        os.environ.get("AGC_TPU_DIST_EXCHANGE_BUDGET", str(256 << 20))
+    )
+    local_max = max((len(b) for b in buckets), default=0)
+    global_max = int(_allgather_counts(mesh, pid, n, local_max).max())
+    n_chunks = 1
+    while n * global_max * 8 // n_chunks > budget and n_chunks < 1 << 16:
+        n_chunks *= 2
+    if n_chunks == 1:
+        singles, dup_uniques = _exchange_and_reduce_owned(
+            mesh, pid, n, buckets
+        )
+    else:
+        shift = np.uint64(64 - int(np.log2(n_chunks)))
+        keys = [(b >> shift).astype(np.int64) for b in buckets]
+        s_parts, d_parts = [], []
+        for c in range(n_chunks):
+            sub = [b[k == c] for b, k in zip(buckets, keys)]
+            s, d = _exchange_and_reduce_owned(mesh, pid, n, sub)
+            s_parts.append(s)
+            d_parts.append(d)
+        singles = np.concatenate(s_parts)
+        dup_uniques = np.concatenate(d_parts)
 
     # 2. replicate the full singleton table (adaptive mode additionally
     # replicates the duplicated-unique table: find_new_splitters excludes

@@ -202,3 +202,34 @@ def test_jaxdist_adaptive_exchange_crosses_shards(tmp_path):
         d.get_sample_file(out, [sample], line_length=70)
         assert filecmp.cmp(out, path, shallow=False), sample
     d.close()
+
+
+def test_jaxdist_chunked_exchange_identical(collection, tmp_path, monkeypatch):
+    """A tiny exchange budget forces the k-mer pool merge into many
+    value-range chunk rounds; the archive must be stream-identical to the
+    unchunked 2-process run (chunks are value-disjoint and value-ordered,
+    so the reduced tables are equal)."""
+    tmp, files, bodies = collection
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.core.compressor import CompressorParams
+    from agc_tpu.parallel.jaxdist import create_archive_jaxdist
+
+    params = CompressorParams(segment_size=5000)
+    plain = tmp_path / "unchunked.agc"
+    create_archive_jaxdist(str(plain), files, params, n_procs=2)
+
+    monkeypatch.setenv("AGC_TPU_DIST_EXCHANGE_BUDGET", str(64 << 10))
+    chunked = tmp_path / "chunked.agc"
+    create_archive_jaxdist(str(chunked), files, params, n_procs=2)
+
+    def contents(path):
+        r = ArchiveReader(str(path))
+        try:
+            return {
+                sn: [r.get_part(sn, i) for i in range(r.n_parts(sn))]
+                for sn in r.stream_names()
+            }
+        finally:
+            r.close()
+
+    assert contents(plain) == contents(chunked)

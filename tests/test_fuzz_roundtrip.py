@@ -34,6 +34,7 @@ def test_fuzz_roundtrip(tmp_path, seed):
     seg = rng.choice([150, 700, 2300])
     mml = rng.choice([15, 20, 28])
     adaptive = rng.random() < 0.5
+    profile = rng.choice(["zstd", "tpu-rans"])
     n_samples = rng.randrange(2, 5)
 
     base_lens = [rng.randrange(40, 9000) for _ in range(rng.randrange(1, 4))]
@@ -60,6 +61,7 @@ def test_fuzz_roundtrip(tmp_path, seed):
     params.segment_size = seg
     params.min_match_len = mml
     params.adaptive_compression = adaptive
+    params.profile = profile
     archive = str(tmp_path / "fuzz.agc")
     create_archive(archive, [p for _, p in files], params)
 
@@ -71,7 +73,7 @@ def test_fuzz_roundtrip(tmp_path, seed):
             want = f_in.read().replace("\n", "")
         with open(out) as f_out:
             got = f_out.read().replace("\n", "")
-        assert got == want, (seed, sample, k, seg, mml, adaptive)
+        assert got == want, (seed, sample, k, seg, mml, adaptive, profile)
     d.close()
 
 

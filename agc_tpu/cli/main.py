@@ -273,7 +273,7 @@ def _dispatch(args) -> int:
 
         try:
             convert_archive(args.in_archive, args.out_archive, args.profile)
-        except ValueError as e:
+        except (ValueError, OSError) as e:
             print(f"Error: {e}", file=sys.stderr)
             return 1
         return 0

@@ -26,7 +26,7 @@ The produced archive uses the same on-disk format as the reference
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 import numpy as np
 
@@ -254,9 +254,14 @@ class Compressor:
         in_path: str | None = None,
         prefetch: bool = True,
     ):
-        self.p = params or CompressorParams()
+        # private copy: append mode overwrites k/l/b/s/profile from the
+        # input archive, and that must not leak into the caller's object
+        self.p = _dc_replace(params) if params is not None else CompressorParams()
         self.k = self.p.kmer_length
         self.archive_version = AGC_FILE_MAJOR * 1000 + AGC_FILE_MINOR
+        if self.p.profile not in ("zstd", "tpu-rans"):
+            # validate BEFORE the writer opens (and truncates) out_path
+            raise ValueError(f"unknown archive profile {self.p.profile!r}")
         self.writer = ArchiveWriter(out_path)
         self.collection: CollectionV3
         self.map_segments: dict[tuple[int, int], int] = {PK_EMPTY: 0}
@@ -300,8 +305,6 @@ class Compressor:
             "file_version_minor": str(AGC_FILE_MINOR),
             "comment": COMMENT,
         }
-        if self.p.profile not in ("zstd", "tpu-rans"):
-            raise ValueError(f"unknown archive profile {self.p.profile!r}")
         if self.p.profile != "zstd":
             self.file_type_info["compression-profile"] = self.p.profile
         self._closed = False

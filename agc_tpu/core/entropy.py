@@ -173,8 +173,18 @@ def compress_np(data: bytes, level: int = 0) -> bytes:
     counts = np.bincount(arr, minlength=256)
     freqs = quantize_freqs(counts)
     streams, states = _encode_lanes(arr, freqs)
+    return assemble_blob(data, freqs, streams, states)
 
-    out = bytearray([MAGIC, int(np.log2(lanes_for(n)))])
+
+def assemble_blob(
+    data: bytes, freqs: np.ndarray, streams: list[bytes], states
+) -> bytes:
+    """Shared blob assembly (header + tables + lane streams + raw-escape
+    decision) for the numpy and device encoders — one place owns the
+    format so the byte-identical-blobs invariant cannot drift."""
+    n = len(data)
+    L = lanes_for(n)
+    out = bytearray([MAGIC, int(L.bit_length() - 1)])
     _put_varint(out, n)
     for f in freqs:
         _put_varint(out, int(f))

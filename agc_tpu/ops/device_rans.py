@@ -113,23 +113,7 @@ def compress_device(data: bytes, level: int = 0) -> bytes:
         bj = bts[:, j, :]
         mask = np.arange(2)[None, :] < cj[:, None]
         streams.append(bj[mask][::-1].tobytes())
-
-    out = bytearray([E.MAGIC, int(np.log2(L))])
-    E._put_varint(out, n)
-    for f in freqs:
-        E._put_varint(out, int(f))
-    for s in streams:
-        E._put_varint(out, len(s))
-    for v in x:
-        out += int(v).to_bytes(4, "little")
-    for s in streams:
-        out += s
-    if len(out) >= n + 2 + E._varint_len(n):
-        raw = bytearray([E.MAGIC, E._RAW_FLAG])
-        E._put_varint(raw, n)
-        raw += data
-        return bytes(raw)
-    return bytes(out)
+    return E.assemble_blob(data, freqs, streams, x)
 
 
 # ---------------------------------------------------------------------------

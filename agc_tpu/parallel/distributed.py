@@ -345,6 +345,7 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
     merged.collection = CollectionV3(
         params.pack_cardinality, params.segment_size, params.kmer_length
     )
+    merged.collection.profile = params.profile
     merged.map_segments = {PK_EMPTY: 0}
     merged.terminators = {}
     merged.v_segments = []
@@ -383,6 +384,8 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
         "file_version_minor": str(AGC_FILE_MINOR),
         "comment": COMMENT,
     }
+    if params.profile != "zstd":
+        merged.file_type_info["compression-profile"] = params.profile
     merged._refresh_splitter_table()
 
     # raw groups first (shared id space 0..15)

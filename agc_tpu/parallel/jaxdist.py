@@ -144,8 +144,46 @@ def _allgather_u64(mesh, pid: int, n: int, values: np.ndarray) -> np.ndarray:
     return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
 
 
+@__import__("functools").lru_cache(maxsize=32)
+def _exchange_reduce_fn(mesh, n: int, m: int):
+    """Compiled collective program for one exchange+reduce round, cached
+    by (mesh, row width): chunked exchanges run many rounds of the same
+    pow2-padded shape, and rebuilding jit(shard_map(...)) per call would
+    re-trace (and on a pod re-compile) every round."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def body(x):
+        y = jax.lax.all_to_all(
+            x, "host", split_axis=0, concat_axis=0, tiled=True
+        )  # (n, m): row j = my range's k-mers from process j
+        s = jnp.sort(y.reshape(-1))  # sentinels sort to the tail
+        diff_prev = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+        diff_next = jnp.concatenate([s[1:] != s[:-1], jnp.ones(1, bool)])
+        valid = s != _SENTINEL
+        single = diff_prev & diff_next & valid
+        dup_first = diff_prev & ~diff_next & valid
+        return (
+            s.reshape(1, -1),
+            single.reshape(1, -1),
+            dup_first.reshape(1, -1),
+        )
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P("host", None),
+            out_specs=(P("host", None), P("host", None), P("host", None)),
+            check_vma=False,
+        )
+    )
+
+
 def _exchange_and_reduce_owned(
-    mesh, pid: int, n: int, buckets: list[np.ndarray]
+    mesh, pid: int, n: int, buckets: list[np.ndarray], m: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Range-partitioned k-mer pool merge as ONE device program: send
     bucket j to process j (``all_to_all``), then — without returning the
@@ -160,50 +198,19 @@ def _exchange_and_reduce_owned(
     are padded to the all-process maximum bucket size (pow2, so repeat
     runs reuse the executable); the sentinel sorts above every canonical
     code (rc(all-ones) == 0, doc at _SENTINEL) so padding never mixes
-    with real k-mers."""
+    with real k-mers. Pass ``m`` (an agreed pow2 row width) to skip the
+    internal count gather when the caller already knows the global max."""
     import jax
-    import jax.numpy as jnp
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
 
-    local_max = max((len(b) for b in buckets), default=0)
-    counts = _allgather_counts(mesh, pid, n, local_max)
-    m = max(1, 1 << int(counts.max() - 1).bit_length())
+    if m is None:
+        local_max = max((len(b) for b in buckets), default=0)
+        counts = _allgather_counts(mesh, pid, n, local_max)
+        m = max(1, 1 << int(counts.max() - 1).bit_length())
     block = np.full((n, m), _SENTINEL, dtype=np.uint64)
     for j, b in enumerate(buckets):
         block[j, : len(b)] = b
     arr = _global_rows(mesh, block)
-
-    def body(x):
-        y = jax.lax.all_to_all(
-            x, "host", split_axis=0, concat_axis=0, tiled=True
-        )  # (n, m): row j = my range's k-mers from process j
-        s = jnp.sort(y.reshape(-1))  # sentinels sort to the tail
-        diff_prev = jnp.concatenate(
-            [jnp.ones(1, bool), s[1:] != s[:-1]]
-        )
-        diff_next = jnp.concatenate(
-            [s[1:] != s[:-1], jnp.ones(1, bool)]
-        )
-        valid = s != _SENTINEL
-        single = diff_prev & diff_next & valid
-        dup_first = diff_prev & ~diff_next & valid
-        return (
-            s.reshape(1, -1),
-            single.reshape(1, -1),
-            dup_first.reshape(1, -1),
-        )
-
-    f = jax.jit(
-        shard_map(
-            body,
-            mesh=mesh,
-            in_specs=P("host", None),
-            out_specs=(P("host", None), P("host", None), P("host", None)),
-            check_vma=False,
-        )
-    )
-    s_g, single_g, dup_g = f(arr)
+    s_g, single_g, dup_g = _exchange_reduce_fn(mesh, n, m)(arr)
 
     def _mine(a) -> np.ndarray:
         # one device per process: shard 0 is this process's row
@@ -261,12 +268,23 @@ def _distributed_splitters(
     )
     local_max = max((len(b) for b in buckets), default=0)
     global_max = int(_allgather_counts(mesh, pid, n, local_max).max())
+
+    def _pow2(v: int) -> int:
+        return max(1, 1 << int(v - 1).bit_length())
+
+    # budget accounting uses the PADDED row width the device block will
+    # actually allocate; under value skew a chunk's true max can exceed
+    # global_max/n_chunks, so the budget is a target, not a hard bound —
+    # the per-chunk count gather pads each round to its real max
     n_chunks = 1
-    while n * global_max * 8 // n_chunks > budget and n_chunks < 1 << 16:
+    while (
+        n * _pow2((global_max + n_chunks - 1) // n_chunks) * 8 > budget
+        and n_chunks < 1 << 16
+    ):
         n_chunks *= 2
     if n_chunks == 1:
         singles, dup_uniques = _exchange_and_reduce_owned(
-            mesh, pid, n, buckets
+            mesh, pid, n, buckets, m=_pow2(global_max)
         )
     else:
         shift = np.uint64(64 - int(np.log2(n_chunks)))

@@ -161,3 +161,51 @@ def test_cli_profile_and_convert(collection, tmp_path, capsys):
     rc = cli_main(["info", out])
     assert rc == 0
     assert "tpu-rans" in capsys.readouterr().err  # info prints to stderr
+
+
+def test_sharded_create_carries_profile(collection, tmp_path):
+    """Sharded create must write collection streams and the profile tag
+    in the requested profile (regression: _merge_shards built its own
+    collection/file_type_info and silently dropped tpu-rans); a 1-shard
+    sharded create stays stream-identical to a plain create."""
+    from agc_tpu.parallel.distributed import create_archive_sharded
+
+    tmp, files, bodies = collection
+    plain = tmp_path / "plain_rans.agc"
+    create_archive(str(plain), files, CompressorParams(profile="tpu-rans"))
+    sharded = tmp_path / "sharded_rans.agc"
+    create_archive_sharded(
+        str(sharded), files, CompressorParams(profile="tpu-rans"), n_shards=1
+    )
+    fti = _check_extract(sharded, bodies)
+    assert fti.get("compression-profile") == "tpu-rans"
+    assert _stream_dump(plain) == _stream_dump(sharded)
+
+    two = tmp_path / "sharded2_rans.agc"
+    create_archive_sharded(
+        str(two), files, CompressorParams(profile="tpu-rans"), n_shards=2
+    )
+    fti = _check_extract(two, bodies)
+    assert fti.get("compression-profile") == "tpu-rans"
+
+
+def test_append_does_not_mutate_caller_params(collection, tmp_path):
+    """Compressor copies its params: append overwrites k/profile from the
+    input archive, and that must not leak into the caller's object."""
+    tmp, files, bodies = collection
+    base = tmp_path / "zstd_base.agc"
+    params = CompressorParams(profile="tpu-rans")
+    create_archive(str(base), files, params)
+    rng = random.Random(6)
+    extra = {c: mutate(rng, s, subs=30) for c, s in bodies["ref"].items()}
+    extra_fa = str(tmp_path / "sx.fa")
+    write_fa(extra_fa, list(extra.items()))
+    out = tmp_path / "app2.agc"
+    shared = CompressorParams(profile="tpu-rans", kmer_length=21)
+    zbase = tmp_path / "plain_zstd.agc"
+    create_archive(str(zbase), files, CompressorParams())
+    append_archive(str(zbase), str(out), [extra_fa], shared)
+    # the append inherited zstd/k=31 internally, but the caller's object
+    # must be untouched
+    assert shared.profile == "tpu-rans"
+    assert shared.kmer_length == 21

@@ -222,3 +222,47 @@ def test_sharded_adaptive_process_workers_match_threads(tmp_path):
     create_archive_sharded(a_thr, files, params, n_shards=2)
     create_archive_sharded(a_proc, files, params, n_shards=2, worker="process")
     assert _stream_contents(a_thr) == _stream_contents(a_proc)
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_fuzz_sharded_matches_plain(tmp_path, seed):
+    """Randomized params x random collections: a sharded create must stay
+    shard-count-invariant AND extraction-equal to the plain create."""
+    import random
+
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.core.compressor import create_archive
+
+    rng = random.Random(seed)
+    params = CompressorParams(
+        kmer_length=rng.choice([17, 23, 31]),
+        segment_size=rng.choice([500, 1500, 4000]),
+        pack_cardinality=rng.choice([2, 3, 50]),
+        min_match_len=rng.choice([15, 20]),
+        adaptive_compression=rng.random() < 0.4,
+        fallback_frac=rng.choice([0.0, 0.03]),
+        profile=rng.choice(["zstd", "tpu-rans"]),
+    )
+    n_contigs = rng.randrange(1, 4)
+    lens = tuple(rng.randrange(3000, 25000) for _ in range(n_contigs))
+    files = make_collection(
+        tmp_path, n_samples=rng.randrange(3, 6), contig_lens=lens
+    )
+    plain = str(tmp_path / "plain.agc")
+    create_archive(plain, [p for _, p in files], params)
+    n_shards = rng.randrange(2, 4)
+    sharded = str(tmp_path / "sharded.agc")
+    create_archive_sharded(
+        sharded, [p for _, p in files], params, n_shards=n_shards
+    )
+    dp, ds = Decompressor(plain), Decompressor(sharded)
+    try:
+        assert sorted(dp.list_samples()) == sorted(ds.list_samples())
+        for s in dp.list_samples():
+            for c in dp.list_contigs(s):
+                assert dp.get_contig_seq(s, c) == ds.get_contig_seq(s, c), (
+                    seed, s, c, params,
+                )
+    finally:
+        dp.close()
+        ds.close()

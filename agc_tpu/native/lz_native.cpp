@@ -863,18 +863,62 @@ int64_t rans_compress(const uint8_t* data, int64_t n, uint8_t* out,
       cmpl[s] = kProbScale - (uint32_t)f;
       bias[s] = C[s];
     }
-    for (int j = 0; j < L; ++j) {
+    // 4-way lane interleave (see the decode loop): four independent
+    // state chains per iteration hide the mul/renorm latency. Lanes with
+    // the extra symbol (cnt differs by <=1 within a group of 4 adjacent
+    // lanes) process their highest t first, then the shared descent.
+    const int64_t per_lane_cap = 2 * ((n + L - 1) / L) + 8;
+    for (int j = 0; j < L; ++j) streams[(size_t)j].reserve(per_lane_cap);
+    auto enc_one = [&](uint32_t& x, std::vector<uint8_t>& st, uint8_t s) {
+      const uint32_t x_max = xmax_base * F[s];
+      while (x >= x_max) { st.push_back((uint8_t)(x & 0xFF)); x >>= 8; }
+      const uint32_t q =
+          (uint32_t)(((unsigned __int128)x * rcp[s]) >> 45);
+      x = x + q * cmpl[s] + bias[s];
+    };
+    int j = 0;
+    for (; j + 4 <= L; j += 4) {
+      uint32_t x0 = kRansL, x1 = kRansL, x2 = kRansL, x3 = kRansL;
+      auto &s0v = streams[(size_t)j], &s1v = streams[(size_t)j + 1];
+      auto &s2v = streams[(size_t)j + 2], &s3v = streams[(size_t)j + 3];
+      const int64_t cnt_min = (n - (j + 3) + L - 1) / L;
+      // tails first (encode walks t downward)
+      for (int u = 0; u < 4; ++u) {
+        const int lane = j + u;
+        const int64_t cnt = (n - lane + L - 1) / L;
+        uint32_t* xs[4] = {&x0, &x1, &x2, &x3};
+        for (int64_t t = cnt - 1; t >= cnt_min; --t)
+          enc_one(*xs[u], streams[(size_t)lane], data[lane + t * L]);
+      }
+      const uint8_t* row = data + (cnt_min - 1) * L + j;
+      for (int64_t t = cnt_min - 1; t >= 0; --t, row -= L) {
+        const uint8_t c0 = row[0], c1 = row[1], c2 = row[2], c3 = row[3];
+        const uint32_t m0 = xmax_base * F[c0], m1 = xmax_base * F[c1];
+        const uint32_t m2 = xmax_base * F[c2], m3 = xmax_base * F[c3];
+        while (x0 >= m0) { s0v.push_back((uint8_t)(x0 & 0xFF)); x0 >>= 8; }
+        while (x1 >= m1) { s1v.push_back((uint8_t)(x1 & 0xFF)); x1 >>= 8; }
+        while (x2 >= m2) { s2v.push_back((uint8_t)(x2 & 0xFF)); x2 >>= 8; }
+        while (x3 >= m3) { s3v.push_back((uint8_t)(x3 & 0xFF)); x3 >>= 8; }
+        x0 += (uint32_t)(((unsigned __int128)x0 * rcp[c0]) >> 45) * cmpl[c0] + bias[c0];
+        x1 += (uint32_t)(((unsigned __int128)x1 * rcp[c1]) >> 45) * cmpl[c1] + bias[c1];
+        x2 += (uint32_t)(((unsigned __int128)x2 * rcp[c2]) >> 45) * cmpl[c2] + bias[c2];
+        x3 += (uint32_t)(((unsigned __int128)x3 * rcp[c3]) >> 45) * cmpl[c3] + bias[c3];
+      }
+      states[(size_t)j] = x0;
+      states[(size_t)j + 1] = x1;
+      states[(size_t)j + 2] = x2;
+      states[(size_t)j + 3] = x3;
+      std::reverse(s0v.begin(), s0v.end());
+      std::reverse(s1v.begin(), s1v.end());
+      std::reverse(s2v.begin(), s2v.end());
+      std::reverse(s3v.begin(), s3v.end());
+    }
+    for (; j < L; ++j) {
       uint32_t x = kRansL;
       auto& st = streams[(size_t)j];
       const int64_t cnt = (n - j + L - 1) / L;
-      for (int64_t t = cnt - 1; t >= 0; --t) {
-        const uint8_t s = data[j + t * L];
-        const uint32_t x_max = xmax_base * F[s];
-        while (x >= x_max) { st.push_back((uint8_t)(x & 0xFF)); x >>= 8; }
-        const uint32_t q =
-            (uint32_t)(((unsigned __int128)x * rcp[s]) >> 45);
-        x = x + q * cmpl[s] + bias[s];
-      }
+      for (int64_t t = cnt - 1; t >= 0; --t)
+        enc_one(x, st, data[j + t * L]);
       std::reverse(st.begin(), st.end());
       states[(size_t)j] = x;
     }

@@ -89,22 +89,45 @@ struct LZContext {
   }
 
   void build_index() {
-    // count insertable positions (sampled every kHashingStep)
-    uint64_t n_positions = 0;
+    // One rolling pass collects the sampled (position, code) pairs —
+    // code_at would re-derive key_len symbols per sampled position (and
+    // twice, for the count then the fill), which used to dominate
+    // per-group cost; the rolling window does one shift+or per base.
+    // Positions, codes, table size, and insertion order are IDENTICAL
+    // to the old double code_at walk, so match choices (and archives)
+    // are unchanged.
     const uint64_t padded = ref.size();
-    for (uint64_t i = 0; i + key_len < padded; i += kHashingStep)
-      if (code_at(ref.data() + i) != ~0ULL) ++n_positions;
+    std::vector<std::pair<uint64_t, uint64_t>> poscode;
+    if (padded > key_len) {
+      poscode.reserve((padded - key_len) / kHashingStep + 1);
+      const uint64_t kmask =
+          key_len >= 32 ? ~0ULL : ((1ULL << (2 * key_len)) - 1);
+      uint64_t code = 0;
+      int64_t last_invalid = -1;
+      for (uint64_t t = 0; t + 1 < key_len; ++t) {
+        const uint8_t s = ref[t];
+        if (s > 3) last_invalid = static_cast<int64_t>(t);
+        code = (code << 2) | (s & 3);
+      }
+      for (uint64_t i = 0; i + key_len < padded; ++i) {
+        const uint8_t s = ref[i + key_len - 1];
+        if (s > 3) last_invalid = static_cast<int64_t>(i + key_len - 1);
+        code = (code << 2) | (s & 3);
+        if ((i % kHashingStep) == 0 &&
+            last_invalid < static_cast<int64_t>(i))
+          poscode.emplace_back(i, code & kmask);
+      }
+    }
 
-    uint64_t ht_size = static_cast<uint64_t>(n_positions / kMaxLoadFactor);
+    uint64_t ht_size =
+        static_cast<uint64_t>(poscode.size() / kMaxLoadFactor);
     while (ht_size & (ht_size - 1)) ht_size &= ht_size - 1;  // floor pow2
     ht_size <<= 1;
     if (ht_size < 8) ht_size = 8;
     ht_mask = ht_size - 1;
     ht.assign(ht_size, -1);
 
-    for (uint64_t i = 0; i + key_len < padded; i += kHashingStep) {
-      uint64_t code = code_at(ref.data() + i);
-      if (code == ~0ULL) continue;
+    for (const auto& [i, code] : poscode) {
       uint64_t h = murmur64(code);
       uint64_t pos = h & ht_mask;
       // entry layout: (position << 8) | key-tag. The tag lets probes skip

@@ -39,6 +39,6 @@ print("roundtrip byte-identical")
 PYEOF
 timeout 300 python -m agc_tpu.cli.main getctg test.agc chr1@s1:1000-1099 | head -2
 echo "== bench (zstd profile)"
-(timeout 3000 python bench.py)
+(cd /root/repo && timeout 3000 python bench.py)
 echo "== bench (tpu-rans profile)"
 (cd /root/repo && AGC_TPU_BENCH_PROFILE=tpu-rans timeout 3000 python bench.py)

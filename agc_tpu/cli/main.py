@@ -163,7 +163,12 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     try:
         rc = _dispatch(args)
-    except (KeyError, FileNotFoundError, ValueError) as e:
+    except (KeyError, FileNotFoundError, ValueError, IndexError, OSError) as e:
+        # IndexError/OSError: truncated or corrupted archives surface as
+        # parse failures deep in the readers; report them cleanly like
+        # the reference's "Corrupted archive!" paths
+        if isinstance(e, BrokenPipeError):
+            return 141  # silent, like the reference binary's SIGPIPE exit
         print(f"Error: {e}", file=sys.stderr)
         return 1
     except BrokenPipeError:

@@ -203,6 +203,9 @@ class Decompressor:
         self.segment_size = (
             int.from_bytes(data[12:16], "little") if len(data) >= 16 else 0
         )
+        if self.pack_cardinality < 1 or self.kmer_length < 1:
+            # a valid writer clamps both >= 1; anything else is damage
+            raise ValueError("Corrupted archive! (invalid params stream)")
 
     # ------------------------------------------------------------------
     # segment access

@@ -72,6 +72,8 @@ def _native_decode(fn, reference: bytes, encoded: bytes, min_match_len: int) -> 
         )
         if n >= 0:
             return bytes(bytearray(buf)[:n])
+        if n == -(1 << 63):  # INT64_MIN: token stream walks off the ref
+            raise ValueError("Corrupted archive! (invalid segment delta)")
         cap *= 4
 
 
@@ -105,6 +107,8 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
             pred_pos += 1
             i += 1
         elif c == ord_excl:  # literal equal to reference
+            if pred_pos >= len(ref):
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             out.append(ref[pred_pos])
             pred_pos += 1
             i += 1
@@ -127,6 +131,8 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
                 i += 1
             dif_pos = -v if neg else v
             ref_pos = pred_pos + dif_pos
+            if ref_pos < 0 or ref_pos > len(ref):
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             if enc[i] == 0x2C:  # ',' => explicit length
                 i += 1
                 v = 0
@@ -137,6 +143,8 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
             else:
                 length = len(ref) - ref_pos  # match-to-end
             i += 1  # '.'
+            if length > len(ref) - ref_pos:
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             out.extend(ref[ref_pos : ref_pos + length])
             pred_pos = ref_pos + length
     return bytes(out)
@@ -184,6 +192,8 @@ def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
                 i += 1
             dif_pos = -v if neg else v
             ref_pos = pred_pos + dif_pos
+            if ref_pos < 0 or ref_pos > len(ref):
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             i += 1  # ','
             if enc[i] == 0x2E:  # '.' => no length
                 length = len(ref) - ref_pos
@@ -194,6 +204,8 @@ def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
                     i += 1
                 length = v + min_match_len
             i += 1  # '.'
+            if length > len(ref) - ref_pos:
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             out.extend(ref[ref_pos : ref_pos + length])
             pred_pos = ref_pos + length
     return bytes(out)

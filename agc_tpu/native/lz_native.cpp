@@ -516,6 +516,13 @@ void lz_cost_vector(void* vctx, const uint8_t* text, uint64_t text_len,
 }
 
 // Decode a V2 token stream. Returns output length or -(needed) if cap too small.
+// Returns the decoded length, -1 when cap is too small (grow and retry),
+// or kLzCorrupt for a token stream that walks outside the reference —
+// possible only for corrupted archives, so decode stays robust against
+// hostile inputs (the reference tool segfaults here).
+constexpr int64_t kLzCorrupt = INT64_MIN;
+constexpr uint64_t kMaxTokenValue = 1ULL << 50;  // digit-parse overflow guard
+
 int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
                      uint64_t enc_len, uint32_t mml, uint8_t* out,
                      uint64_t cap) {
@@ -530,6 +537,7 @@ int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
       ++pred_pos;
       ++i;
     } else if (c == '!') {
+      if (pred_pos >= ref_len) return kLzCorrupt;
       if (n_out >= cap) return -1;
       out[n_out++] = ref[pred_pos];
       ++pred_pos;
@@ -537,10 +545,14 @@ int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
     } else if (c == kNRunStarter) {
       ++i;
       uint64_t v = 0;
-      while (i < enc_len && enc[i] != kNCode) v = v * 10 + (enc[i++] - '0');
+      while (i < enc_len && enc[i] != kNCode) {
+        if (enc[i] < '0' || enc[i] > '9' || v > kMaxTokenValue)
+          return kLzCorrupt;
+        v = v * 10 + (enc[i++] - '0');
+      }
       ++i;  // stop marker
       uint64_t len = v + kMinNRunLen;
-      if (n_out + len > cap) return -1;
+      if (len > cap - n_out) return -1;
       std::memset(out + n_out, kNCode, len);
       n_out += len;
     } else {
@@ -550,22 +562,33 @@ int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
         ++i;
       }
       uint64_t v = 0;
-      while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+      bool any = false;
+      while (i < enc_len && enc[i] >= '0' && enc[i] <= '9') {
+        if (v > kMaxTokenValue) return kLzCorrupt;
         v = v * 10 + (enc[i++] - '0');
+        any = true;
+      }
+      if (!any) return kLzCorrupt;  // stray byte outside the grammar
       int64_t dif = neg ? -static_cast<int64_t>(v) : static_cast<int64_t>(v);
-      uint64_t ref_pos = static_cast<uint64_t>(static_cast<int64_t>(pred_pos) + dif);
+      if (dif < 0 && static_cast<uint64_t>(-dif) > pred_pos)
+        return kLzCorrupt;
+      uint64_t ref_pos = pred_pos + static_cast<uint64_t>(dif);
+      if (ref_pos > ref_len) return kLzCorrupt;
       uint64_t len;
       if (i < enc_len && enc[i] == ',') {
         ++i;
         v = 0;
-        while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+        while (i < enc_len && enc[i] >= '0' && enc[i] <= '9') {
+          if (v > kMaxTokenValue) return kLzCorrupt;
           v = v * 10 + (enc[i++] - '0');
+        }
         len = v + mml;
       } else {
         len = ref_len - ref_pos;
       }
       ++i;  // '.'
-      if (n_out + len > cap) return -1;
+      if (len > ref_len - ref_pos) return kLzCorrupt;
+      if (len > cap - n_out) return -1;
       std::memcpy(out + n_out, ref + ref_pos, len);
       n_out += len;
       pred_pos = ref_pos + len;
@@ -591,10 +614,14 @@ int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
     } else if (c == kNRunStarter) {
       ++i;
       uint64_t v = 0;
-      while (i < enc_len && enc[i] != kNCode) v = v * 10 + (enc[i++] - '0');
+      while (i < enc_len && enc[i] != kNCode) {
+        if (enc[i] < '0' || enc[i] > '9' || v > kMaxTokenValue)
+          return kLzCorrupt;
+        v = v * 10 + (enc[i++] - '0');
+      }
       ++i;
       uint64_t len = v + kMinNRunLen;
-      if (n_out + len > cap) return -1;
+      if (len > cap - n_out) return -1;
       std::memset(out + n_out, kNCode, len);
       n_out += len;
     } else {
@@ -604,22 +631,33 @@ int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
         ++i;
       }
       uint64_t v = 0;
-      while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+      bool any = false;
+      while (i < enc_len && enc[i] >= '0' && enc[i] <= '9') {
+        if (v > kMaxTokenValue) return kLzCorrupt;
         v = v * 10 + (enc[i++] - '0');
+        any = true;
+      }
+      if (!any) return kLzCorrupt;
       int64_t dif = neg ? -static_cast<int64_t>(v) : static_cast<int64_t>(v);
-      uint64_t ref_pos = static_cast<uint64_t>(static_cast<int64_t>(pred_pos) + dif);
+      if (dif < 0 && static_cast<uint64_t>(-dif) > pred_pos)
+        return kLzCorrupt;
+      uint64_t ref_pos = pred_pos + static_cast<uint64_t>(dif);
+      if (ref_pos > ref_len) return kLzCorrupt;
       ++i;  // ','
       uint64_t len;
       if (i < enc_len && enc[i] == '.') {
         len = ref_len - ref_pos;
       } else {
         v = 0;
-        while (i < enc_len && enc[i] >= '0' && enc[i] <= '9')
+        while (i < enc_len && enc[i] >= '0' && enc[i] <= '9') {
+          if (v > kMaxTokenValue) return kLzCorrupt;
           v = v * 10 + (enc[i++] - '0');
+        }
         len = v + mml;
       }
       ++i;  // '.'
-      if (n_out + len > cap) return -1;
+      if (len > ref_len - ref_pos) return kLzCorrupt;
+      if (len > cap - n_out) return -1;
       std::memcpy(out + n_out, ref + ref_pos, len);
       n_out += len;
       pred_pos = ref_pos + len;

@@ -500,6 +500,9 @@ class AgcFile {
     min_match_len_ = rd_u32(4);
     pack_cardinality_ = rd_u32(8);
     segment_size_ = data.size() >= 16 ? rd_u32(12) : 0;
+    // a valid writer clamps both >= 1; zero means a damaged stream (and
+    // pack_cardinality_ is a divisor on every member lookup: SIGFPE)
+    if (pack_cardinality_ < 1 || kmer_length_ < 1) return false;
     return true;
   }
 

@@ -310,6 +310,11 @@ def decompress(blob, expected_size: int | None = None) -> bytes:
             if m == -(1 << 63):  # INT64_MIN: corrupt blob
                 raise ValueError("corrupt rANS blob")
             if m < 0:
+                if expected_size and -m != expected_size:
+                    # size header disagrees with the part metadata
+                    raise ValueError("corrupt rANS blob")
+                if -m > (64 << 30):  # damaged header, not a real size
+                    raise ValueError("corrupt rANS blob")
                 cap = -m
                 continue
             if expected_size is not None and expected_size and m != expected_size:

@@ -249,11 +249,10 @@ static bool zstd_decompress_tolerant(const uint8_t* src, size_t src_len,
     out.resize(raw_size);
     int64_t m = rans_decompress(src, (int64_t)src_len, out.data(),
                                 (int64_t)out.size());
-    if (m < 0 && m != INT64_MIN) {  // -needed: grow and retry
-      out.resize((size_t)(-m));
-      m = rans_decompress(src, (int64_t)src_len, out.data(),
-                          (int64_t)out.size());
-    }
+    // cap == the part's recorded raw size, so a -needed result means the
+    // blob's size header disagrees with the metadata: corruption, not a
+    // small buffer (growing here let a damaged header drive a huge
+    // allocation straight into std::terminate)
     if (m < 0) return false;
     out.resize((size_t)m);
     return true;

@@ -122,6 +122,35 @@ class _PendingSeg:
         return len(self.raw) if self.data is None else len(self.data)
 
 
+def rerank_near_ties(
+    scored: list[tuple[int, int, tuple[int, int]]], window: float = 1.01
+) -> tuple[int, int, tuple[int, int]]:
+    """Pick the candidate group from ``scored`` [(estimate, stored-member
+    count, splitter pair), ...] for a fallback-minimizer match.
+
+    When every candidate group is a rearranged copy of the same genome the
+    LZ estimates land within a fraction of a percent of each other and
+    hash-probe noise decides the exact argmin; the PACKED size is then
+    dominated not by the LZ delta but by which zstd pack the member joins —
+    co-packing with the group that already holds the member's family
+    compresses measurably better. Rule: take the exact argmin (ties by
+    smaller pair, deterministic), unless another candidate within
+    ``window`` of it DOMINATES it in stored members (>=2x and strictly
+    more). Both halves are measured: a 5-vs-3 membership preference loses
+    (the argmin's co-members are the true family), a 10-vs-1 preference
+    wins ~3% of archive size (a near-empty group would orphan the member
+    from its family's pack). The reference (agc_compressor.cpp:1929-1933)
+    always takes the exact argmin and loses that pack sharing to
+    estimate noise."""
+    argmin = min(scored, key=lambda s: (s[0], s[2]))
+    near = [s for s in scored if s[0] <= argmin[0] * window]
+    if len(near) > 1:
+        lead = min(near, key=lambda s: (-s[1], s[0], s[2]))
+        if lead[1] >= 2 * max(argmin[1], 1) and lead[1] > argmin[1]:
+            return lead
+    return argmin
+
+
 def _union_hits(a, b):
     """Union two disjoint (pos, udir, urc) hit sets, position-sorted."""
     if not len(b[0]):
@@ -1948,6 +1977,7 @@ class Compressor:
         )
         best_pair = PK_EMPTY
         best_es = len(segment)
+        scored = []  # (es, members, pair) for the near-tie re-rank below
         for cnt, pair in pruned:
             is_seg_rc = pair[0] > pair[1]
             key = (pair[1], pair[0]) if is_seg_rc else pair
@@ -1961,9 +1991,19 @@ class Compressor:
                 es = self.v_segments[gid].estimate(
                     seg_rc_b if is_seg_rc else seg_b, best_es
                 )
+                if es:
+                    scored.append((es, self.v_segments[gid].no_seqs, pair))
             if es and es < best_es:
                 best_es = es
                 best_pair = pair
+        if (
+            best_pair != PK_EMPTY
+            and best_es
+            and len(scored) > 1
+            and not os.environ.get("AGC_TPU_FB_EXACT_ARGMIN")  # A/B escape hatch
+        ):
+            window = 1.0 + float(os.environ.get("AGC_TPU_FB_TIE_WINDOW", "0.01"))
+            best_es, _, best_pair = rerank_near_ties(scored, window)
         if self.p.adaptive_compression:
             if short_segments:
                 if best_es >= len(segment) * 0.9:

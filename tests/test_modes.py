@@ -400,3 +400,23 @@ def test_packed_group_costs_mirror_reference(tmp_path):
         assert len(seg.get_coding_cost(b"\x00\x01\x02\x03" * 50, True)) > 0
     finally:
         comp.writer.close()
+
+
+def test_rerank_near_ties_rules():
+    """Fallback near-tie re-rank (pack cohesion): dominance-qualified
+    member-count preference; see compressor.rerank_near_ties."""
+    from agc_tpu.core.compressor import rerank_near_ties
+
+    A, B, C = (1, 2), (3, 4), (5, 6)
+    # a dominant family within the 1% window pulls the member over
+    assert rerank_near_ties([(1000, 1, A), (1005, 10, B)]) == (1005, 10, B)
+    # non-dominant membership advantage (5 vs 3) stays with the argmin
+    assert rerank_near_ties([(1000, 3, A), (1001, 5, B)]) == (1000, 3, A)
+    # outside the window: exact argmin wins even against a dominant group
+    assert rerank_near_ties([(1000, 1, A), (1100, 10, B)]) == (1000, 1, A)
+    # equal estimates tie-break deterministically by smaller pair
+    assert rerank_near_ties([(1000, 1, B), (1000, 1, A)]) == (1000, 1, A)
+    # zero-member argmin (group whose ref is pending) vs a 2-member group
+    assert rerank_near_ties([(1000, 0, A), (1002, 2, B)]) == (1002, 2, B)
+    # singleton input is the identity
+    assert rerank_near_ties([(500, 4, C)]) == (500, 4, C)

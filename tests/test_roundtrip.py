@@ -201,6 +201,29 @@ def test_iupac_and_n_runs(tmp_path):
     _extract_and_compare(archive, [("r", ref), ("m", s0)], tmp_path)
 
 
+def test_lowercase_soft_mask_uppercased(tmp_path):
+    """Lowercase (soft-masked) bases map to the same numeric codes as
+    uppercase and extract as UPPERCASE — the reference tool's behavior
+    (cnv_num has no lowercase rows beyond acgtn/u; agc_basic.h:40-50),
+    verified byte-identical against the reference binary on a mixed
+    lowercase/IUPAC/N-run collection."""
+    rng = random.Random(13)
+    upper = random_seq(rng, 4000)
+    mixed = "".join(
+        ch.lower() if rng.random() < 0.3 else ch for ch in upper
+    ) + "acgtn" + "ryswkmbdhvu"
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", mixed)])
+    archive = str(tmp_path / "lc.agc")
+    create_archive(archive, [ref], SMALL)
+    from agc_tpu.core.decompressor import Decompressor
+
+    d = Decompressor(archive)
+    got = d.get_contig_seq("r", "c1").decode()
+    d.close()
+    assert got == mixed.upper()
+
+
 def test_cli_smoke(toy_dir, tmp_path, capsys):
     from agc_tpu.cli.main import main
 

@@ -155,3 +155,125 @@ def test_alternating_append_chain(tmp_path):
     append_archive(a1, a2, [files[2][1]])
     _ref_extract_compare(a2, files, tmp_path, "chain")
     _our_extract_compare(a2, files, tmp_path, "chain")
+
+
+def _ref_stdout(*args: str) -> bytes:
+    env = dict(os.environ, ASAN_OPTIONS="detect_leaks=0")
+    r = subprocess.run(
+        [REF_BIN, *args], check=True, capture_output=True, env=env
+    )
+    return r.stdout
+
+
+def test_listings_agree_on_our_archive(tmp_path):
+    """reference listref/listset/listctg on OUR archive == our own CLI."""
+    from agc_tpu.cli.main import main as cli_main
+
+    files = _make_inputs(tmp_path)
+    archive = str(tmp_path / "ours.agc")
+    create_archive(
+        archive,
+        [p for _, p in files],
+        CompressorParams(kmer_length=17, segment_size=1000, min_match_len=15,
+                         pack_cardinality=10),
+    )
+    samples = [s for s, _ in files]
+
+    assert _ref_stdout("listref", archive).decode().split() == ["ref"]
+    assert _ref_stdout("listset", archive).decode().split() == sorted(samples)
+
+    ref_ctg = _ref_stdout("listctg", archive, *samples).decode()
+    ours_ctg = str(tmp_path / "ours_listctg.txt")
+    cli_main(["listctg", "-o", ours_ctg, archive, *samples])
+    assert ref_ctg == open(ours_ctg).read()
+
+
+def test_reference_range_queries_on_our_archive(tmp_path):
+    """reference getctg ctg@sample:from-to on OUR archive == our reader
+    == the raw input slice (reference ranges are 0-based inclusive)."""
+    files = _make_inputs(tmp_path)
+    archive = str(tmp_path / "ours.agc")
+    create_archive(
+        archive,
+        [p for _, p in files],
+        CompressorParams(kmer_length=17, segment_size=1000, min_match_len=15,
+                         pack_cardinality=10),
+    )
+    raw = {}
+    for sample, path in files:
+        body = open(path).read()
+        for block in body.split(">")[1:]:
+            header, seq = block.split("\n", 1)
+            raw[(sample, header.split()[0])] = seq.replace("\n", "")
+
+    d = Decompressor(archive)
+    rng = random.Random(5)
+    for sample, ctg in [("s0", "c1"), ("s1", "c2"), ("ref", "c1")]:
+        full = raw[(sample, ctg)]
+        lo = rng.randrange(0, len(full) - 500)
+        hi = lo + rng.randrange(100, 400)
+        q = f"{ctg}@{sample}:{lo}-{hi}"
+        out = _ref_stdout("getctg", archive, q).decode()
+        got_ref_bin = "".join(out.split("\n")[1:])
+        got_ours = d.get_contig_seq(sample, ctg, lo, hi).decode()
+        assert got_ref_bin == got_ours == full[lo : hi + 1], q
+    d.close()
+
+
+def test_cross_fuzz_randomized(tmp_path):
+    """Seeded random params x random collections; each trial must
+    cross-extract byte-identically in BOTH directions."""
+    master = random.Random(20260818)
+    for trial in range(4):
+        seed = master.randrange(1 << 30)
+        rng = random.Random(seed)
+        k = rng.choice([17, 21, 25, 31])
+        s = rng.choice([500, 1500, 4000])
+        l = rng.choice([15, 18, 20])
+        b = rng.choice([1, 3, 10])
+        adaptive = rng.random() < 0.4
+        fallback = rng.choice([0.0, 0.01])
+        n_contigs = rng.randrange(1, 4)
+        base = []
+        for _ in range(n_contigs):
+            seq = random_seq(rng, rng.randrange(3000, 12000))
+            if rng.random() < 0.5:  # N-run + IUPAC sprinkle
+                i = rng.randrange(len(seq) - 100)
+                seq = seq[:i] + "N" * rng.randrange(5, 60) + seq[i:]
+                seq += "RYSWKMBDHV"
+            base.append(seq)
+        tdir = tmp_path / f"t{trial}"
+        tdir.mkdir()
+        files = []
+        for si, name in enumerate(["ref", "s0", "s1"]):
+            if name == "ref":
+                contigs = [(f"c{i + 1}", x) for i, x in enumerate(base)]
+            else:
+                contigs = [
+                    (f"c{i + 1}", mutate(rng, x, 40, 6))
+                    for i, x in enumerate(base)
+                ]
+            p = str(tdir / f"{name}.fa")
+            write_fa(p, contigs, line=80)
+            files.append((name, p))
+
+        tag = f"trial{trial}_k{k}s{s}l{l}b{b}a{int(adaptive)}f{fallback}"
+        ours = str(tdir / "ours.agc")
+        create_archive(
+            ours,
+            [p for _, p in files],
+            CompressorParams(kmer_length=k, segment_size=s, min_match_len=l,
+                             pack_cardinality=b,
+                             adaptive_compression=adaptive,
+                             fallback_frac=fallback),
+        )
+        _ref_extract_compare(ours, files, tdir, tag + "_ours")
+
+        theirs = str(tdir / "theirs.agc")
+        flags = ["-k", str(k), "-s", str(s), "-l", str(l), "-b", str(b)]
+        if adaptive:
+            flags.append("-a")
+        if fallback:
+            flags += ["-f", str(fallback)]
+        _ref("create", *flags, "-o", theirs, *[p for _, p in files])
+        _our_extract_compare(theirs, files, tdir, tag + "_theirs")

@@ -167,12 +167,10 @@ def main(argv: list[str] | None = None) -> int:
         # IndexError/OSError: truncated or corrupted archives surface as
         # parse failures deep in the readers; report them cleanly like
         # the reference's "Corrupted archive!" paths
-        if isinstance(e, BrokenPipeError):
+        if isinstance(e, BrokenPipeError):  # subclass of OSError
             return 141  # silent, like the reference binary's SIGPIPE exit
         print(f"Error: {e}", file=sys.stderr)
         return 1
-    except BrokenPipeError:
-        return 141
     if getattr(args, "verbosity", 0) > 0:
         print(f"***\nCompleted in           : {time.time() - t0:.3f} s", file=sys.stderr)
     return rc

@@ -1988,11 +1988,18 @@ class Compressor:
                     best_pair = pair
                     best_es = 0
                     break
+                bound = best_es
                 es = self.v_segments[gid].estimate(
-                    seg_rc_b if is_seg_rc else seg_b, best_es
+                    seg_rc_b if is_seg_rc else seg_b, bound
                 )
                 if es:
-                    scored.append((es, self.v_segments[gid].no_seqs, pair))
+                    # es > bound means the estimate early-exited at the
+                    # pruning bound (lz.py Estimate) — the TRUE cost may be
+                    # far larger, so flag it untrusted for the re-rank
+                    scored.append(
+                        (es, self.v_segments[gid].no_seqs, pair,
+                         es <= bound, gid, is_seg_rc)
+                    )
             if es and es < best_es:
                 best_es = es
                 best_pair = pair
@@ -2003,7 +2010,20 @@ class Compressor:
             and not os.environ.get("AGC_TPU_FB_EXACT_ARGMIN")  # A/B escape hatch
         ):
             window = 1.0 + float(os.environ.get("AGC_TPU_FB_TIE_WINDOW", "0.01"))
-            best_es, _, best_pair = rerank_near_ties(scored, window)
+            # a bound-truncated estimate just above best_es is
+            # indistinguishable from a genuine near-tie; re-estimate those
+            # few with a bound wide enough to certify window membership
+            limit = int(best_es * window) + 1
+            certified = []
+            for es, members, pair, trusted, gid, is_seg_rc in scored:
+                if not trusted and es <= limit:
+                    es = self.v_segments[gid].estimate(
+                        seg_rc_b if is_seg_rc else seg_b, limit
+                    )
+                    if not es:
+                        continue
+                certified.append((es, members, pair))
+            best_es, _, best_pair = rerank_near_ties(certified, window)
         if self.p.adaptive_compression:
             if short_segments:
                 if best_es >= len(segment) * 0.9:

@@ -26,6 +26,7 @@ implemented as a batched device kernel in agc_tpu/ops/match.py.
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -55,11 +56,22 @@ def _murmur64_np(h):
 # ---------------------------------------------------------------------------
 
 
+# Hard ceiling on a single decoded segment. Legitimate segments are
+# bounded by contig length (largest known contigs are a few hundred Mb);
+# a corrupt N-run token can claim petabytes, and before this ceiling the
+# grow-and-retry loop would attempt the allocation (OOM instead of a
+# clean error). Raise via env for exotic inputs.
+_MAX_SEGMENT_BYTES = int(
+    os.environ.get("AGC_TPU_MAX_SEGMENT_BYTES", str(4 << 30))
+)
+_MAX_TOKEN_VALUE = 1 << 50  # digit-parse overflow guard (mirrors native)
+
+
 def _native_decode(fn, reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
     import ctypes
 
     cap = max(2 * len(reference), 4 * len(encoded), 1 << 16)
-    while True:
+    for _ in range(2):
         buf = (ctypes.c_uint8 * cap)()
         n = fn(
             bytes(reference),
@@ -74,7 +86,14 @@ def _native_decode(fn, reference: bytes, encoded: bytes, min_match_len: int) -> 
             return bytes(bytearray(buf)[:n])
         if n == -(1 << 63):  # INT64_MIN: token stream walks off the ref
             raise ValueError("Corrupted archive! (invalid segment delta)")
-        cap *= 4
+        # -(needed): the stream decodes to exactly -n bytes — allocate
+        # once, after the sanity ceiling
+        if -n > _MAX_SEGMENT_BYTES:
+            raise ValueError(
+                f"Corrupted archive! (segment delta claims {-n} bytes)"
+            )
+        cap = -n
+    raise ValueError("Corrupted archive! (invalid segment delta)")
 
 
 def decode_v2(reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
@@ -116,9 +135,13 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
             i += 1
             v = 0
             while enc[i] != N_CODE:
+                if not (0x30 <= enc[i] <= 0x39) or v > _MAX_TOKEN_VALUE:
+                    raise ValueError("Corrupted archive! (invalid segment delta)")
                 v = v * 10 + (enc[i] - 0x30)
                 i += 1
             i += 1  # skip stop marker
+            if v + MIN_NRUN_LEN + len(out) > _MAX_SEGMENT_BYTES:
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             out.extend(bytes([N_CODE]) * (v + MIN_NRUN_LEN))
         else:  # match
             neg = False
@@ -126,9 +149,15 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
                 neg = True
                 i += 1
             v = 0
-            while 0x30 <= enc[i] <= 0x39:
+            any_digit = False
+            while i < n and 0x30 <= enc[i] <= 0x39:
+                if v > _MAX_TOKEN_VALUE:
+                    raise ValueError("Corrupted archive! (invalid segment delta)")
                 v = v * 10 + (enc[i] - 0x30)
                 i += 1
+                any_digit = True
+            if not any_digit:  # stray byte outside the grammar
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             dif_pos = -v if neg else v
             ref_pos = pred_pos + dif_pos
             if ref_pos < 0 or ref_pos > len(ref):
@@ -177,9 +206,13 @@ def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
             i += 1
             v = 0
             while enc[i] != N_CODE:
+                if not (0x30 <= enc[i] <= 0x39) or v > _MAX_TOKEN_VALUE:
+                    raise ValueError("Corrupted archive! (invalid segment delta)")
                 v = v * 10 + (enc[i] - 0x30)
                 i += 1
             i += 1
+            if v + MIN_NRUN_LEN + len(out) > _MAX_SEGMENT_BYTES:
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             out.extend(bytes([N_CODE]) * (v + MIN_NRUN_LEN))
         else:
             neg = False
@@ -187,9 +220,15 @@ def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
                 neg = True
                 i += 1
             v = 0
-            while 0x30 <= enc[i] <= 0x39:
+            any_digit = False
+            while i < n and 0x30 <= enc[i] <= 0x39:
+                if v > _MAX_TOKEN_VALUE:
+                    raise ValueError("Corrupted archive! (invalid segment delta)")
                 v = v * 10 + (enc[i] - 0x30)
                 i += 1
+                any_digit = True
+            if not any_digit:  # stray byte outside the grammar
+                raise ValueError("Corrupted archive! (invalid segment delta)")
             dif_pos = -v if neg else v
             ref_pos = pred_pos + dif_pos
             if ref_pos < 0 or ref_pos > len(ref):

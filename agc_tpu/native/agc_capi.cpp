@@ -941,8 +941,13 @@ class AgcFile {
       n = lz_decode_v2(g.ref.data(), g.ref.size(), pd.data() + off, len,
                        min_match_len_, out.data(), out.size());
     if (n < 0) {
-      // retry with a larger buffer (very long N runs can exceed the guess)
-      out.resize(out.size() * 8 + (1 << 20));
+      // -(needed): retry once with the exact size (very long N runs can
+      // exceed the guess); INT64_MIN = corrupt, and a needed size past
+      // the sanity ceiling is treated as corruption rather than an
+      // attempted multi-GB allocation
+      constexpr int64_t kMaxSegmentBytes = 4LL << 30;
+      if (n == INT64_MIN || -n > kMaxSegmentBytes) return false;
+      out.resize((size_t)(-n));
       if (archive_version_ < 2000)
         n = lz_decode_v1(g.ref.data(), g.ref.size(), pd.data() + off, len,
                          min_match_len_, out.data(), out.size());

@@ -515,13 +515,17 @@ void lz_cost_vector(void* vctx, const uint8_t* text, uint64_t text_len,
   for (; i < text_len; ++i) out[n_out++] = 1;
 }
 
-// Decode a V2 token stream. Returns output length or -(needed) if cap too small.
-// Returns the decoded length, -1 when cap is too small (grow and retry),
-// or kLzCorrupt for a token stream that walks outside the reference —
+// Decode a V2 token stream. Returns the decoded length when it fits in
+// cap; when cap is too small the walk continues WITHOUT writing and the
+// total required size is returned negated (-(needed)), so the caller can
+// allocate exactly once and apply a sanity ceiling before doing so (a
+// corrupt N-run can claim petabytes). kLzCorrupt (INT64_MIN) flags a
+// token stream that walks outside the reference or the grammar —
 // possible only for corrupted archives, so decode stays robust against
 // hostile inputs (the reference tool segfaults here).
 constexpr int64_t kLzCorrupt = INT64_MIN;
 constexpr uint64_t kMaxTokenValue = 1ULL << 50;  // digit-parse overflow guard
+constexpr uint64_t kAbsurdOut = 1ULL << 62;      // total-size overflow guard
 
 int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
                      uint64_t enc_len, uint32_t mml, uint8_t* out,
@@ -532,14 +536,14 @@ int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
   while (i < enc_len) {
     uint8_t c = enc[i];
     if (c >= 'A' && c <= 'A' + 20) {
-      if (n_out >= cap) return -1;
-      out[n_out++] = c - 'A';
+      if (n_out < cap) out[n_out] = c - 'A';
+      ++n_out;
       ++pred_pos;
       ++i;
     } else if (c == '!') {
       if (pred_pos >= ref_len) return kLzCorrupt;
-      if (n_out >= cap) return -1;
-      out[n_out++] = ref[pred_pos];
+      if (n_out < cap) out[n_out] = ref[pred_pos];
+      ++n_out;
       ++pred_pos;
       ++i;
     } else if (c == kNRunStarter) {
@@ -552,9 +556,10 @@ int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
       }
       ++i;  // stop marker
       uint64_t len = v + kMinNRunLen;
-      if (len > cap - n_out) return -1;
-      std::memset(out + n_out, kNCode, len);
+      if (n_out < cap)
+        std::memset(out + n_out, kNCode, std::min(len, cap - n_out));
       n_out += len;
+      if (n_out > kAbsurdOut) return kLzCorrupt;
     } else {
       bool neg = false;
       if (c == '-') {
@@ -588,16 +593,19 @@ int64_t lz_decode_v2(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
       }
       ++i;  // '.'
       if (len > ref_len - ref_pos) return kLzCorrupt;
-      if (len > cap - n_out) return -1;
-      std::memcpy(out + n_out, ref + ref_pos, len);
+      if (n_out < cap)
+        std::memcpy(out + n_out, ref + ref_pos, std::min(len, cap - n_out));
       n_out += len;
+      if (n_out > kAbsurdOut) return kLzCorrupt;
       pred_pos = ref_pos + len;
     }
   }
+  if (n_out > cap) return -static_cast<int64_t>(n_out);
   return static_cast<int64_t>(n_out);
 }
 
 // Decode a V1 token stream (length always follows ',' unless '.' directly).
+// Same return contract as lz_decode_v2.
 int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
                      uint64_t enc_len, uint32_t mml, uint8_t* out,
                      uint64_t cap) {
@@ -607,8 +615,9 @@ int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
   while (i < enc_len) {
     uint8_t c = enc[i];
     if ((c >= 'A' && c <= 'A' + 20) || c == '!') {
-      if (n_out >= cap) return -1;
-      out[n_out++] = (c == '!') ? static_cast<uint8_t>('!' - 'A') : c - 'A';
+      if (n_out < cap)
+        out[n_out] = (c == '!') ? static_cast<uint8_t>('!' - 'A') : c - 'A';
+      ++n_out;
       ++pred_pos;
       ++i;
     } else if (c == kNRunStarter) {
@@ -621,9 +630,10 @@ int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
       }
       ++i;
       uint64_t len = v + kMinNRunLen;
-      if (len > cap - n_out) return -1;
-      std::memset(out + n_out, kNCode, len);
+      if (n_out < cap)
+        std::memset(out + n_out, kNCode, std::min(len, cap - n_out));
       n_out += len;
+      if (n_out > kAbsurdOut) return kLzCorrupt;
     } else {
       bool neg = false;
       if (c == '-') {
@@ -657,12 +667,14 @@ int64_t lz_decode_v1(const uint8_t* ref, uint64_t ref_len, const uint8_t* enc,
       }
       ++i;  // '.'
       if (len > ref_len - ref_pos) return kLzCorrupt;
-      if (len > cap - n_out) return -1;
-      std::memcpy(out + n_out, ref + ref_pos, len);
+      if (n_out < cap)
+        std::memcpy(out + n_out, ref + ref_pos, std::min(len, cap - n_out));
       n_out += len;
+      if (n_out > kAbsurdOut) return kLzCorrupt;
       pred_pos = ref_pos + len;
     }
   }
+  if (n_out > cap) return -static_cast<int64_t>(n_out);
   return static_cast<int64_t>(n_out);
 }
 
@@ -951,7 +963,9 @@ int64_t rans_compress(const uint8_t* data, int64_t n, uint8_t* out,
         for (int64_t t = cnt - 1; t >= cnt_min; --t)
           enc_one(*xs[u], streams[(size_t)lane], data[lane + t * L]);
       }
-      const uint8_t* row = data + (cnt_min - 1) * L + j;
+      // cnt_min == 0 (part shorter than one full lane-group row) must not
+      // even form the out-of-bounds row pointer (UB before the loop guard)
+      const uint8_t* row = cnt_min > 0 ? data + (cnt_min - 1) * L + j : nullptr;
       for (int64_t t = cnt_min - 1; t >= 0; --t, row -= L) {
         const uint8_t c0 = row[0], c1 = row[1], c2 = row[2], c3 = row[3];
         const uint32_t m0 = xmax_base * F[c0], m1 = xmax_base * F[c1];

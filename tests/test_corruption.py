@@ -37,7 +37,9 @@ def archive_bytes(tmp_path_factory):
 
 @pytest.mark.parametrize("mode", ["truncate", "bitflip", "zero_window"])
 def test_corruptions_raise_cleanly(archive_bytes, tmp_path, mode):
-    rng = random.Random(hash(mode) & 0xFFFF)
+    # fixed literal seeds: hash(str) is randomized per interpreter
+    # (PYTHONHASHSEED), which would make failing trials unreproducible
+    rng = random.Random({"truncate": 101, "bitflip": 202, "zero_window": 303}[mode])
     bad_path = str(tmp_path / "bad.agc")
     for _ in range(60):
         b = bytearray(archive_bytes)
@@ -85,6 +87,50 @@ def test_corrupt_delta_token_streams():
     # as a plain literal, so it cannot run off the reference)
     with pytest.raises((ValueError, IndexError)):
         decode_v2(ref, b"!" * 5000, 20)
+
+
+def test_petabyte_nrun_claim_rejected_without_allocation():
+    """An N-run claiming ~1e15 bytes passes the digit-overflow guard but
+    must be rejected by the output-size ceiling — NOT attempted as an
+    allocation (previously the grow-and-retry loop quadrupled toward it)."""
+    from agc_tpu.core.lz import (
+        _decode_v1_py,
+        _decode_v2_py,
+        decode_v1,
+        decode_v2,
+    )
+
+    ref = bytes(range(4)) * 100
+    hostile = b"\x1e" + b"9" * 15 + b"\x04"  # v = 1e15 - 1 < 2^50
+    for dec in (decode_v2, decode_v1, _decode_v2_py, _decode_v1_py):
+        with pytest.raises(ValueError):
+            dec(ref, hostile, 20)
+
+
+def test_python_fallback_rejects_grammar_strays():
+    """The pure-Python decoders must reject stray bytes like the native
+    ones do (previously b'\\x00.' decoded to silent garbage)."""
+    from agc_tpu.core.lz import _decode_v1_py, _decode_v2_py
+
+    ref = bytes(range(4)) * 100
+    for enc in (b"\x00.", b"\x00\x01\x02", b"-,5."):
+        for dec in (_decode_v2_py, _decode_v1_py):
+            with pytest.raises((ValueError, IndexError)):
+                dec(ref, enc, 20)
+
+
+def test_legitimate_large_nrun_regrows_exactly():
+    """A genuine multi-megabyte N-run exceeds the initial native decode
+    buffer; the -(needed) contract must regrow once and round-trip."""
+    from agc_tpu.core.lz import LZDiff, decode_v2
+
+    n_run = 6 * (1 << 20)
+    seq = bytes([0, 1, 2, 3] * 300) + bytes([4]) * n_run + bytes([3, 2, 1, 0] * 300)
+    ref = bytes([0, 1, 2, 3] * 300) + bytes([3, 2, 1, 0] * 300)
+    lz = LZDiff(min_match_len=20)
+    lz.prepare(ref)
+    enc = lz.encode(seq)
+    assert decode_v2(ref, enc, 20) == seq
 
 
 def test_corrupt_params_stream_rejected(archive_bytes, tmp_path):

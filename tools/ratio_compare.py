@@ -177,9 +177,10 @@ def run_one(name: str, gen) -> None:
     tmp = tempfile.mkdtemp(prefix=f"ratio_{name}_")
     files, extra = gen(tmp)
     total_bases = sum(
-        len(seq)
+        len(line)
         for f in files
-        for seq in [open(f, "rb").read().split(b"\n", 1)[1].replace(b"\n", b"")]
+        for line in open(f, "rb").read().split(b"\n")
+        if not line.startswith(b">")
     )
 
     ref_out = os.path.join(tmp, "ref_tool.agc")

@@ -37,7 +37,23 @@ _RC_MAP[0:4] = [3, 2, 1, 0]
 
 
 def reverse_complement(ctg: np.ndarray) -> np.ndarray:
-    """reference: agc_basic.cpp:257-279 (codes >= 4 left as-is)."""
+    """reference: agc_basic.cpp:257-279 (codes >= 4 left as-is).
+
+    Single native pass when the fast library is available (rc_numeric,
+    GIL-free) — this is the hottest op of the getcol path after LZ decode
+    since roughly half of all stored segments are reverse-oriented."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and ctg.flags.c_contiguous and ctg.dtype == np.uint8:
+        import ctypes
+
+        out = np.empty(len(ctg), dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.rc_numeric(
+            ctg.ctypes.data_as(u8p), len(ctg), out.ctypes.data_as(u8p)
+        )
+        return out
     return _RC_MAP[ctg[::-1]]
 
 

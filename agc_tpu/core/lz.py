@@ -67,23 +67,26 @@ _MAX_SEGMENT_BYTES = int(
 _MAX_TOKEN_VALUE = 1 << 50  # digit-parse overflow guard (mirrors native)
 
 
-def _native_decode(fn, reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
-    import ctypes
+_U8P = ctypes.POINTER(ctypes.c_uint8)
 
+
+def _native_decode(fn, reference: bytes, encoded: bytes, min_match_len: int) -> bytes:
     cap = max(2 * len(reference), 4 * len(encoded), 1 << 16)
     for _ in range(2):
-        buf = (ctypes.c_uint8 * cap)()
+        # np.empty: unlike a ctypes array the buffer is NOT zero-filled
+        # (decode overwrites it), and the result is one slice-copy out
+        buf = np.empty(cap, dtype=np.uint8)
         n = fn(
-            bytes(reference),
+            reference,
             len(reference),
-            bytes(encoded),
+            encoded,
             len(encoded),
             min_match_len,
-            buf,
+            buf.ctypes.data_as(_U8P),
             cap,
         )
         if n >= 0:
-            return bytes(bytearray(buf)[:n])
+            return buf[:n].tobytes()
         if n == -(1 << 63):  # INT64_MIN: token stream walks off the ref
             raise ValueError("Corrupted archive! (invalid segment delta)")
         # -(needed): the stream decodes to exactly -n bytes — allocate

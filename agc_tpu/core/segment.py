@@ -94,6 +94,19 @@ def tuples2bytes(data: bytes) -> bytes:
     if nb == 1:
         return data[:-1]
     mult = _TUPLE_PARAMS[nb]
+    if len(data) < 2:
+        raise ValueError("Corrupted archive! (truncated tuples part)")
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty((len(data) - 2) * nb + trailing, dtype=np.uint8)
+        m = lib.tuples_to_bytes(
+            data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        return out[:m].tobytes()
     output_size = (len(data) - 2) * nb + trailing
     tuples = np.frombuffer(data, dtype=np.uint8)
     main = tuples[: len(data) - 2].astype(np.uint32)

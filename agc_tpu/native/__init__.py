@@ -157,6 +157,8 @@ def get_lib():
         lib.fasta_preprocess.argtypes = [u8p, ctypes.c_uint64, u8p, u8p]
         lib.pack_nibbles.restype = None
         lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
+        lib.tuples_to_bytes.restype = ctypes.c_uint64
+        lib.tuples_to_bytes.argtypes = [ctypes.c_char_p, ctypes.c_uint64, u8p]
         lib.rc_numeric.restype = None
         lib.rc_numeric.argtypes = [u8p, ctypes.c_uint64, u8p]
         lib.lz_split_point.restype = ctypes.c_int64

@@ -782,6 +782,52 @@ void rc_numeric(const uint8_t* in, uint64_t n, uint8_t* out) {
   for (uint64_t i = 0; i < n; ++i) out[i] = lut[in[n - 1 - i]];
 }
 
+// Unpack the segment-reference "tuples" repack (segment.py bytes2tuples;
+// reference: CSegment::tuples2bytes, segment.h:73-169): each stored byte
+// holds nb base-mult symbols most-significant-first; the byte before the
+// trailing marker carries the `trailing` leftover symbols; marker =
+// (nb << 4) | trailing. Returns the output length. One 256 x nb LUT pass,
+// GIL-free under ctypes.
+uint64_t tuples_to_bytes(const uint8_t* data, uint64_t n, uint8_t* out) {
+  const uint8_t marker = data[n - 1];
+  const int nb = marker >> 4;
+  const int trailing = marker & 0xF;
+  if (nb == 1) {
+    std::memcpy(out, data, n - 1);
+    return n - 1;
+  }
+  const int mult = nb == 4 ? 4 : (nb == 3 ? 6 : 16);
+  const uint64_t main_n = n - 2;
+  uint8_t lut[256][4];
+  for (int v = 0; v < 256; ++v) {
+    int c = v;
+    for (int k = nb - 1; k >= 0; --k) {
+      lut[v][k] = (uint8_t)(c % mult);
+      c /= mult;
+    }
+  }
+  uint8_t* o = out;
+  if (nb == 4) {
+    for (uint64_t i = 0; i < main_n; ++i, o += 4)
+      std::memcpy(o, lut[data[i]], 4);
+  } else if (nb == 3) {
+    for (uint64_t i = 0; i < main_n; ++i, o += 3)
+      std::memcpy(o, lut[data[i]], 3);
+  } else {
+    for (uint64_t i = 0; i < main_n; ++i, o += 2)
+      std::memcpy(o, lut[data[i]], 2);
+  }
+  o = out + main_n * (uint64_t)nb;
+  if (trailing) {
+    int c = data[n - 2];
+    for (int k = trailing - 1; k >= 0; --k) {
+      o[k] = (uint8_t)(c % mult);
+      c /= mult;
+    }
+  }
+  return main_n * (uint64_t)nb + (uint64_t)trailing;
+}
+
 void pack_nibbles(const uint8_t* in, uint64_t n, uint8_t* out) {
   uint64_t i = 0, o = 0;
   for (; i + 2 <= n; i += 2, ++o) {

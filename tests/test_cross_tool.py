@@ -187,6 +187,17 @@ def test_listings_agree_on_our_archive(tmp_path):
     cli_main(["listctg", "-o", ours_ctg, archive, *samples])
     assert ref_ctg == open(ours_ctg).read()
 
+    # info: the reference binary prints the same params/reference/cmd-line
+    # block from our archive as our own CLI does (v3 collections persist
+    # no cmd lines in either tool)
+    env = dict(os.environ, ASAN_OPTIONS="detect_leaks=0")
+    ref_info = subprocess.run(
+        [REF_BIN, "info", archive], check=True, capture_output=True, env=env
+    )
+    ours_info = str(tmp_path / "ours_info.txt")
+    cli_main(["info", "-o", ours_info, archive])
+    assert (ref_info.stdout + ref_info.stderr).decode() == open(ours_info).read()
+
 
 def test_reference_range_queries_on_our_archive(tmp_path):
     """reference getctg ctg@sample:from-to on OUR archive == our reader

@@ -288,3 +288,78 @@ def test_cross_fuzz_randomized(tmp_path):
             flags += ["-f", str(fallback)]
         _ref("create", *flags, "-o", theirs, *[p for _, p in files])
         _our_extract_compare(theirs, files, tdir, tag + "_theirs")
+
+
+def test_gz_inputs_cross_extract(tmp_path):
+    """Gzipped FASTA inputs (the reference CI's gz legs): both tools
+    create from .fa.gz, each extracts the other's archive."""
+    import gzip
+
+    files = _make_inputs(tmp_path)
+    gz_files = []
+    for sample, path in files:
+        gzp = path + ".gz"
+        with open(path, "rb") as fin, gzip.open(gzp, "wb") as fout:
+            fout.write(fin.read())
+        gz_files.append((sample, gzp))
+    flags = ["-k", "17", "-s", "1000", "-l", "15", "-b", "10"]
+
+    ours = str(tmp_path / "ours.agc")
+    create_archive(
+        ours,
+        [p for _, p in gz_files],
+        CompressorParams(kmer_length=17, segment_size=1000, min_match_len=15,
+                         pack_cardinality=10),
+    )
+    _ref_extract_compare(ours, files, tmp_path, "gz_ours")
+
+    theirs = str(tmp_path / "theirs.agc")
+    _ref("create", *flags, "-o", theirs, *[p for _, p in gz_files])
+    _our_extract_compare(theirs, files, tmp_path, "gz_theirs")
+
+
+def test_concatenated_mode_cross_extract(tmp_path):
+    """-c (each contig of a concatenated file is its own sample), with
+    the documented form: reference in a separate file."""
+    rng = random.Random(17)
+    base = random_seq(rng, 6000)
+    ref_path = str(tmp_path / "ref.fa")
+    write_fa(ref_path, [("ref", base)], line=80)
+    cat_path = str(tmp_path / "cat.fa")
+    genomes = [(f"g{i}", mutate(rng, base, 40, 6)) for i in range(4)]
+    write_fa(cat_path, genomes, line=80)
+    flags = ["-c", "-k", "17", "-s", "1000", "-l", "15", "-b", "3"]
+    # in -c mode every contig (incl. the separate reference file's) is a
+    # sample named by the contig
+    expected = [("ref", None)] + [(n, None) for n, _ in genomes]
+    seqs = {"ref": base, **dict(genomes)}
+
+    def check_with_ref_binary(archive, tag):
+        out = tmp_path / f"refout_{tag}"
+        out.mkdir()
+        _ref("getcol", "-o", str(out), archive)
+        for name, _ in expected:
+            body = open(os.path.join(str(out), f"{name}.fa")).read()
+            got = "".join(body.split("\n")[1:])
+            assert got == seqs[name], (tag, name)
+
+    def check_with_ours(archive, tag):
+        d = Decompressor(archive)
+        assert sorted(d.list_samples()) == sorted(n for n, _ in expected)
+        for name, _ in expected:
+            assert d.get_contig_seq(name, name).decode() == seqs[name], (tag, name)
+        d.close()
+
+    ours = str(tmp_path / "ours.agc")
+    create_archive(
+        ours, [ref_path, cat_path],
+        CompressorParams(kmer_length=17, segment_size=1000, min_match_len=15,
+                         pack_cardinality=3, concatenated_genomes=True),
+    )
+    check_with_ref_binary(ours, "c_ours")
+    check_with_ours(ours, "c_ours")
+
+    theirs = str(tmp_path / "theirs.agc")
+    _ref("create", *flags, "-o", theirs, ref_path, cat_path)
+    check_with_ref_binary(theirs, "c_theirs")
+    check_with_ours(theirs, "c_theirs")

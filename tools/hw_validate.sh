@@ -42,3 +42,23 @@ echo "== bench (zstd profile)"
 (cd /root/repo && timeout 3000 python bench.py)
 echo "== bench (tpu-rans profile)"
 (cd /root/repo && AGC_TPU_BENCH_PROFILE=tpu-rans timeout 3000 python bench.py)
+
+echo "== getcol extraction rate (host path; JAX untouched after open)"
+python - <<'PYEOF'
+import os, time, sys
+sys.path.insert(0, "/root/repo")
+from agc_tpu.core.decompressor import Decompressor
+d = Decompressor("test.agc")
+samples = d.list_samples()
+os.makedirs("out", exist_ok=True)
+for s in samples:  # warm
+    d.get_sample_file(f"out/{s}.fa", [s], line_length=80)
+total = sum(os.path.getsize(f"out/{s}.fa") for s in samples)
+best = min(
+    (lambda t0: [d.get_sample_file(f"out/{s}.fa", [s], line_length=80)
+                 for s in samples] and time.time() - t0)(time.time())
+    for _ in range(3)
+)
+print(f"getcol: {total/best/1e6:.0f} MB/s ({total} B in {best:.3f}s)")
+d.close()
+PYEOF

@@ -258,3 +258,46 @@ def test_cli_smoke(toy_dir, tmp_path, capsys):
         lines = f.read().splitlines()
     assert lines[0] == ">chr1:4-10"
     assert len(lines[1]) == 7
+
+
+def test_empty_contig_record_does_not_lose_following_contigs(tmp_path):
+    """A zero-length FASTA record (">name" with no sequence) must not
+    swallow the records after it. The empty record itself is dropped
+    (it has no bases to store), but c2 survives — the reference binary
+    silently LOSES every contig after the empty record here (its raw
+    contig reader treats the next header as part of the empty record;
+    genome_io.cpp:208-252), so this pins the stronger behavior."""
+    ref = str(tmp_path / "ref.fa")
+    with open(ref, "w") as f:
+        f.write(">c1\nACGTACGTAAACCCGGGTTTACGTACGTACGT\n>empty\n>c2\nTTTTGGGGCCCCAAAA\n")
+    archive = str(tmp_path / "e.agc")
+    create_archive(archive, [ref], SMALL)
+    from agc_tpu.core.decompressor import Decompressor
+
+    d = Decompressor(archive)
+    assert d.list_contigs("ref") == ["c1", "c2"]
+    assert d.get_contig_seq("ref", "c2") == b"TTTTGGGGCCCCAAAA"
+    d.close()
+
+
+def test_empty_fasta_file_skipped_with_remaining_samples_kept(tmp_path):
+    """An empty input file is excluded (reference: warning + skip,
+    agc_compressor.cpp:2165-2168) whether it is the reference slot or a
+    later sample; the rest of the collection is stored normally."""
+    empty = str(tmp_path / "empty.fa")
+    open(empty, "w").close()
+    s1 = str(tmp_path / "s1.fa")
+    write_fa(s1, [("c1", "ACGTACGTAAACCCGGGTTTACGTACGTACGT")])
+    from agc_tpu.core.decompressor import Decompressor
+
+    a1 = str(tmp_path / "a1.agc")
+    create_archive(a1, [empty, s1], SMALL)
+    d = Decompressor(a1)
+    assert d.list_samples() == ["s1"]
+    d.close()
+
+    a2 = str(tmp_path / "a2.agc")
+    create_archive(a2, [s1, empty], SMALL)
+    d = Decompressor(a2)
+    assert d.list_samples() == ["s1"]
+    d.close()

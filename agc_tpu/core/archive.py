@@ -32,7 +32,6 @@ class _Stream:
     name: str
     parts: list = field(default_factory=list)  # list[(offset, size)]
     raw_size: int = 0
-    cur_id: int = 0  # sequential read cursor
     packed_size: int = 0
     packed_data_size: int = 0
 
@@ -109,22 +108,17 @@ class ArchiveReader:
             return 0
         return len(self._streams[sid].parts)
 
-    def get_part(self, name: str, part_id: int | None = None) -> tuple[bytes, int] | None:
+    def get_part(self, name: str, part_id: int) -> tuple[bytes, int] | None:
         """Return (data, metadata) for the given part, or None.
 
-        With ``part_id=None`` reads sequentially using the per-stream cursor
-        (reference: archive.cpp:378-403).
-        """
+        Random-access only (the reference's sequential-cursor mode,
+        archive.cpp:378-403, had no callers here and its unlocked cursor
+        would race under the threaded decode pools)."""
         sid = self._by_name.get(name)
         if sid is None:
             return None
         s = self._streams[sid]
-        if part_id is None:
-            part_id = s.cur_id
-            if part_id >= len(s.parts):
-                return None
-            s.cur_id += 1
-        elif part_id >= len(s.parts):
+        if part_id >= len(s.parts):
             return None
         off, size = s.parts[part_id]
         if size == 0:

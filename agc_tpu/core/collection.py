@@ -494,8 +494,13 @@ class CollectionV3:
         self.samples: list[_Sample] = []
         self.sample_ids: dict[str, int] = {}
         self._prev_sample_name: str | None = None
+        self._cur_contig_names: set[str] = set()  # short names, current sample
         self._reader = None  # ArchiveReader for lazy loads
         self._loaded_batch: int | None = None
+        # getcol/getset worker threads hit _ensure_sample concurrently for
+        # samples of the same batch; zstd releases the GIL mid-load, so an
+        # unguarded double-load would interleave contig-list appends
+        self._load_lock = __import__("threading").RLock()
 
     # ------------------------------------------------------------------
     # registration / placement (compression side)
@@ -505,7 +510,15 @@ class CollectionV3:
         self._prev_sample_name = None
 
     def register_sample_contig(self, sample_name: str, contig_name: str) -> bool:
-        """reference: collection_v3.cpp:706-732."""
+        """reference: collection_v3.cpp:706-732. Unlike the reference we
+        also reject a DUPLICATE FULL CONTIG NAME within one sample: the
+        reference accepts it and then silently corrupts both copies at
+        extraction (placements funnel to one index), so refusing the
+        second copy (caller prints the 'already in the archive' error and
+        skips it) is the strictly safer behavior. Contigs that share only
+        the short (first-word) name stay accepted, as in the reference —
+        placement and batch extraction key on the full name; only
+        short-name queries are ambiguous (first match wins, both tools)."""
         stored = sample_name if sample_name else extract_contig_name(contig_name)
         if stored != self._prev_sample_name:
             if stored in self.sample_ids:
@@ -513,6 +526,10 @@ class CollectionV3:
             self.sample_ids[stored] = len(self.samples)
             self.samples.append(_Sample(name=stored, contigs_loaded=True, details_loaded=True))
             self._prev_sample_name = stored
+            self._cur_contig_names = set()
+        if contig_name in self._cur_contig_names:
+            return False
+        self._cur_contig_names.add(contig_name)
         self.samples[-1].contigs.append(_Contig(name=contig_name))
         return True
 
@@ -561,9 +578,33 @@ class CollectionV3:
                 raw = ctg.name.encode("utf-8")
                 curr_split = _split_tokens(raw)
                 if len(curr_split) != len(prev_split):
-                    out.extend(raw + b"\x00")
+                    emitted = raw
                 else:
-                    out.extend(_encode_split(prev_split, curr_split) + b"\x00")
+                    emitted = _encode_split(prev_split, curr_split)
+                if any(b >= 0x80 for b in emitted):
+                    # the format (ours AND the reference's,
+                    # collection_v3.cpp:423-468) interprets bytes >= 0x80
+                    # as copy/same markers whenever the stored token count
+                    # matches the previous name's — a name emitting such
+                    # bytes can round-trip only if the decode happens to
+                    # reproduce it. Verify; refuse rather than corrupt
+                    # (the reference silently mis-decodes here).
+                    try:
+                        sim = _split_tokens(emitted)
+                        if len(sim) != len(prev_split):
+                            decoded = emitted
+                        else:
+                            decoded, _ = _decode_split(prev_split, sim)
+                    except Exception:
+                        decoded = None
+                    if decoded != raw:
+                        raise ValueError(
+                            f"contig name {ctg.name!r} cannot be stored "
+                            "losslessly in the AGC collection format "
+                            "(non-ASCII byte where the name delta coder "
+                            "reads markers); rename the contig"
+                        )
+                out.extend(emitted + b"\x00")
                 prev_split = curr_split
         return bytes(out)
 
@@ -666,6 +707,10 @@ class CollectionV3:
 
     def _load_batch_contig_names(self, batch_id: int) -> None:
         part = self._reader.get_part("collection-contigs", batch_id)
+        if part is None:
+            raise ValueError(
+                f"Corrupted archive! (missing collection-contigs batch {batch_id})"
+            )
         data = _zstd_d(part[0], part[1])
         pos = 0
         n_samples, pos = dec_prefix_varint(data, pos)
@@ -689,6 +734,10 @@ class CollectionV3:
 
     def _load_batch_contig_details(self, batch_id: int) -> None:
         part = self._reader.get_part("collection-details", batch_id)
+        if part is None:
+            raise ValueError(
+                f"Corrupted archive! (missing collection-details batch {batch_id})"
+            )
         stream = part[0]
         pos = 0
         sizes = []
@@ -765,11 +814,14 @@ class CollectionV3:
         if self._reader is None:
             return
         s = self.samples[sid]
-        batch_id = sid // self.batch_size
-        if not s.contigs_loaded:
-            self._load_batch_contig_names(batch_id)
-        if details and not s.details_loaded:
-            self._load_batch_contig_details(batch_id)
+        if s.contigs_loaded and (not details or s.details_loaded):
+            return  # fast path without the lock: flags flip only inside it
+        with self._load_lock:
+            batch_id = sid // self.batch_size
+            if not s.contigs_loaded:
+                self._load_batch_contig_names(batch_id)
+            if details and not s.details_loaded:
+                self._load_batch_contig_details(batch_id)
 
     # ------------------------------------------------------------------
     # queries (reference: collection_v3.cpp:808-994)

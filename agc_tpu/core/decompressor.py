@@ -21,7 +21,6 @@ from .genome_io import (
     FastaWriter,
     contig_to_ascii,
     contig_to_fasta_body,
-    wrap_lines,
 )
 from .segment import SegmentReader, zstd_decompress_tolerant
 
@@ -380,6 +379,8 @@ class Decompressor:
         if desc is None:
             return -1
         _, segments = desc
+        if not segments:
+            return 0
         total = sum(s.raw_length for s in segments)
         return total - (len(segments) - 1) * self.kmer_length
 
@@ -417,15 +418,33 @@ class Decompressor:
                 self._emit_contig(writer, name, segments, line_length)
             return
         with ThreadPoolExecutor(max_workers=no_threads) as pool:
-            futures = [
-                (
+            # sliding submission window: rendered bodies are held only
+            # ~2x no_threads deep, so a slow sink (stdout pipe, gzip)
+            # cannot accumulate the whole genome's ASCII in memory (the
+            # reference bounds the same way with a fixed-size queue)
+            from collections import deque
+
+            window = max(2, 2 * no_threads)
+            pending = deque()
+            it = iter(tasks)
+            for name, segments in it:
+                pending.append((
                     name,
                     pool.submit(self._render_contig, segments, line_length, writer),
-                )
-                for name, segments in tasks
-            ]
-            for name, fut in futures:
+                ))
+                if len(pending) >= window:
+                    break
+            while pending:
+                name, fut = pending.popleft()
                 writer.save_contig_directly(name, fut.result())
+                for name2, segments2 in it:
+                    pending.append((
+                        name2,
+                        pool.submit(
+                            self._render_contig, segments2, line_length, writer
+                        ),
+                    ))
+                    break
 
     def get_collection_files(
         self,
@@ -445,6 +464,13 @@ class Decompressor:
             samples = samples[1:]
 
         def emit_sample(s: str) -> None:
+            # sample names come from the archive and are arbitrary bytes:
+            # refuse separators / parent refs so a hostile archive cannot
+            # write outside out_dir (reference interpolates unchecked)
+            if "/" in s or "\\" in s or s in ("", ".", ".."):
+                raise ValueError(
+                    f"Corrupted archive! (unsafe sample name {s!r})"
+                )
             suffix = ".fa.gz" if gzip_level else ".fa"
             path = f"{out_dir.rstrip('/')}/{s}{suffix}"
             writer = FastaWriter(path, gzip_level)
@@ -534,21 +560,28 @@ class Decompressor:
         logical_pos = 0  # position of next emitted base in contig coordinates
         first = True
         for seg in segments:
+            start = logical_pos
+            if start > to:
+                break  # everything from here is past the range
+            # segments before the range skip via raw_length without
+            # decoding (same as the batch path, decompress_contig)
+            piece_len = seg.raw_length if first else seg.raw_length - k
+            if start + piece_len <= from_:
+                logical_pos = start + piece_len
+                first = False
+                continue
             raw = self.decompress_segment(seg.group_id, seg.in_group_id)
             ctg = np.frombuffer(raw, dtype=np.uint8)
             if seg.is_rev_comp:
                 ctg = reverse_complement(ctg)
             piece = ctg if first else ctg[k:]
             first = False
-            start = logical_pos
-            end = logical_pos + len(piece)
+            end = start + len(piece)
             logical_pos = end
             lo = max(start, from_)
             hi = min(end, to + 1)
             if hi > lo:
                 sink.append(piece[lo - start : hi - start])
-            if start > to:
-                break
         sink.complete_contig()
 
     def get_streaming(

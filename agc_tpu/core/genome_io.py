@@ -151,7 +151,9 @@ def wrap_lines(seq_ascii: bytes, line_len: int) -> bytes:
     if not seq_ascii:
         return b""
     if line_len == 0:
-        return seq_ascii
+        # unwrapped body still ends with one newline (matches the native
+        # numeric_to_fasta and the streaming sink)
+        return seq_ascii + b"\n"
     arr = np.frombuffer(seq_ascii, dtype=np.uint8)
     n = len(arr)
     rows = n // line_len

@@ -703,7 +703,10 @@ uint64_t numeric_to_fasta(const uint8_t* codes, uint64_t n,
                           uint8_t* out) {
   uint64_t o = 0;
   if (line_len == 0) {
+    // unwrapped body still ends with ONE newline, like the streaming
+    // sink — otherwise the next header glues onto the sequence line
     for (uint64_t i = 0; i < n; ++i) out[o++] = cnv_num[codes[i] & 0x7F];
+    if (n) out[o++] = '\n';
     return o;
   }
   uint64_t i = 0;

@@ -72,10 +72,8 @@ def test_archive_roundtrip(tmp_path):
     assert r.get_part("alpha", 1) == (b"world" * 100, 500)
     assert r.get_part("beta", 0) == (b"", 0)
     assert r.get_part("gamma-with-long-name", 0) == (bytes(range(256)), (1 << 40) + 7)
-    # sequential cursor
-    assert r.get_part("alpha") == (b"hello", 5)
-    assert r.get_part("alpha") == (b"world" * 100, 500)
-    assert r.get_part("alpha") is None
+    # out-of-range part id
+    assert r.get_part("alpha", 2) is None
     r.close()
 
 

@@ -1,0 +1,192 @@
+"""Regressions for the round-1 code-review findings (collection /
+archive / decompressor)."""
+
+import random
+
+import pytest
+
+from agc_tpu.core.compressor import CompressorParams, create_archive
+from agc_tpu.core.decompressor import Decompressor
+
+from util import random_seq, write_fa
+
+SMALL = CompressorParams(
+    kmer_length=17, segment_size=1000, pack_cardinality=10, min_match_len=15
+)
+
+
+def _mk(tmp_path, contigs_by_sample):
+    files = []
+    for name, contigs in contigs_by_sample:
+        p = str(tmp_path / f"{name}.fa")
+        write_fa(p, contigs, line=80)
+        files.append(p)
+    return files
+
+
+def test_threaded_getcol_shares_one_batch_load(tmp_path):
+    """getcol -t N loads collection batches from worker threads; the
+    lazy loader must be locked (previously two threads could interleave
+    contig-list appends for samples of the same batch)."""
+    rng = random.Random(3)
+    base = random_seq(rng, 6000)
+    samples = [("ref", [("c1", base), ("c2", random_seq(rng, 3000))])]
+    for i in range(6):
+        samples.append((f"s{i}", [("c1", base), ("c2", random_seq(rng, 3000))]))
+    files = _mk(tmp_path, samples)
+    archive = str(tmp_path / "t.agc")
+    create_archive(archive, files, SMALL)
+
+    for trial in range(3):
+        out = tmp_path / f"o{trial}"
+        out.mkdir()
+        d = Decompressor(archive)
+        assert d.get_collection_files(str(out), no_threads=4)
+        d.close()
+        for name, contigs in samples:
+            body = open(out / f"{name}.fa").read()
+            headers = [l[1:] for l in body.split("\n") if l.startswith(">")]
+            assert headers == [c for c, _ in contigs], (trial, name)
+
+
+def test_hostile_sample_name_cannot_escape_out_dir(tmp_path):
+    """A doctored collection-samples stream with a path-traversal sample
+    name must fail cleanly, not write outside the output directory."""
+    files = _mk(tmp_path, [("ref", [("c1", random_seq(random.Random(5), 4000))])])
+    archive = str(tmp_path / "a.agc")
+    create_archive(archive, files, SMALL)
+
+    # rewrite the collection-samples part with a hostile name
+    from agc_tpu.core.archive import ArchiveReader, ArchiveWriter
+    from agc_tpu.core.codecs import enc_prefix_varint
+    from agc_tpu.core.segment import part_compress
+
+    r = ArchiveReader(archive, prefetch=True)
+    bad = str(tmp_path / "bad.agc")
+    w = ArchiveWriter(bad)
+    evil = b"../../evil"
+    for name in r.stream_names():
+        w.register_stream(name)
+        for i in range(r.n_parts(name)):
+            data, meta = r.get_part(name, i)
+            if name == "collection-samples":
+                raw = bytearray()
+                enc_prefix_varint(raw, 1)
+                raw.extend(evil + b"\x00")
+                data, meta = part_compress(bytes(raw), 19), len(raw)
+            w.add_part(name, data, meta)
+    w.close()
+    r.close()
+
+    out = tmp_path / "out"
+    out.mkdir()
+    d = Decompressor(bad)
+    with pytest.raises(ValueError, match="unsafe sample name"):
+        d.get_collection_files(str(out))
+    d.close()
+    assert not (tmp_path / "evil.fa").exists()
+    assert list(out.iterdir()) == []
+
+
+def test_non_ascii_contig_name_roundtrips_or_refuses(tmp_path):
+    """Names with bytes >= 0x80 collide with the v3 name-delta markers.
+    A lone such name (raw form, token count differs from prev) must
+    round-trip; a pair that the delta coder would mis-decode must be a
+    clean refusal at create time (the reference silently corrupts it)."""
+    rng = random.Random(11)
+    # safe: single non-ASCII name per sample
+    files = _mk(tmp_path, [("ref", [("chrα", random_seq(rng, 4000))])])
+    archive = str(tmp_path / "ok.agc")
+    create_archive(archive, files, SMALL)
+    d = Decompressor(archive)
+    assert d.list_contigs("ref") == ["chrα"]
+    assert len(d.get_contig_seq("ref", "chrα")) == 4000
+    d.close()
+
+    # unsafe: equal token count and byte length -> delta coder territory
+    files = _mk(
+        tmp_path,
+        [("r2", [("chrα", random_seq(rng, 3000)),
+                 ("chrβ", random_seq(rng, 3000))])],
+    )
+    with pytest.raises(ValueError, match="cannot be stored losslessly"):
+        create_archive(str(tmp_path / "bad2.agc"), files, SMALL)
+
+
+def test_duplicate_contig_name_skipped_not_corrupted(tmp_path, capsys):
+    """Two contigs with the same name in one sample: the second is
+    refused (error printed) and the FIRST extracts intact. The reference
+    tool accepts both and corrupts the extraction."""
+    a = random_seq(random.Random(7), 3000)
+    b = random_seq(random.Random(8), 3000)
+    p = str(tmp_path / "dup.fa")
+    write_fa(p, [("dup", a), ("dup", b)], line=80)
+    archive = str(tmp_path / "dup.agc")
+    create_archive(archive, [p], SMALL)
+    assert "already in the archive" in capsys.readouterr().out
+    d = Decompressor(archive)
+    assert d.list_contigs("dup") == ["dup"]
+    assert d.get_contig_seq("dup", "dup").decode() == a
+    d.close()
+
+
+def test_line_length_zero_batch_path_emits_valid_fasta(tmp_path):
+    """line_length=0 (unwrapped) must still newline-terminate each body
+    so headers do not glue onto sequence lines."""
+    rng = random.Random(9)
+    files = _mk(
+        tmp_path,
+        [("ref", [("c1", random_seq(rng, 2000)), ("c2", random_seq(rng, 1500))])],
+    )
+    archive = str(tmp_path / "z.agc")
+    create_archive(archive, files, SMALL)
+    d = Decompressor(archive)
+    out = str(tmp_path / "flat.fa")
+    d.get_sample_file(out, ["ref"], line_length=0)
+    d.close()
+    lines = open(out).read().splitlines()
+    # exactly: header, full body, header, full body
+    assert len(lines) == 4
+    assert lines[0] == ">c1" and lines[2] == ">c2"
+    assert len(lines[1]) == 2000 and len(lines[3]) == 1500
+
+
+def test_streaming_ranged_query_matches_batch_path(tmp_path):
+    """getctg -s with a narrow late range must equal the batch path's
+    result (and not decode pre-range segments; previously it also decoded
+    one segment past the range)."""
+    rng = random.Random(13)
+    seq = random_seq(rng, 30000)
+    files = _mk(tmp_path, [("ref", [("c1", seq)])])
+    archive = str(tmp_path / "r.agc")
+    create_archive(archive, files, SMALL)
+    d = Decompressor(archive)
+    got_batch = d.get_contig_seq("ref", "c1", 25000, 25099).decode()
+    out = str(tmp_path / "stream.fa")
+    d.get_streaming(out, contig_queries=["c1@ref:25000-25099"], line_length=80)
+    d.close()
+    body = "".join(
+        l for l in open(out).read().splitlines() if not l.startswith(">")
+    )
+    assert body == got_batch == seq[25000:25100]
+
+
+def test_shared_short_name_contigs_both_kept(tmp_path):
+    """Contigs sharing only the first word ("chr1 a" / "chr1 b") are both
+    stored and batch-extract intact (the reference keeps them too);
+    short-name queries resolve to the first, as in the reference."""
+    a = random_seq(random.Random(21), 2500)
+    b = random_seq(random.Random(22), 2500)
+    p = str(tmp_path / "sn.fa")
+    write_fa(p, [("chr1 assembly=A", a), ("chr1 assembly=B", b)], line=80)
+    archive = str(tmp_path / "sn.agc")
+    create_archive(archive, [p], SMALL)
+    d = Decompressor(archive)
+    assert d.list_contigs("sn") == ["chr1 assembly=A", "chr1 assembly=B"]
+    out = str(tmp_path / "sn_out.fa")
+    d.get_sample_file(out, ["sn"], line_length=80)
+    import filecmp
+
+    assert filecmp.cmp(out, p, shallow=False)
+    assert d.get_contig_seq("sn", "chr1").decode() == a  # first match wins
+    d.close()

@@ -750,7 +750,7 @@ class Compressor:
             print("Gathering reference k-mers", file=sys.stderr)
             print("Determination of splitters", file=sys.stderr)
         named = [
-            (cid, preprocess_raw_contig(raw))
+            (cid, preprocess_raw_contig(raw, cid))
             for cid, raw in read_contigs_raw(reference_file)
         ]
         self._ref_codes = named
@@ -1126,7 +1126,7 @@ class Compressor:
                             "is already in the archive!"
                         )
                         continue
-                    batch.append(("", cid, preprocess_raw_contig(raw)))
+                    batch.append(("", cid, preprocess_raw_contig(raw, cid)))
                     any_batch = True
                     n_in_batch += 1
                     if n_in_batch >= self.p.pack_cardinality:
@@ -1169,7 +1169,7 @@ class Compressor:
             try:
                 with self.timers.stage("parse_fasta"):
                     return [
-                        (cid, preprocess_raw_contig(raw))
+                        (cid, preprocess_raw_contig(raw, cid))
                         for cid, raw in read_contigs_raw(path)
                     ]
             except OSError:

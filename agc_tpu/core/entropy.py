@@ -320,7 +320,12 @@ def decompress(blob, expected_size: int | None = None) -> bytes:
             if expected_size is not None and expected_size and m != expected_size:
                 raise ValueError("rANS blob size mismatch")
             return out[:m].tobytes()
-    return decompress_np(blob, expected_size)
+    try:
+        return decompress_np(blob, expected_size)
+    except ValueError:
+        raise
+    except Exception as e:  # hostile blobs: truncated varints, bad freqs
+        raise ValueError("corrupt rANS blob") from e
 
 
 def _native():
@@ -335,6 +340,13 @@ def decompress_np(blob, expected_size: int | None = None) -> bytes:
     n, flags, freqs, lane_lens, states, pos = parse_header(blob)
     if n == 0:
         return b""
+    # same hostile-size policy as the native wrapper above: a size header
+    # disagreeing with part metadata, or an absurd size, is corruption —
+    # never an allocation attempt
+    if (expected_size is not None and expected_size and n != expected_size) or (
+        n > (64 << 30)
+    ):
+        raise ValueError("corrupt rANS blob")
     buf = memoryview(blob)
     if flags & _RAW_FLAG:
         return bytes(buf[pos : pos + n])

@@ -22,17 +22,12 @@ CNV_NUM = np.full(128, ord(" "), dtype=np.uint8)
 for _i, _c in enumerate("ACGTNRYSWKMBDHVU"):
     CNV_NUM[_i] = ord(_c)
 
-# ascii -> numeric for bytes >= 64; others are dropped by preprocessing
-CNV_ASCII = np.full(256, 255, dtype=np.uint8)  # 255 = drop
-_MAP = {
-    "A": 0, "C": 1, "G": 2, "T": 3, "N": 4, "R": 5, "Y": 6, "S": 7,
-    "W": 8, "K": 9, "M": 10, "B": 11, "D": 12, "H": 13, "V": 14, "U": 15,
-}
-for _ch in range(64, 128):
-    c = chr(_ch).upper()
-    CNV_ASCII[_ch] = _MAP.get(c, 30) if chr(_ch).isalpha() or c in _MAP else 30
-# '@', '[', ']' etc: reference maps any byte >= 64 through cnv_num, giving 30
-# for non-IUPAC letters and ' ' (32) for '@'/'`'; replicate exactly:
+# ascii -> numeric for bytes >= 64 (preprocessing drops bytes < 64 and
+# refuses any code > 15 — see preprocess_raw_contig). 255 marks bytes the
+# reference's table doesn't cover (>= 128): also refused.
+CNV_ASCII = np.full(256, 255, dtype=np.uint8)
+# reference cnv_num row for bytes 64..95 / 96..127 (agc_basic.h:40-50):
+# IUPAC letters map to 0..15, non-IUPAC letters to 30, '@'/'`' to 32
 _REF_ROW = [
     ord(" "), 0, 11, 1, 12, 30, 30, 2, 13, 30, 30, 9, 30, 10, 4, 30,
     30, 30, 5, 7, 3, 15, 14, 8, 30, 6, 30, 30, 30, 30, 30, 30,
@@ -73,6 +68,9 @@ def read_contigs_raw(path: str):
             continue
         cid = header[1:].decode("utf-8", "replace")
         body_start = line_end + 1
+        # ANY '>' ends the record, even mid-line — exact reference parity
+        # (CGenomeIO::find_contig_end scans for the bare character,
+        # genome_io.cpp:261-264), so malformed bodies split identically
         nxt = data.find(b">", body_start)
         body_end = nxt if nxt >= 0 else n
         pos = body_end
@@ -84,10 +82,17 @@ def read_contigs_raw(path: str):
             )
 
 
-def preprocess_raw_contig(raw) -> np.ndarray:
+def preprocess_raw_contig(raw, label: str = "") -> np.ndarray:
     """ASCII FASTA body (bytes or uint8 ndarray view) -> numeric codes;
     keeps only bytes >= 64 (reference: agc_compressor.cpp:907-951). Uses
-    the GIL-free C++ fast path when the native library is available."""
+    the GIL-free C++ fast path when the native library is available.
+
+    Rejects symbols outside the 16-letter IUPAC alphabet with a clean
+    error: the archive format cannot represent the reference's
+    catch-all code 30 in an LZ delta (literal tokens span codes 0..20,
+    lz_diff.h:193), so the reference tool writes such input silently and
+    then CRASHES extracting it (verified: heap overflow under ASan).
+    Refusing at create time is the only lossless behavior."""
     from ..native import get_lib
 
     arr = (
@@ -108,9 +113,20 @@ def preprocess_raw_contig(raw) -> np.ndarray:
             CNV_ASCII.ctypes.data_as(u8p),
             out.ctypes.data_as(u8p),
         )
-        return out[:m]
-    arr = arr[arr >= 64]
-    return CNV_ASCII[arr]
+        codes = out[:m]
+    else:
+        codes = CNV_ASCII[arr[arr >= 64]]
+    if len(codes) and int(codes.max()) > 15:
+        idx = int(np.argmax(codes > 15))
+        orig = int(arr[arr >= 64][idx])
+        where = f" in contig {label!r}" if label else ""
+        raise ValueError(
+            f"symbol {chr(orig)!r} at position {idx}{where} is outside "
+            "the IUPAC alphabet (ACGTNRYSWKMBDHVU/acgtn...); the AGC "
+            "format cannot store it losslessly (the reference tool "
+            "crashes extracting such archives) - clean the input"
+        )
+    return codes
 
 
 def contig_to_ascii(ctg: np.ndarray) -> bytes:

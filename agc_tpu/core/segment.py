@@ -88,14 +88,16 @@ def bytes2tuples(data: bytes) -> bytes:
 
 
 def tuples2bytes(data: bytes) -> bytes:
+    if not data:
+        raise ValueError("Corrupted archive! (empty tuples part)")
     marker = data[-1]
     nb = marker >> 4
     trailing = marker & 0xF
     if nb == 1:
         return data[:-1]
+    if nb not in _TUPLE_PARAMS or len(data) < 2 or trailing >= nb:
+        raise ValueError("Corrupted archive! (invalid tuples marker)")
     mult = _TUPLE_PARAMS[nb]
-    if len(data) < 2:
-        raise ValueError("Corrupted archive! (truncated tuples part)")
     from ..native import get_lib
 
     lib = get_lib()
@@ -307,7 +309,6 @@ class SegmentWriter:
         self.v_lzp: list[bytes] = []
         self.v_raw: list[bytes] = []
         self.ref_size = 0
-        self._ref_stored = False
         self._ref_preset = False
         # appending-mode rehydration state
         self._packed_ref: tuple[bytes, int] | None = None
@@ -377,6 +378,11 @@ class SegmentWriter:
         return self.no_seqs - 1
 
     def estimate(self, seq: bytes, bound: int) -> int:
+        # reference parity: a group still packed from appending_init has
+        # ref_size 0 and estimates as 0 WITHOUT unpacking (CSegment::
+        # estimate, segment.cpp:83-85) — the candidate searches see the
+        # same zero the reference's do; pinned by
+        # test_packed_group_costs_mirror_reference
         if self.ref_size == 0:
             return 0
         self._ensure_unpacked()
@@ -416,7 +422,6 @@ class SegmentWriter:
             data, meta = reader.get_part(ref_stream, 0)
             self.writer.add_part(ref_stream, data, meta)
             self._packed_ref = (data, meta)
-            self._ref_stored = True
             self.no_seqs = 1
         if have_delta:
             n = reader.n_parts(delta_stream)

@@ -190,3 +190,64 @@ def test_shared_short_name_contigs_both_kept(tmp_path):
     assert filecmp.cmp(out, p, shallow=False)
     assert d.get_contig_seq("sn", "chr1").decode() == a  # first match wins
     d.close()
+
+
+def test_non_iupac_symbol_refused_at_create(tmp_path):
+    """A non-IUPAC letter ('E') or high byte cannot be represented in an
+    LZ delta (literal grammar spans codes 0..20 and the catch-all code is
+    30): the reference tool writes such input silently and CRASHES
+    extracting it (verified heap overflow under ASan). We refuse at
+    create with a clean error naming the symbol and contig."""
+    rng = random.Random(41)
+    base = random_seq(rng, 4000)
+    bad = base[:2000] + "E" + base[2001:]
+    ref = str(tmp_path / "r.fa")
+    s1 = str(tmp_path / "s.fa")
+    write_fa(ref, [("c1", base)])
+    write_fa(s1, [("c1", bad)])
+    with pytest.raises(ValueError, match="IUPAC"):
+        create_archive(str(tmp_path / "x.agc"), [ref, s1], SMALL)
+
+
+def test_corrupt_tuples_marker_and_rans_blob_fail_cleanly():
+    """Hostile tuples parts and rANS blobs raise clean ValueErrors in
+    every implementation (the numpy spec decoder previously leaked
+    IndexError/OverflowError)."""
+    from agc_tpu.core.entropy import compress, decompress, decompress_np
+    from agc_tpu.core.segment import tuples2bytes
+
+    for data in (b"", b"\x00", b"\x50\x00", b"ab\x23"):
+        with pytest.raises(ValueError):
+            tuples2bytes(data)
+
+    blob = bytearray(compress(b"ACGT" * 500))
+    for hostile in (
+        bytes(blob[:3]),                      # truncated varint header
+        bytes(blob[:1]) + b"\x80" * 12,       # varint runs off the end
+        bytes(blob[:-5]),                     # truncated payload
+    ):
+        for dec in (decompress,):
+            with pytest.raises(ValueError):
+                dec(hostile)
+    # size header disagreeing with part metadata: both decoders refuse
+    with pytest.raises(ValueError):
+        decompress(bytes(blob), expected_size=9)
+    with pytest.raises(ValueError):
+        decompress_np(bytes(blob), expected_size=9)
+
+    # the numpy-fallback wrapper (native lib absent) must convert raw
+    # IndexError/OverflowError into the same clean ValueError
+    import agc_tpu.core.entropy as E
+
+    orig = E._native
+    E._native = lambda: None
+    try:
+        for hostile in (
+            bytes(blob[:3]),
+            bytes(blob[:1]) + b"\x80" * 12,
+            bytes(blob[:-5]),
+        ):
+            with pytest.raises(ValueError):
+                E.decompress(hostile)
+    finally:
+        E._native = orig

@@ -26,6 +26,8 @@ The produced archive uses the same on-disk format as the reference
 from __future__ import annotations
 
 import os
+import sys
+import threading
 from dataclasses import dataclass, field, replace as _dc_replace
 
 import numpy as np
@@ -117,10 +119,6 @@ class _PendingSeg:
             self.data = arr.astype(np.uint8, copy=False).tobytes()
             self.raw = None
         return self.data
-
-    def seq_len(self) -> int:
-        return len(self.raw) if self.data is None else len(self.data)
-
 
 def rerank_near_ties(
     scored: list[tuple[int, int, tuple[int, int]]], window: float = 1.01
@@ -626,7 +624,7 @@ class Compressor:
         self._splitter_set = set(splitters)
         self._refresh_splitter_table()
         if self.p.verbosity > 1:
-            print(f"No. of splitters: {len(self._splitter_set)}")
+            print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
 
     def _emission_hits(self, codes: np.ndarray, pos_list) -> dict:
         """Materialize (pos, udir, urc) scan hits for splitter emission
@@ -744,7 +742,6 @@ class Compressor:
         from ..ops.kmers import collect_kmers_device
 
         if self.p.verbosity > 0:
-            import sys
 
             # reference stage messages (agc_compressor.cpp:448, 481)
             print("Gathering reference k-mers", file=sys.stderr)
@@ -836,7 +833,7 @@ class Compressor:
             self._splitter_set = set(splitters)
             self._refresh_splitter_table()
             if self.p.verbosity > 1:
-                print(f"No. of splitters: {len(self._splitter_set)}")
+                print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
             return
 
         self._set_candidates(dev_chunks)
@@ -885,7 +882,7 @@ class Compressor:
         if not self.p.adaptive_compression:
             self._cand_singletons_dev = None
         if self.p.verbosity > 1:
-            print(f"No. of splitters: {len(self._splitter_set)}")
+            print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
 
     def _determine_splitters_sampled(self, contigs: list) -> None:
         """Bounded-memory discovery for references whose full k-mer pool
@@ -959,7 +956,7 @@ class Compressor:
         self._splitter_set = set(splitters)
         self._refresh_splitter_table()
         if self.p.verbosity > 1:
-            print(f"No. of splitters: {len(self._splitter_set)}")
+            print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
 
     def _determine_splitters_host_candidates(self, contigs: list) -> None:
         """Host (numpy) candidate tables + the fallback-collecting host
@@ -996,7 +993,7 @@ class Compressor:
         self._splitter_set = set(splitters)
         self._refresh_splitter_table()
         if self.p.verbosity > 1:
-            print(f"No. of splitters: {len(self._splitter_set)}")
+            print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
 
     def _ensure_splitters(self) -> None:
         if self._pending_reference is not None:
@@ -1005,7 +1002,7 @@ class Compressor:
             with self.timers.stage("splitter_discovery"):
                 self.determine_splitters(ref_file)
             if self.p.verbosity > 1:
-                print(f"No. of splitters: {len(self._splitter_set)}")
+                print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
 
     def add_cmd_line(self, cmd: str) -> None:
         """reference: CAGCCompressor::AddCmdLine (agc_compressor.cpp:2395).
@@ -1115,7 +1112,6 @@ class Compressor:
                 try:
                     contig_iter = list(read_contigs_raw(path))
                 except OSError:
-                    import sys
 
                     print(f"Cannot open file: {path}", file=sys.stderr)
                     continue
@@ -1123,7 +1119,8 @@ class Compressor:
                     if not self.collection.register_sample_contig("", cid):
                         print(
                             f"Error: Pair sample_name:contig_name {cid}:{cid} "
-                            "is already in the archive!"
+                            "is already in the archive!",
+                            file=sys.stderr,
                         )
                         continue
                     batch.append(("", cid, preprocess_raw_contig(raw, cid)))
@@ -1175,7 +1172,6 @@ class Compressor:
             except OSError:
                 # unopenable input: warn and skip, like the reference
                 # (agc_compressor.cpp:2165-2168)
-                import sys
 
                 print(f"Cannot open file: {path}", file=sys.stderr)
                 return []
@@ -1215,7 +1211,8 @@ class Compressor:
                             print(
                                 f"Error: Pair sample_name:contig_name "
                                 f"{sample_name}:{cid} is already in the "
-                                "archive!"
+                                "archive!",
+                                file=sys.stderr,
                             )
                             continue
                         yield si, sample_name, cid, codes, ci
@@ -1470,7 +1467,6 @@ class Compressor:
             self.p.verbosity > 0
             and old_pb // 10_000_000 != self.processed_bases // 10_000_000
         ):
-            import sys
 
             print(
                 f"Compressed: {self.processed_bases // 1_000_000} Mb",
@@ -1804,6 +1800,7 @@ class Compressor:
             from concurrent.futures import ThreadPoolExecutor
 
             bound = [best_est]
+            bound_lock = threading.Lock()
 
             def est_one(cand):
                 c0, c1, is_rc = cand
@@ -1811,8 +1808,13 @@ class Compressor:
                 e = self.v_segments[gid].estimate(
                     seg_rc_b if is_rc else seg_dir_b, bound[0]
                 )
-                if e < bound[0]:
-                    bound[0] = e  # benign race: bound only tightens
+                # min under a lock: an unguarded check-then-set could
+                # overwrite a tighter bound with a staler, looser one
+                # (selection stays correct either way, but later
+                # estimates would prune less)
+                with bound_lock:
+                    if e < bound[0]:
+                        bound[0] = e
                 return e
 
             with ThreadPoolExecutor(
@@ -1962,9 +1964,17 @@ class Compressor:
         while pruned and pruned[-1][0] * 2 < pruned[0][0]:
             pruned.pop()
 
-        segment_rc = _rc_numeric(segment)
         seg_b = segment.astype(np.uint8, copy=False).tobytes()
-        seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
+        _rc_cache: list[bytes | None] = [None]
+
+        def _seg_rc_b() -> bytes:
+            # lazy: only RC-oriented candidates pay the full-segment RC
+            # pass + copy (and the short-segment early path pays nothing)
+            if _rc_cache[0] is None:
+                _rc_cache[0] = (
+                    _rc_numeric(segment).astype(np.uint8, copy=False).tobytes()
+                )
+            return _rc_cache[0]
         self._ensure_groups_ready(
             gid
             for gid in (
@@ -1990,7 +2000,7 @@ class Compressor:
                     break
                 bound = best_es
                 es = self.v_segments[gid].estimate(
-                    seg_rc_b if is_seg_rc else seg_b, bound
+                    _seg_rc_b() if is_seg_rc else seg_b, bound
                 )
                 if es:
                     # es > bound means the estimate early-exited at the
@@ -2018,7 +2028,7 @@ class Compressor:
             for es, members, pair, trusted, gid, is_seg_rc in scored:
                 if not trusted and es <= limit:
                     es = self.v_segments[gid].estimate(
-                        seg_rc_b if is_seg_rc else seg_b, limit
+                        _seg_rc_b() if is_seg_rc else seg_b, limit
                     )
                     if not es:
                         continue
@@ -2220,6 +2230,30 @@ class Compressor:
     # finalization (reference: close_compression, store_metadata)
     # ==================================================================
 
+    def abort(self) -> None:
+        """Best-effort teardown after a failed create/append: stop the
+        store pool, close handles, and REMOVE the partial output — a
+        footerless .agc at the user's path is unreadable but easily
+        mistaken for a finished archive (the reference leaves one
+        behind; we do not)."""
+        if self._closed:
+            return
+        self._closed = True
+        import contextlib
+        import os as _os
+
+        if self._store_pool is not None:
+            with contextlib.suppress(Exception):
+                self._store_pool.shutdown(wait=True, cancel_futures=True)
+        with contextlib.suppress(Exception):
+            self.writer.close()
+        src = getattr(self, "_append_src", None)
+        if src is not None:
+            with contextlib.suppress(Exception):
+                src.close()
+        with contextlib.suppress(Exception):
+            _os.unlink(self.writer._path)
+
     def close(self) -> bool:
         if self._closed:
             return False
@@ -2300,7 +2334,6 @@ class Compressor:
         if self._mode == "append":
             self._append_src.close()
         if self.p.verbosity > 0:
-            import sys
 
             self.timers.times["close_finalize"] += (
                 _time.perf_counter() - _t_close
@@ -2336,7 +2369,6 @@ class Compressor:
     def _print_component_sizes(self) -> None:
         """Verbose component-size breakdown (reference: store_metadata,
         agc_compressor.cpp:254-283)."""
-        import sys
 
         w = self.writer
         av = self.archive_version
@@ -2421,11 +2453,15 @@ def create_archive(
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     with device_trace("create"):
         comp = Compressor(out_path, params, reference_file=files[0])
-        if cmd_line:
-            comp.add_cmd_line(cmd_line)
-        sample_files = [(sample_name_from_path(f), f) for f in files]
-        comp.add_sample_files(sample_files)
-        comp.close()
+        try:
+            if cmd_line:
+                comp.add_cmd_line(cmd_line)
+            sample_files = [(sample_name_from_path(f), f) for f in files]
+            comp.add_sample_files(sample_files)
+            comp.close()
+        except BaseException:
+            comp.abort()
+            raise
 
 
 def append_archive(
@@ -2441,8 +2477,12 @@ def append_archive(
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     with device_trace("append"):
         comp = Compressor(out_path, params, in_path=in_path)
-        if cmd_line:
-            comp.add_cmd_line(cmd_line)
-        sample_files = [(sample_name_from_path(f), f) for f in files]
-        comp.add_sample_files(sample_files)
-        comp.close()
+        try:
+            if cmd_line:
+                comp.add_cmd_line(cmd_line)
+            sample_files = [(sample_name_from_path(f), f) for f in files]
+            comp.add_sample_files(sample_files)
+            comp.close()
+        except BaseException:
+            comp.abort()
+            raise

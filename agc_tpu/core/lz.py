@@ -137,7 +137,7 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
         elif c == N_RUN_STARTER:  # N-run
             i += 1
             v = 0
-            while enc[i] != N_CODE:
+            while i < n and enc[i] != N_CODE:
                 if not (0x30 <= enc[i] <= 0x39) or v > _MAX_TOKEN_VALUE:
                     raise ValueError("Corrupted archive! (invalid segment delta)")
                 v = v * 10 + (enc[i] - 0x30)
@@ -165,10 +165,14 @@ def _decode_v2_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
             ref_pos = pred_pos + dif_pos
             if ref_pos < 0 or ref_pos > len(ref):
                 raise ValueError("Corrupted archive! (invalid segment delta)")
-            if enc[i] == 0x2C:  # ',' => explicit length
+            if i < n and enc[i] == 0x2C:  # ',' => explicit length
                 i += 1
                 v = 0
-                while 0x30 <= enc[i] <= 0x39:
+                while i < n and 0x30 <= enc[i] <= 0x39:
+                    if v > _MAX_TOKEN_VALUE:
+                        raise ValueError(
+                            "Corrupted archive! (invalid segment delta)"
+                        )
                     v = v * 10 + (enc[i] - 0x30)
                     i += 1
                 length = v + min_match_len
@@ -202,13 +206,13 @@ def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
     while i < n:
         c = enc[i]
         if 0x41 <= c <= 0x41 + 20 or c == 0x21:
-            out.append(c - 0x41)
+            out.append((c - 0x41) & 0xFF)  # '!' wraps to 224, as native
             pred_pos += 1
             i += 1
         elif c == N_RUN_STARTER:
             i += 1
             v = 0
-            while enc[i] != N_CODE:
+            while i < n and enc[i] != N_CODE:
                 if not (0x30 <= enc[i] <= 0x39) or v > _MAX_TOKEN_VALUE:
                     raise ValueError("Corrupted archive! (invalid segment delta)")
                 v = v * 10 + (enc[i] - 0x30)
@@ -237,11 +241,15 @@ def _decode_v1_py(reference: bytes, encoded: bytes, min_match_len: int) -> bytes
             if ref_pos < 0 or ref_pos > len(ref):
                 raise ValueError("Corrupted archive! (invalid segment delta)")
             i += 1  # ','
-            if enc[i] == 0x2E:  # '.' => no length
+            if i < n and enc[i] == 0x2E:  # '.' => no length
                 length = len(ref) - ref_pos
             else:
                 v = 0
-                while 0x30 <= enc[i] <= 0x39:
+                while i < n and 0x30 <= enc[i] <= 0x39:
+                    if v > _MAX_TOKEN_VALUE:
+                        raise ValueError(
+                            "Corrupted archive! (invalid segment delta)"
+                        )
                     v = v * 10 + (enc[i] - 0x30)
                     i += 1
                 length = v + min_match_len
@@ -566,7 +574,11 @@ class LZDiff:
             total_len = len_bck + len_fwd
             dif_pos = match_pos - pred_pos
             c = _uint_len(abs(dif_pos)) + (1 if dif_pos < 0 else 0)
-            if not (i + total_len == n and match_pos + total_len == self.ref_len):
+            # V1 grammar always spells out ',len' (encode above), so the
+            # match-to-end discount applies to V2 only
+            if self.v1_grammar or not (
+                i + total_len == n and match_pos + total_len == self.ref_len
+            ):
                 c += 1 + _uint_len(total_len - mml)
             cost += c + 1
             pred_pos = match_pos + total_len

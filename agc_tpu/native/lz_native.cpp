@@ -425,7 +425,10 @@ uint64_t lz_estimate(void* vctx, const uint8_t* text, uint64_t text_len,
     int64_t dif = static_cast<int64_t>(match_pos) - static_cast<int64_t>(pred_pos);
     uint32_t c = uint_len(static_cast<uint32_t>(dif < 0 ? -dif : dif)) +
                  (dif < 0 ? 1 : 0);
-    bool to_end = (i + total == text_len) && (match_pos + total == ctx.ref_len);
+    // V1 grammar always spells out ',len' (see lz_encode above), so the
+    // match-to-end discount applies to V2 only
+    bool to_end = !ctx.v1_grammar && (i + total == text_len) &&
+                  (match_pos + total == ctx.ref_len);
     if (!to_end) c += 1 + uint_len(static_cast<uint32_t>(total - mml));
     cost += c + 1;
     pred_pos = match_pos + total;

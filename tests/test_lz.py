@@ -197,3 +197,20 @@ def test_native_split_point_matches_numpy():
                 )
             )
             assert got == want, (pc1_dir, mode2_dir, got, want)
+
+
+def test_estimate_matches_encoded_size_v1_grammar():
+    """V1 always spells out ',len' even for a match running to both ends;
+    estimate must count it (previously it applied the V2-only
+    match-to-end discount and undercounted)."""
+    rng = random.Random(29)
+    ref = _random_seq(rng, 2000)
+    lz = LZDiff(20, v1_grammar=True)
+    lz.prepare(ref)
+    # a suffix-identical text guarantees a final match to both ends
+    texts = [_mutate(rng, ref) for _ in range(3)]
+    texts.append(ref[:50] + ref)  # prefix dup, tail = whole ref
+    for text in texts:
+        enc = lz.encode(text)
+        est = lz.estimate(text)
+        assert est == len(enc), (len(enc), est)

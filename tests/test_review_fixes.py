@@ -123,7 +123,9 @@ def test_duplicate_contig_name_skipped_not_corrupted(tmp_path, capsys):
     write_fa(p, [("dup", a), ("dup", b)], line=80)
     archive = str(tmp_path / "dup.agc")
     create_archive(archive, [p], SMALL)
-    assert "already in the archive" in capsys.readouterr().out
+    # the error goes to stderr: in stdout-archive mode (no -o) stdout IS
+    # the archive byte stream
+    assert "already in the archive" in capsys.readouterr().err
     d = Decompressor(archive)
     assert d.list_contigs("dup") == ["dup"]
     assert d.get_contig_seq("dup", "dup").decode() == a
@@ -251,3 +253,51 @@ def test_corrupt_tuples_marker_and_rans_blob_fail_cleanly():
                 E.decompress(hostile)
     finally:
         E._native = orig
+
+
+def test_stdout_archive_mode_not_polluted_by_diagnostics(tmp_path):
+    """create with no -o streams the archive to stdout; the duplicate-pair
+    error must go to stderr (previously it landed in the archive bytes)."""
+    import subprocess
+    import sys
+
+    rng = random.Random(77)
+    p1 = str(tmp_path / "a.fa")
+    write_fa(p1, [("c1", random_seq(rng, 3000))], line=80)
+    p2 = str(tmp_path / "b.fa")
+    write_fa(p2, [("c1", random_seq(rng, 2500))], line=80)
+    p2dup = str(tmp_path / "b_dup.fa")
+    write_fa(p2dup, [("c1", "ACGT" * 300)], line=80)  # same stem-name trick
+    import shutil
+
+    shutil.copy(p2, str(tmp_path / "bcopy"))
+    env = dict(
+        __import__("os").environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "agc_tpu.cli.main", "create",
+         "-k", "17", "-s", "1000", "-l", "15", p1, p2, p2],
+        capture_output=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    out_archive = str(tmp_path / "streamed.agc")
+    open(out_archive, "wb").write(r.stdout)
+    d = Decompressor(out_archive)
+    assert sorted(d.list_samples()) == ["a", "b"]
+    d.close()
+
+
+def test_failed_create_removes_partial_archive(tmp_path):
+    """A refused create (non-IUPAC symbol) must not leave a footerless
+    partial archive at the output path."""
+    rng = random.Random(79)
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", random_seq(rng, 3000))])
+    bad = str(tmp_path / "b.fa")
+    write_fa(bad, [("c1", "ACGTE" * 200)])
+    out = str(tmp_path / "part.agc")
+    with pytest.raises(ValueError):
+        create_archive(out, [ref, bad], SMALL)
+    import os
+
+    assert not os.path.exists(out)

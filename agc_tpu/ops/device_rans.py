@@ -39,6 +39,14 @@ def _jx():
     return jax, jnp
 
 
+def _bucket(v: int) -> int:
+    """Pow2 bucket for jit-cache keys: steps/max_len are data-dependent,
+    so unbucketed shapes would recompile per part length (a cold TPU
+    compile costs minutes vs ~ms of kernel time) — same convention as
+    ops/kmers.py's pow2 padding."""
+    return max(8, 1 << max(0, int(v - 1)).bit_length())
+
+
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
@@ -90,7 +98,7 @@ def compress_device(data: bytes, level: int = 0) -> bytes:
     F, C = E._tables(freqs)
 
     L = E.lanes_for(n)
-    steps = (n + L - 1) // L
+    steps = _bucket((n + L - 1) // L)  # padded rows are inactive slots
     grid = np.full(steps * L, 256, dtype=np.int32)  # 256 = padded slot
     grid[:n] = arr
     grid = grid.reshape(steps, L)[::-1]  # reversed for the encode scan
@@ -160,18 +168,28 @@ def decompress_device(blob, expected_size: int | None = None) -> bytes:
     n, flags, freqs, lane_lens, states, pos = E.parse_header(blob)
     if n == 0:
         return b""
+    # same hostile-size policy as entropy.decompress/decompress_np: a
+    # size header disagreeing with part metadata, or an absurd size, is
+    # corruption - never a work-array allocation
+    if (expected_size is not None and expected_size and n != expected_size) or (
+        n > (64 << 30)
+    ):
+        raise ValueError("corrupt rANS blob")
     buf = memoryview(blob)
     if flags & E._RAW_FLAG:
-        return bytes(buf[pos : pos + n])
+        raw = bytes(buf[pos : pos + n])
+        if len(raw) != n:  # truncated raw-escape payload
+            raise ValueError("corrupt rANS blob")
+        return raw
 
     L = E.lanes_for(n)
-    steps = (n + L - 1) // L
+    steps = _bucket((n + L - 1) // L)  # rows past n are inactive
     offs = np.zeros(L + 1, dtype=np.int64)
     np.cumsum(lane_lens, out=offs[1:])
     flat = np.frombuffer(
         buf, dtype=np.uint8, count=int(offs[-1]), offset=pos
     )
-    max_len = int(lane_lens.max()) if L else 0
+    max_len = _bucket(int(lane_lens.max()) if L else 0)
     mat = np.zeros((L, max_len + 1), dtype=np.uint8)
     for j in range(L):
         mat[j, : lane_lens[j]] = flat[offs[j] : offs[j + 1]]

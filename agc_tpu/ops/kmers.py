@@ -710,7 +710,11 @@ def find_splitter_emissions_batched(per_contig_recs, lens, k, table,
     Returns a list of (pos i64[E], kmers u64[E], tail_pos|None, tail_kmer)
     in contig order.
     """
-    seg_size = max(1, seg_size)
+    # the host walk enforces BOTH spacings: >= seg_size and >= k (the
+    # reference resets its rolling k-mer at each cut) — equivalent to a
+    # single max(seg_size, k) jump; also covers format-1.x archives
+    # that carry no segment size
+    seg_size = max(1, seg_size, k)
     results: list = [None] * len(per_contig_recs)
     by_bucket: dict[int, list[int]] = {}
     for i, recs in enumerate(per_contig_recs):
@@ -777,7 +781,9 @@ def find_splitter_emissions_from_chunks(chunk_recs, n: int, k: int, pool,
     singleton-table sorts. Returns (positions, kmers, tail_pos|None,
     tail_kmer) like find_splitter_emissions.
     """
-    seg_size = max(1, seg_size)  # format-1.x archives carry no segment size
+    # max(seg_size, k): the host walk also skips emissions closer than
+    # k (rolling k-mer reset at the cut); 1 covers format-1.x archives
+    seg_size = max(1, seg_size, k)
     if n < k or not chunk_recs:
         return np.empty(0, np.int64), np.empty(0, np.uint64), None, 0
     positions: list[int] = []
@@ -843,7 +849,7 @@ def find_splitter_emissions(contig_codes: np.ndarray, k: int, table, seg_size: i
     emission state carried on host.
     """
     n = len(contig_codes)
-    seg_size = max(1, seg_size)  # format-1.x archives carry no segment size
+    seg_size = max(1, seg_size, k)  # see find_splitter_emissions_from_chunks
     if n < k:
         return np.empty(0, np.int64), np.empty(0, np.uint64), None, 0
     if n <= MAX_WHOLE_CONTIG:
@@ -968,7 +974,7 @@ def find_splitter_emissions_packed(canon_flat, placements, k: int, table,
     collect_kmers_device_packed): contigs grouped by pow2 window bucket,
     each group one vmapped dynamic-slice dispatch. Returns the same
     per-contig tuples as find_splitter_emissions_batched."""
-    seg_size = max(1, seg_size)
+    seg_size = max(1, seg_size, k)  # see find_splitter_emissions_from_chunks
     results: list = [None] * len(placements)
     by_bucket: dict[int, list[int]] = {}
     for i, (start, n) in enumerate(placements):
@@ -1401,6 +1407,8 @@ class ScanBatcher:
         self._buf: list[dict] = []
         self._pending_syms = 0
         self._dl_cache: dict[int, np.ndarray] = {}
+        # per-dispatch cache of cap-overflow re-runs (see collect)
+        self._retry_cache: dict = {}
 
     def add(self, codes: np.ndarray):
         """Returns a token dict resolved at flush/collect time."""
@@ -1620,15 +1628,28 @@ class ScanBatcher:
                     res, cap_total, self.table, b
                 )
                 if count > cap_total and cap_total < part["rows"] * b:
-                    cap_total = min(
-                        1 << int(np.ceil(np.log2(count))), part["rows"] * b
-                    )
-                    vec = np.asarray(
-                        scan_batch_join_global_p4(
-                            jnp.asarray(packed_mat), self.table.k,
-                            self.table.thi, self.table.tlo, cap_total,
+                    # rare cap overflow: retry once per DISPATCH, not per
+                    # part — all parts of the dispatch share the future,
+                    # so the enlarged re-run is cached on it
+                    retry = self._retry_cache.get(part["out"])
+                    if retry is None:
+                        cap_total = min(
+                            1 << int(np.ceil(np.log2(count))),
+                            part["rows"] * b,
                         )
-                    )
+                        vec = np.asarray(
+                            scan_batch_join_global_p4(
+                                jnp.asarray(packed_mat), self.table.k,
+                                self.table.thi, self.table.tlo, cap_total,
+                            )
+                        )
+                        if len(self._retry_cache) >= 8:
+                            self._retry_cache.pop(
+                                next(iter(self._retry_cache))
+                            )
+                        self._retry_cache[part["out"]] = (vec, cap_total)
+                    else:
+                        vec, cap_total = retry
                     count, rows_arr, pos, udir, urc = _decode_scan_vec_global(
                         vec, cap_total, self.table, b
                     )

@@ -56,6 +56,9 @@ class _ShardResult:
     groups: dict = field(default_factory=dict)
     group_pk: dict = field(default_factory=dict)  # local gid -> (k1, k2)
     splitter_set: set = field(default_factory=set)
+    # sample -> ordered full contig names (so the merge never re-parses
+    # the input FASTA on the writer host just to recover names)
+    contig_names: dict = field(default_factory=dict)
 
 
 class _CapturingCompressor(Compressor):
@@ -196,15 +199,11 @@ class _CapturingCompressor(Compressor):
 
     def _register_segments(self) -> None:
         super()._register_segments()
-        for gid in self._buf_known:
-            if gid >= NO_RAW_GROUPS:
-                self.captured_pk.setdefault(gid, self._pk_of(gid))
-
-    def _pk_of(self, gid):
-        for pk, g in self.map_segments.items():
-            if g == gid:
-                return pk
-        return PK_EMPTY
+        # inverted gid -> pk map, maintained incrementally at registration
+        # (a reverse scan of map_segments per group would be quadratic)
+        for pk, gid in self.map_segments.items():
+            if gid >= NO_RAW_GROUPS and gid not in self.captured_pk:
+                self.captured_pk[gid] = pk
 
     def _store_segments(self) -> None:
         for gid in sorted(self._buf_known):
@@ -223,16 +222,32 @@ class _CapturingCompressor(Compressor):
                     seg.lz.prepare(data)
                     seg.ref_size = len(data) + 1
                     seg.no_seqs = 1
+                elif gid >= NO_RAW_GROUPS:
+                    # keep the member count live: the -f near-tie re-rank
+                    # tiebreaks on no_seqs (rerank_near_ties), so freezing
+                    # it at 1 would silently disable pack cohesion in
+                    # sharded creates
+                    seg.no_seqs += 1
                 cap.append((it.sample, it.contig, it.part_no, data, it.is_rc))
         self._buf_known = {}
 
     def result(self) -> _ShardResult:
         res = _ShardResult(self.shard_id, [s.name for s in self.collection.samples])
         res.groups = self.captured
+        # one final sweep catches any group registered after the last
+        # barrier's captured_pk fill
+        for pk, gid in self.map_segments.items():
+            if gid >= NO_RAW_GROUPS and gid not in self.captured_pk:
+                self.captured_pk[gid] = pk
         res.group_pk = {
-            gid: self._pk_of(gid) for gid in self.captured if gid >= NO_RAW_GROUPS
+            gid: self.captured_pk.get(gid, PK_EMPTY)
+            for gid in self.captured
+            if gid >= NO_RAW_GROUPS
         }
         res.splitter_set = self._splitter_set
+        res.contig_names = {
+            s.name: [c.name for c in s.contigs] for s in self.collection.samples
+        }
         return res
 
 
@@ -292,12 +307,15 @@ def create_archive_sharded(
     # Phase 1: splitters (and -f fallback records; adaptive candidate
     # tables) from the reference genome, shared by every shard
     boot = Compressor(out_path + ".tmp0", params, reference_file=files[0])
-    splitter_set = set(boot.splitter_set_snapshot())
-    fallback_records = list(boot._pending_fallback)
-    cand_singletons = np.asarray(boot.cand_singletons, dtype=np.uint64)
-    cand_duplicated = np.asarray(boot.cand_duplicated, dtype=np.uint64)
-    boot.writer.close()
-    os.unlink(out_path + ".tmp0")
+    try:
+        splitter_set = set(boot.splitter_set_snapshot())
+        fallback_records = list(boot._pending_fallback)
+        cand_singletons = np.asarray(boot.cand_singletons, dtype=np.uint64)
+        cand_duplicated = np.asarray(boot.cand_duplicated, dtype=np.uint64)
+    finally:
+        boot.writer.close()
+        with __import__("contextlib").suppress(OSError):
+            os.unlink(out_path + ".tmp0")
 
     # Phase 2: shard the samples round-robin and compress independently.
     # Adaptive mode here is SHARD-LOCAL: each shard grows its own splitter
@@ -328,8 +346,15 @@ def create_archive_sharded(
     else:
         results = [_run_shard_task(tasks[0])]
 
-    # Phase 3: deterministic merge on the writer host
-    _merge_shards(out_path, params, sample_files, splitter_set, results)
+    # Phase 3: deterministic merge on the writer host. On failure remove
+    # the partial output — a footerless .agc at the user's path reads as
+    # a finished archive (same policy as Compressor.abort)
+    try:
+        _merge_shards(out_path, params, sample_files, splitter_set, results)
+    except BaseException:
+        with __import__("contextlib").suppress(OSError):
+            os.unlink(out_path)
+        raise
 
 
 def _merge_shards(out_path, params, sample_files, splitter_set, results):
@@ -388,6 +413,12 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
         merged.file_type_info["compression-profile"] = params.profile
     merged._refresh_splitter_table()
 
+    # collection streams MUST be ids 0/1/2 (the reference's append
+    # resolves them by id and segfaults on any other layout — same
+    # invariant as the plain create path, compressor.py
+    # _register_collection_streams)
+    merged._register_collection_streams()
+
     # raw groups first (shared id space 0..15)
     for gid in range(NO_RAW_GROUPS):
         merged.writer.register_stream(ss_delta_name(merged.archive_version, gid))
@@ -430,11 +461,13 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
                     g = gid_map[(res.shard_id, local_gid)]
                 per_sample.setdefault(sample, []).append((g, m))
 
-    from ..core.genome_io import read_contigs_raw
+    contig_names: dict[str, list[str]] = {}
+    for res in results:
+        contig_names.update(res.contig_names)
 
     for sample_name, path in sample_files:
         merged.collection.reset_prev_sample_name()
-        for cid, raw in read_contigs_raw(path):
+        for cid in contig_names.get(sample_name, []):
             merged.collection.register_sample_contig(sample_name, cid)
         from ..core.compressor import _PendingSeg
 

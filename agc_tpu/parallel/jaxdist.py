@@ -14,7 +14,8 @@ Collective schedule (the distributed analogue of the reference's in-band
 
 1. **K-mer pool merge, range-partitioned** — each host collects the
    canonical k-mers of its slice of the reference contigs, buckets them by
-   owner (``kmer % n_procs``) and exchanges buckets with one
+   owner (``(kmer >> (64-2k)) % n_procs`` — the low bits of the
+   meaningful field; codes are left-aligned) and exchanges buckets with one
    ``all_to_all`` over the host mesh axis; the received range is sorted
    and reduced to singleton/duplicate boundary masks INSIDE the same
    device program (``_exchange_and_reduce_owned``), so the pool never
@@ -253,7 +254,13 @@ def _distributed_splitters(
     local = (
         np.concatenate(locs) if locs else np.empty(0, dtype=np.uint64)
     )
-    owner = (local % np.uint64(n)).astype(np.int64)
+    # canonical codes are LEFT-aligned (low 64-2k bits are zero), so a
+    # plain modulo would send every k-mer to process 0 for power-of-two
+    # n; partition on the meaningful field instead (its low bits are the
+    # fastest-varying bases)
+    owner = (
+        (local >> np.uint64(64 - 2 * k)) % np.uint64(n)
+    ).astype(np.int64)
     buckets = [local[owner == j] for j in range(n)]
     # exchange + owned-range reduction stay on device (sort + boundary
     # masks inside the collective program); only the reduced tables
@@ -473,7 +480,17 @@ def run_worker(
                 f"agc_shard_{j}", 600_000
             )
             results.append(pickle.loads(raw))
-        _merge_shards(out_path, params, sample_files, splitter_set, results)
+        try:
+            _merge_shards(out_path, params, sample_files, splitter_set, results)
+        except BaseException:
+            # same policy as create_archive_sharded: never leave a
+            # footerless partial archive at the user's path
+            import contextlib
+            import os as _os
+
+            with contextlib.suppress(OSError):
+                _os.unlink(out_path)
+            raise
         kv.key_value_set("agc_merge_done", "1")
     else:
         kv.blocking_key_value_get("agc_merge_done", 600_000)

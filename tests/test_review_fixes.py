@@ -301,3 +301,66 @@ def test_failed_create_removes_partial_archive(tmp_path):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_sharded_archive_pins_collection_stream_ids(tmp_path):
+    """Sharded creates must register collection-samples/contigs/details
+    as stream ids 0/1/2 exactly like plain creates: the reference tool's
+    append resolves them by id and segfaults on any other layout
+    (collection_v3.cpp:48-61). Previously _merge_shards registered them
+    lazily AFTER every group stream."""
+    from agc_tpu.core.archive import ArchiveReader
+    from agc_tpu.parallel.distributed import create_archive_sharded
+
+    rng = random.Random(31)
+    base = random_seq(rng, 8000)
+    files = _mk(
+        tmp_path,
+        [("ref", [("c1", base)]),
+         ("s0", [("c1", base[:4000] + base[4200:])]),
+         ("s1", [("c1", base[100:])])],
+    )
+    archive = str(tmp_path / "sh.agc")
+    create_archive_sharded(archive, files, SMALL, n_shards=2)
+    r = ArchiveReader(archive)
+    assert r.stream_names()[:3] == [
+        "collection-samples", "collection-contigs", "collection-details",
+    ]
+    r.close()
+
+    # and the reference binary can APPEND to it (the id-order segfault
+    # was exactly here)
+    import os as _os
+    import subprocess
+
+    ref_bin = _os.environ.get("AGC_REF_BIN", "/tmp/refbuild/bin/agc")
+    if _os.path.exists(ref_bin):
+        s2 = str(tmp_path / "s2.fa")
+        write_fa(s2, [("c1", base[:7000])], line=80)
+        out2 = str(tmp_path / "app.agc")
+        env = dict(_os.environ, ASAN_OPTIONS="detect_leaks=0")
+        subprocess.run(
+            [ref_bin, "append", "-o", out2, archive, s2],
+            check=True, capture_output=True, env=env,
+        )
+        d = Decompressor(out2)
+        assert sorted(d.list_samples()) == ["ref", "s0", "s1", "s2"]
+        d.close()
+
+
+def test_failed_sharded_create_removes_partial_archive(tmp_path):
+    """Same no-partial-archive policy as plain create."""
+    import os as _os
+
+    from agc_tpu.parallel.distributed import create_archive_sharded
+
+    rng = random.Random(33)
+    ref = str(tmp_path / "r.fa")
+    write_fa(ref, [("c1", random_seq(rng, 4000))])
+    bad = str(tmp_path / "b.fa")
+    write_fa(bad, [("c1", "ACGTE" * 300)])  # non-IUPAC symbol -> refusal
+    out = str(tmp_path / "p.agc")
+    with pytest.raises(ValueError):
+        create_archive_sharded(out, [ref, bad], SMALL, n_shards=2)
+    assert not _os.path.exists(out)
+    assert not _os.path.exists(out + ".tmp0")

@@ -153,7 +153,8 @@ class Archive {
   }
 
   bool read_at(uint64_t off, uint64_t size, uint8_t* out) const {
-    if (off + size > fsize_) return false;
+    // subtraction form: off + size can wrap for hostile footer offsets
+    if (off > fsize_ || size > fsize_ - off) return false;
     if (!buf_.empty()) {
       std::memcpy(out, buf_.data() + off, size);
       return true;
@@ -175,6 +176,7 @@ class Archive {
     if (!s || part_id >= s->parts.size()) return false;
     auto [off, size] = s->parts[part_id];
     if (size == 0) { data.clear(); metadata = 0; return true; }
+    if (off > fsize_ || size > fsize_ - off) return false;  // hostile footer
     uint8_t head[9];
     uint64_t head_n = std::min<uint64_t>(9, fsize_ - off);
     if (!read_at(off, head_n, head)) return false;
@@ -190,7 +192,7 @@ class Archive {
     if (!read_at(fsize_ - 8, 8, tail)) return false;
     uint64_t footer_size = 0;
     for (int i = 7; i >= 0; --i) footer_size = (footer_size << 8) | tail[i];
-    if (footer_size + 8 > fsize_) return false;
+    if (footer_size > fsize_ - 8) return false;  // subtraction form
     std::vector<uint8_t> footer(footer_size);
     if (!read_at(fsize_ - 8 - footer_size, footer_size, footer.data()))
       return false;
@@ -245,6 +247,9 @@ extern "C" int64_t rans_decompress(const uint8_t* blob, int64_t blob_len,
 static bool zstd_decompress_tolerant(const uint8_t* src, size_t src_len,
                                      uint64_t raw_size,
                                      std::vector<uint8_t>& out) {
+  // raw_size comes from the part's footer varint: a damaged value must
+  // not drive the allocation (64 GiB ceiling, as in the Python readers)
+  if (raw_size > (64ULL << 30)) return false;
   if (src_len >= 2 && src[0] == 0xA9) {
     out.resize(raw_size);
     int64_t m = rans_decompress(src, (int64_t)src_len, out.data(),
@@ -284,6 +289,9 @@ static bool tuples2bytes(const std::vector<uint8_t>& data,
     case 2: mult = 16; break;
     default: return false;
   }
+  // mirror the Python twin's guards (segment.py tuples2bytes): a 1-byte
+  // part would underflow main_n to SIZE_MAX; trailing must be < nb
+  if (data.size() < 2 || trailing >= nb) return false;
   size_t main_n = data.size() - 2;  // last two: packed tail + marker
   size_t out_n = main_n * nb + trailing;
   out.resize(out_n);
@@ -398,6 +406,7 @@ class AgcFile {
   }
 
   int64_t contig_length(const Contig& c) const {
+    if (c.segments.empty()) return 0;  // size()-1 would wrap to +k
     int64_t total = 0;
     for (auto& s : c.segments) total += s.raw_length;
     return total - (int64_t)(c.segments.size() - 1) * kmer_length_;
@@ -500,8 +509,13 @@ class AgcFile {
     pack_cardinality_ = rd_u32(8);
     segment_size_ = data.size() >= 16 ? rd_u32(12) : 0;
     // a valid writer clamps both >= 1; zero means a damaged stream (and
-    // pack_cardinality_ is a divisor on every member lookup: SIGFPE)
-    if (pack_cardinality_ < 1 || kmer_length_ < 1) return false;
+    // pack_cardinality_ is a divisor on every member lookup: SIGFPE).
+    // k and mml outside the format's ranges (k <= 32: two bits per base
+    // in a u64; mml in [12, 32]: the LZ index's key math shifts by
+    // 2*(mml-3) and assumes >= 8-symbol keys) mean the same
+    if (pack_cardinality_ < 1 || kmer_length_ < 1 || kmer_length_ > 32)
+      return false;
+    if (min_match_len_ < 12 || min_match_len_ > 32) return false;
     return true;
   }
 
@@ -689,11 +703,15 @@ class AgcFile {
     if (!dec_prefix_varint(data.data(), data.size(), pos, n_in_batch))
       return false;
     size_t base = batch_id * pack_cardinality_;
+    // archive-supplied count: never index past the real sample table
+    if (base >= samples_.size() || n_in_batch > samples_.size() - base)
+      return false;
     for (uint64_t i = 0; i < n_in_batch; ++i) {
       uint64_t n_contigs = 0;
       if (!dec_prefix_varint(data.data(), data.size(), pos, n_contigs))
         return false;
       Sample& sample = samples_[base + i];
+      if (n_contigs > data.size()) return false;  // each name needs >=1 byte
       sample.contigs.assign(n_contigs, Contig{});
       std::vector<std::string> prev_split;
       for (uint64_t j = 0; j < n_contigs; ++j) {
@@ -774,16 +792,21 @@ class AgcFile {
     for (uint64_t i = 0; i < n_in_batch; ++i) {
       uint64_t n_contigs = 0;
       if (!dec_prefix_varint(d0.data(), d0.size(), p0, n_contigs)) return false;
+      if (n_contigs > d0.size()) return false;  // each count needs >=1 byte
       seg_counts[i].resize(n_contigs);
       for (uint64_t j = 0; j < n_contigs; ++j)
         if (!dec_prefix_varint(d0.data(), d0.size(), p0, seg_counts[i][j]))
           return false;
     }
+    // archive-supplied counts: details must agree with the names part
+    if (base >= samples_.size() || n_in_batch > samples_.size() - base)
+      return false;
     size_t p[4] = {0, 0, 0, 0};
     std::unordered_map<uint32_t, int64_t> in_group_state;
     int64_t pred_raw_length = (int64_t)segment_size_ + kmer_length_;
     for (uint64_t i = 0; i < n_in_batch; ++i) {
       Sample& sample = samples_[base + i];
+      if (seg_counts[i].size() > sample.contigs.size()) return false;
       for (size_t j = 0; j < seg_counts[i].size(); ++j) {
         Contig& ctg = sample.contigs[j];
         ctg.segments.resize(seg_counts[i][j]);
@@ -982,12 +1005,20 @@ extern "C" {
 typedef struct agc_t agc_t;
 
 agc_t* agc_open(char* fn, int prefetching) {
-  auto* f = new agctpu::AgcFile();
-  if (!f->open(fn, prefetching != 0)) {
-    delete f;
+  // try/catch at every ABI entry: a corrupt archive can make a resize
+  // throw (length_error/bad_alloc); crossing the C boundary with an
+  // exception would std::terminate the caller instead of returning an
+  // error value
+  try {
+    auto* f = new agctpu::AgcFile();
+    if (!f->open(fn, prefetching != 0)) {
+      delete f;
+      return nullptr;
+    }
+    return reinterpret_cast<agc_t*>(f);
+  } catch (...) {
     return nullptr;
   }
-  return reinterpret_cast<agc_t*>(f);
 }
 
 int agc_close(agc_t* agc) {
@@ -1003,23 +1034,32 @@ int agc_n_sample(const agc_t* agc) {
 
 int agc_n_ctg(const agc_t* agc, const char* sample) {
   if (!agc || !sample) return -1;
-  return const_cast<agctpu::AgcFile*>(
-             reinterpret_cast<const agctpu::AgcFile*>(agc))
-      ->n_ctg(sample);
+  try {
+    return const_cast<agctpu::AgcFile*>(
+               reinterpret_cast<const agctpu::AgcFile*>(agc))
+        ->n_ctg(sample);
+  } catch (...) {
+    return -1;
+  }
 }
 
 int agc_get_ctg_len(const agc_t* agc, const char* sample, const char* name) {
   if (!agc || !name) return -1;
-  auto* f = const_cast<agctpu::AgcFile*>(
-      reinterpret_cast<const agctpu::AgcFile*>(agc));
-  const agctpu::Contig* c = f->find_contig(sample ? sample : "", name);
-  if (!c) return -1;
-  return (int)f->contig_length(*c);
+  try {
+    auto* f = const_cast<agctpu::AgcFile*>(
+        reinterpret_cast<const agctpu::AgcFile*>(agc));
+    const agctpu::Contig* c = f->find_contig(sample ? sample : "", name);
+    if (!c) return -1;
+    return (int)f->contig_length(*c);
+  } catch (...) {
+    return -1;
+  }
 }
 
 int agc_get_ctg_seq(const agc_t* agc, const char* sample, const char* name,
                     int start, int end, char* buf) {
   if (!agc || !name || !buf) return -1;
+  try {
   auto* f = const_cast<agctpu::AgcFile*>(
       reinterpret_cast<const agctpu::AgcFile*>(agc));
   const agctpu::Contig* c = f->find_contig(sample ? sample : "", name);
@@ -1032,19 +1072,27 @@ int agc_get_ctg_seq(const agc_t* agc, const char* sample, const char* name,
   }
   buf[numeric.size()] = '\0';
   return (int)numeric.size();
+  } catch (...) {
+    return -1;
+  }
 }
 
 char* agc_reference_sample(const agc_t* agc) {
   if (!agc) return nullptr;
+  try {
   std::string s =
       reinterpret_cast<const agctpu::AgcFile*>(agc)->reference_sample();
   char* out = (char*)malloc(s.size() + 1);
   std::memcpy(out, s.c_str(), s.size() + 1);
   return out;
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 char** agc_list_sample(const agc_t* agc, int* n_sample) {
   if (!agc || !n_sample) return nullptr;
+  try {
   auto v = reinterpret_cast<const agctpu::AgcFile*>(agc)->list_samples();
   char** out = (char**)malloc((v.size() + 1) * sizeof(char*));
   for (size_t i = 0; i < v.size(); ++i) {
@@ -1054,10 +1102,14 @@ char** agc_list_sample(const agc_t* agc, int* n_sample) {
   out[v.size()] = nullptr;
   *n_sample = (int)v.size();
   return out;
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 char** agc_list_ctg(const agc_t* agc, const char* sample, int* n_ctg) {
   if (!agc || !sample || !n_ctg) return nullptr;
+  try {
   auto* f = const_cast<agctpu::AgcFile*>(
       reinterpret_cast<const agctpu::AgcFile*>(agc));
   std::vector<std::string> v;
@@ -1070,6 +1122,9 @@ char** agc_list_ctg(const agc_t* agc, const char* sample, int* n_ctg) {
   out[v.size()] = nullptr;
   *n_ctg = (int)v.size();
   return out;
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 int agc_list_destroy(char** list) {

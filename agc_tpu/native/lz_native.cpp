@@ -64,10 +64,17 @@ struct LZContext {
   uint64_t ht_mask = 0;
   std::atomic<bool> index_ready = false;
 
+  // key_len is clamped to [8, 31]: below 8 the word-at-a-time
+  // match_forward could read past the key_len-byte reference padding,
+  // and outside [1, 31] the mask shift is UB. Legitimate mml (the
+  // format's 15..32) maps to key_len 12..29 and is never clamped; the
+  // archive readers additionally validate mml at open.
   explicit LZContext(uint32_t mml)
       : min_match_len(mml),
-        key_len(mml - kHashingStep + 1),
-        key_mask(~0ULL >> (64 - 2 * (mml - kHashingStep + 1))) {}
+        key_len(std::min<uint32_t>(
+            31, std::max<uint32_t>(
+                    8, mml >= kHashingStep ? mml - kHashingStep + 1 : 8))),
+        key_mask(~0ULL >> (64 - 2 * key_len)) {}
 
   std::mutex index_mtx;
 
@@ -890,6 +897,7 @@ inline bool get_varint(const uint8_t* buf, int64_t len, int64_t& pos,
   int shift = 0;
   while (pos < len) {
     uint8_t b = buf[pos++];
+    if (shift >= 64) return false;  // overlong encoding (shift UB guard)
     v |= (uint64_t)(b & 0x7F) << shift;
     if (!(b & 0x80)) return true;
     shift += 7;
@@ -1084,24 +1092,33 @@ int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
   int64_t pos = 2;
   uint64_t n64;
   if (!get_varint(blob, blob_len, pos, n64)) return kCorrupt;
+  if (n64 > (1ULL << 62)) return kCorrupt;  // absurd size = corruption,
+  // and keeps the int64 cast / negation below well-defined
   const int64_t n = (int64_t)n64;
   if (n == 0) return 0;
   if (n > cap) return -n;
   if (flags & kRawFlag) {
-    if (pos + n > blob_len) return kCorrupt;
+    if (n > blob_len - pos) return kCorrupt;
     std::memcpy(out, blob + pos, (size_t)n);
     return n;
   }
   uint32_t F[256];
-  for (int i = 0; i < 256; ++i) {
-    uint64_t v;
-    if (!get_varint(blob, blob_len, pos, v)) return kCorrupt;
-    F[i] = (uint32_t)v;
+  {
+    uint64_t total = 0;
+    for (int i = 0; i < 256; ++i) {
+      uint64_t v;
+      if (!get_varint(blob, blob_len, pos, v)) return kCorrupt;
+      if (v > kProbScale) return kCorrupt;  // a wrapping uint32 cumsum
+      // could pass the total check while C[s+1] > kProbScale, making the
+      // slot-table fill write past cum2sym
+      F[i] = (uint32_t)v;
+      total += v;
+    }
+    if (total != kProbScale) return kCorrupt;
   }
   uint32_t C[257];
   C[0] = 0;
   for (int i = 0; i < 256; ++i) C[i + 1] = C[i] + F[i];
-  if (C[256] != kProbScale) return kCorrupt;
   // slot -> symbol table
   std::vector<uint8_t> cum2sym(kProbScale);
   for (int s = 0; s < 256; ++s)
@@ -1124,10 +1141,12 @@ int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
   {
     int64_t off = pos;
     for (int j = 0; j < L; ++j) {
+      // bound each length BEFORE forming pointers: a length >= 2^63
+      // cast to int64 would step off backwards past the check
+      if (lens[(size_t)j] > (uint64_t)(blob_len - off)) return kCorrupt;
       ptrs[(size_t)j] = blob + off;
       off += (int64_t)lens[(size_t)j];
       ends[(size_t)j] = blob + off;
-      if (off > blob_len) return kCorrupt;
     }
   }
   // 4-way lane interleave: each lane's state chain is serial (multiply ->

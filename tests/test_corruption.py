@@ -154,3 +154,42 @@ def test_corrupt_params_stream_rejected(archive_bytes, tmp_path):
     r.close()
     with pytest.raises(ValueError):
         Decompressor(out)
+
+
+def test_hostile_rans_headers_rejected():
+    """Targeted hostile rANS blobs (native decoder): a frequency table
+    whose uint32 cumsum wraps back to 4096 must not drive the slot-table
+    fill past its end (heap corruption), and a raw-escape size varint
+    with bit 63 set must not slip past the bounds checks as a negative
+    int64 (multi-exabyte memcpy)."""
+    from agc_tpu.core.entropy import MAGIC, _RAW_FLAG, decompress
+
+    def varint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    # freq-wrap blob: F[0]=8192, F[1]=2^32-4096, rest 0 -> uint32 cumsum
+    # C[2] wraps to 4096 and the total check alone would pass
+    blob = bytearray([MAGIC, 0]) + varint(100)
+    blob += varint(8192) + varint((1 << 32) - 4096)
+    blob += varint(0) * 254
+    blob += varint(1) * 8 + b"\x00" * 32  # plausible lane tail
+    with pytest.raises(ValueError):
+        decompress(bytes(blob))
+
+    # raw-escape with n >= 2^63 (negative as int64)
+    blob2 = bytes([MAGIC, _RAW_FLAG]) + varint(1 << 63) + b"x" * 8
+    with pytest.raises(ValueError):
+        decompress(blob2)
+
+    # overlong varint (>10 continuation bytes would shift >= 64: UB guard)
+    blob3 = bytes([MAGIC, 0]) + b"\x80" * 12
+    with pytest.raises(ValueError):
+        decompress(blob3)

@@ -218,8 +218,15 @@ class Decompressor:
         self.segment_size = (
             int.from_bytes(data[12:16], "little") if len(data) >= 16 else 0
         )
-        if self.pack_cardinality < 1 or self.kmer_length < 1:
-            # a valid writer clamps both >= 1; anything else is damage
+        if (
+            self.pack_cardinality < 1
+            or not (1 <= self.kmer_length <= 32)
+            or not (12 <= self.min_match_len <= 32)
+        ):
+            # a valid writer clamps all of these (k <= 32: two bits per
+            # base in a u64; mml 15..32 is the format's range — 12 is
+            # the defensive floor shared with the C API, whose LZ index
+            # key math needs >= 8-symbol keys); anything else is damage
             raise ValueError("Corrupted archive! (invalid params stream)")
 
     # ------------------------------------------------------------------

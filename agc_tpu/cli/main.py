@@ -141,6 +141,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbosity", type=int, default=0)
     p.add_argument("-p", "--no-prefetch", action="store_true")
 
+    p = sub.add_parser(
+        "check",
+        help="verify archive integrity (agc-tpu extension): metadata "
+        "plus a full decode of every contig; -q checks structure only",
+    )
+    p.add_argument("in_archive")
+    p.add_argument("-q", "--quick", action="store_true",
+                   help="structure/metadata only (no contig decode)")
+    p.add_argument("-t", "--threads", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    p.add_argument("-p", "--no-prefetch", action="store_true")
+
     return ap
 
 
@@ -392,6 +404,58 @@ def _dispatch(args) -> int:
         if args.output:
             out.close()
         d.close()
+        return 0
+
+    if mode == "check":
+        try:
+            d = Decompressor(args.in_archive, prefetch=prefetch)
+        except Exception as e:
+            print(f"FAIL: cannot open archive: {e}", file=sys.stderr)
+            return 1
+        problems: list[str] = []
+        n_contigs = 0
+        n_bases = 0
+        try:
+            samples = d.list_samples()
+            for s in samples:
+                for c in d.list_contigs(s) or []:
+                    n_contigs += 1
+                    try:
+                        want = d.get_contig_length(s, c)
+                        if want < 0:
+                            problems.append(f"{s}:{c}: missing descriptor")
+                            continue
+                        if args.quick:
+                            continue
+                        seq = d.get_contig_numeric(s, c)
+                        if seq is None or len(seq) != want:
+                            got = None if seq is None else len(seq)
+                            problems.append(
+                                f"{s}:{c}: decoded {got} bases, metadata "
+                                f"says {want}"
+                            )
+                        else:
+                            n_bases += len(seq)
+                    except Exception as e:
+                        problems.append(f"{s}:{c}: {e}")
+        except Exception as e:
+            problems.append(f"collection metadata: {e}")
+        finally:
+            d.close()
+        for msg in problems[:20]:
+            print(f"FAIL: {msg}", file=sys.stderr)
+        if problems:
+            print(
+                f"Archive FAILED verification: {len(problems)} problem(s) "
+                f"across {n_contigs} contigs",
+                file=sys.stderr,
+            )
+            return 1
+        detail = "" if args.quick else f", {n_bases} bases decoded"
+        print(
+            f"Archive OK: {len(samples)} samples, {n_contigs} contigs{detail}",
+            file=sys.stderr,
+        )
         return 0
 
     return 1

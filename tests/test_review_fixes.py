@@ -364,3 +364,38 @@ def test_failed_sharded_create_removes_partial_archive(tmp_path):
         create_archive_sharded(out, [ref, bad], SMALL, n_shards=2)
     assert not _os.path.exists(out)
     assert not _os.path.exists(out + ".tmp0")
+
+
+def test_check_subcommand(tmp_path, capsys):
+    """agc-tpu check: full decode verification passes on a good archive
+    (both profiles) and fails with rc 1 on a corrupted one."""
+    from agc_tpu.cli.main import main as cli_main
+
+    rng = random.Random(53)
+    base = random_seq(rng, 8000)
+    files = _mk(
+        tmp_path,
+        [("ref", [("c1", base)]), ("s0", [("c1", base[:4000] + base[4200:])])],
+    )
+    archive = str(tmp_path / "ok.agc")
+    create_archive(archive, files, SMALL)
+    assert cli_main(["check", archive]) == 0
+    assert "Archive OK" in capsys.readouterr().err
+    assert cli_main(["check", "-q", archive]) == 0
+    capsys.readouterr()
+
+    orig = open(archive, "rb").read()
+    bad = str(tmp_path / "bad.agc")
+    # zero windows at several offsets; at least one must break a part
+    # (check verifies decode success + length, so corruption landing in
+    # slack space can legitimately pass)
+    failures = 0
+    for frac in (8, 5, 3, 2):
+        data = bytearray(orig)
+        mid = len(data) // frac
+        data[mid : mid + 200] = bytes(200)
+        open(bad, "wb").write(bytes(data))
+        if cli_main(["check", bad]) == 1:
+            failures += 1
+    err = capsys.readouterr().err
+    assert failures > 0 and "FAIL" in err

@@ -311,6 +311,27 @@ def test_append_to_legacy_archive(tmp_path, version):
     assert d.get_contig_seq("s2", "n1") == new_seq.encode()
     d.close()
 
+    # cross-tool: the reference binary (3.2.2 reads every format version)
+    # must extract our legacy-format append output, old and new samples
+    import os
+    import subprocess
+
+    ref_bin = os.environ.get("AGC_REF_BIN", "/tmp/refbuild/bin/agc")
+    if os.path.exists(ref_bin):
+        env = dict(os.environ, ASAN_OPTIONS="detect_leaks=0")
+        r = subprocess.run(
+            [ref_bin, "getctg", out, "n1@s2"],
+            check=True, capture_output=True, env=env,
+        )
+        got = b"".join(r.stdout.split(b"\n")[1:]).decode()
+        assert got == new_seq
+        r = subprocess.run(
+            [ref_bin, "getctg", out, "c1@s1"],
+            check=True, capture_output=True, env=env,
+        )
+        got = b"".join(r.stdout.split(b"\n")[1:])
+        assert got == b"TGCA" * 10
+
 
 def test_v1_grammar_encoder_roundtrip():
     """V1 token grammar: plain literals only (no '!') and matches always

@@ -26,7 +26,13 @@ class AGCFile:
     def Open(self, path: str, prefetching: bool = True) -> bool:
         if self._d is not None:
             return False
-        self._d = Decompressor(path, prefetch=prefetching)
+        try:
+            self._d = Decompressor(path, prefetch=prefetching)
+        except (OSError, ValueError, KeyError):
+            # reference parity: CAGCFile::Open returns false on a missing
+            # or unreadable archive (lib-cxx.cpp:35-43) — the canonical
+            # caller pattern is `if not agc.Open(path): ...`
+            return False
         return True
 
     def Close(self) -> bool:

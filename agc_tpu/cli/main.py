@@ -157,8 +157,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _out_stream(path: str):
+    """Writable stream for -o; used as a context manager. With no path it
+    yields sys.stdout WITHOUT closing it on exit (an in-process caller —
+    tests, scripts invoking main() twice — must keep its stdout)."""
+    import contextlib
+
     if not path:
-        return sys.stdout
+        return contextlib.nullcontext(sys.stdout)
     return open(path, "w")
 
 
@@ -244,6 +249,11 @@ def _dispatch(args) -> int:
                 params.min_match_len = _clamp(args.min_match_len, 15, 32)
                 params.segment_size = _clamp(args.segment_size, 100, 1_000_000)
                 if getattr(args, "shards", 1) > 1:
+                    # cmd_line is not threaded into the sharded paths:
+                    # they always write v3 archives, and v3 collections
+                    # persist no cmd-line history in either tool (the
+                    # plain-create cmd_line is equally dropped at
+                    # serialization; only v1/v2 appends store it)
                     if args.shard_workers == "jaxdist":
                         from ..parallel.jaxdist import create_archive_jaxdist
 
@@ -415,29 +425,47 @@ def _dispatch(args) -> int:
         problems: list[str] = []
         n_contigs = 0
         n_bases = 0
+
+        def check_one(s, c, segments):
+            """-> decoded base count, or an error string."""
+            try:
+                if not segments:
+                    return 0
+                want = sum(x.raw_length for x in segments) - (
+                    len(segments) - 1
+                ) * d.kmer_length
+                if args.quick:
+                    return 0
+                seq = d.decompress_contig(segments)
+                if len(seq) != want:
+                    return f"{s}:{c}: decoded {len(seq)} bases, metadata says {want}"
+                return len(seq)
+            except Exception as e:
+                return f"{s}:{c}: {e}"
+
         try:
             samples = d.list_samples()
+            tasks = []
             for s in samples:
-                for c in d.list_contigs(s) or []:
-                    n_contigs += 1
-                    try:
-                        want = d.get_contig_length(s, c)
-                        if want < 0:
-                            problems.append(f"{s}:{c}: missing descriptor")
-                            continue
-                        if args.quick:
-                            continue
-                        seq = d.get_contig_numeric(s, c)
-                        if seq is None or len(seq) != want:
-                            got = None if seq is None else len(seq)
-                            problems.append(
-                                f"{s}:{c}: decoded {got} bases, metadata "
-                                f"says {want}"
-                            )
-                        else:
-                            n_bases += len(seq)
-                    except Exception as e:
-                        problems.append(f"{s}:{c}: {e}")
+                desc = d.collection.get_sample_desc(s) or []
+                for c, segments in desc:
+                    tasks.append((s, c, segments))
+            n_contigs = len(tasks)
+            n_thr = _threads(args)
+            if n_thr > 1 and not args.quick and len(tasks) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=n_thr) as pool:
+                    results = list(
+                        pool.map(lambda t: check_one(*t), tasks)
+                    )
+            else:
+                results = [check_one(*t) for t in tasks]
+            for r in results:
+                if isinstance(r, str):
+                    problems.append(r)
+                else:
+                    n_bases += r
         except Exception as e:
             problems.append(f"collection metadata: {e}")
         finally:

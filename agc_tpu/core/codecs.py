@@ -27,6 +27,11 @@ def dec_be_varint(buf: bytes, pos: int) -> tuple[int, int]:
     """Decode; returns (value, new_pos)."""
     n = buf[pos]
     pos += 1
+    if n > 8 or pos + n > len(buf):
+        # a truncated buffer would silently decode a short slice as a
+        # smaller value (int.from_bytes(b'') == 0) — that turns corrupt
+        # footers into plausible-looking empty archives
+        raise ValueError("Corrupted archive! (truncated varint)")
     x = int.from_bytes(buf[pos : pos + n], "big")
     return x, pos + n
 

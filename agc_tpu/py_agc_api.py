@@ -39,11 +39,13 @@ class CAGCFile:
     def IsOpened(self) -> bool:
         return self._f.IsOpened()
 
-    # The reference binding accepts "ctg@sample" in the name argument.
+    # The reference binding accepts "ctg@sample" in the name argument;
+    # its regex is greedy ('(.+)@(.+)', agc_decompressor_lib.h:128), so
+    # the LAST '@' separates contig from sample.
     @staticmethod
     def _split(name: str) -> tuple[str, str]:
         if "@" in name:
-            ctg, sample = name.split("@", 1)
+            ctg, sample = name.rsplit("@", 1)
             return sample, ctg
         return "", name
 
@@ -54,8 +56,17 @@ class CAGCFile:
             sample, ctg = sample_or_name, name
         return self._f.GetCtgLen(sample, ctg)
 
-    def GetCtgSeq(self, name: str, start: int = -1, end: int = -1) -> str:
-        sample, ctg = self._split(name)
+    def GetCtgSeq(self, *args) -> str:
+        # both reference overloads (py_agc_api.cpp:77,84):
+        #   GetCtgSeq(sample, name, start, end)
+        #   GetCtgSeq(name[, start[, end]])   (name may be "ctg@sample")
+        if len(args) == 4:
+            sample, ctg, start, end = args
+        else:
+            name = args[0]
+            start = args[1] if len(args) > 1 else -1
+            end = args[2] if len(args) > 2 else -1
+            sample, ctg = self._split(name)
         return self._f.GetCtgSeq(sample, ctg, start, end)
 
     def NSample(self) -> int:

@@ -54,4 +54,3 @@ def device_trace(label: str = "agc_tpu"):
         yield
 
 
-GLOBAL_TIMERS = StageTimers()

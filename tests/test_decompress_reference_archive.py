@@ -90,3 +90,33 @@ def test_api_facade(toy_dir):
         assert f.GetCtgLen("ref", "chr1") == len(f.GetCtgSeq("ref", "chr1"))
         s = f.GetCtgSeq("ref", "chr1", 0, 9)
         assert len(s) == 10
+
+
+def test_py_agc_api_reference_binding_patterns(toy_dir):
+    """Call shapes from the reference's own py_agc_test.py: Open returns
+    False on failure (never raises), GetCtgSeq supports BOTH overloads
+    ((sample, name, start, end) and ("ctg@sample", start, end)), and the
+    '@' split is greedy (last '@' separates contig from sample, matching
+    the reference's '(.+)@(.+)' regex)."""
+    from agc_tpu import py_agc_api
+
+    agc = py_agc_api.CAGCFile()
+    assert agc.Open("/nonexistent/path.agc") is False
+    path = os.path.join(toy_dir, "toy_ex.agc")
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    assert agc.Open(path, True)
+
+    samples = py_agc_api.StringVector()
+    agc.ListSample(samples)
+    assert len(samples) == agc.NSample() > 0
+    s = sorted(samples)[0]
+    ctgs = py_agc_api.StringVector()
+    agc.ListCtg(s, ctgs)
+    c = ctgs[0]
+
+    four = agc.GetCtgSeq(s, c, 0, 5)          # reference 4-arg overload
+    combo = agc.GetCtgSeq(f"{c}@{s}", 0, 5)   # "ctg@sample" form
+    assert four == combo and len(four) == 6
+    assert agc.GetCtgLen(s, c) == agc.GetCtgLen(f"{c}@{s}")
+    agc.Close()

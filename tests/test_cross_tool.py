@@ -363,3 +363,29 @@ def test_concatenated_mode_cross_extract(tmp_path):
     _ref("create", *flags, "-o", theirs, ref_path, cat_path)
     check_with_ref_binary(theirs, "c_theirs")
     check_with_ours(theirs, "c_theirs")
+
+
+def test_multi_sample_getset_stdout_text_identical(tmp_path):
+    """reference getset s1 s2 (stdout concatenation) matches our CLI
+    byte-for-byte on our archive."""
+    from agc_tpu.cli.main import main as cli_main
+
+    files = _make_inputs(tmp_path)
+    archive = str(tmp_path / "g.agc")
+    create_archive(
+        archive,
+        [p for _, p in files],
+        CompressorParams(kmer_length=17, segment_size=1000, min_match_len=15,
+                         pack_cardinality=10),
+    )
+    del cli_main  # stdout here is binary (sys.stdout.buffer): use a real pipe
+    import sys
+
+    want = _ref_stdout("getset", archive, "ref", "s0")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "agc_tpu.cli.main", "getset", archive,
+         "ref", "s0"],
+        check=True, capture_output=True, env=env, timeout=600,
+    )
+    assert r.stdout == want

@@ -100,7 +100,10 @@ def _cross_trial(tmp_path, seed: int) -> None:
     l = rng.choice([15, 18, 20])
     b = rng.choice([1, 3, 10])
     adaptive = rng.random() < 0.4
-    base = [random_seq(rng, rng.randrange(3000, 12000))
+    # AGC_TPU_SOAK_SCALE grows contigs (e.g. 30 -> 90-360 kb) to stress
+    # the multi-chunk scan paths in cross-tool trials
+    scale = int(os.environ.get("AGC_TPU_SOAK_SCALE", "1"))
+    base = [random_seq(rng, scale * rng.randrange(3000, 12000))
             for _ in range(rng.randrange(1, 3))]
     files = []
     for name in ["ref", "s0", "s1"]:

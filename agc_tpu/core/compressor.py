@@ -298,6 +298,7 @@ class Compressor:
         self.splitters: np.ndarray = np.empty(0, dtype=np.uint64)
         self._splitter_set: set[int] = set()
         self.fallback_filter = _FallbackFilter(self.p.fallback_frac)
+        self._match_bank = None  # device RefBank (ops/match.py), lazy
         self.map_fallback: dict[int, list[tuple[int, int]]] = {}
         self._pending_fallback: list[tuple[int, int, int, bool]] = []
         # adaptive-mode candidate singleton/duplicate k-mers of the reference
@@ -1502,14 +1503,16 @@ class Compressor:
             self._raw_contigs.append((sample_name, contig_name, codes))
             return False
 
+        hints = self._device_match_prepass(codes, cuts, cut_kmers)
         seg_part_no = 0
         split_pos = 0
         split_kmer = EMPTY_KMER
-        for p in cuts:
+        for seg_ord, p in enumerate(cuts):
             kmer_here = cut_kmers[p]
             segment = codes[split_pos : p + 1]
             extra = self._add_segment(
-                sample_name, contig_name, seg_part_no, segment, split_kmer, kmer_here
+                sample_name, contig_name, seg_part_no, segment, split_kmer,
+                kmer_here, device_hint=hints.get(seg_ord),
             )
             seg_part_no += 1 + extra
             split_pos = p + 1 - self.k
@@ -1522,8 +1525,102 @@ class Compressor:
                 codes[split_pos:],
                 split_kmer,
                 EMPTY_KMER,
+                device_hint=hints.get(len(cuts)),
             )
         return True
+
+    # device-match prepass gating: "auto" dispatches when the batch's
+    # (segment x candidate) symbol volume clears _DEVICE_MATCH_MIN_SYMS —
+    # below that the host's bound-pruned exact walks win (a device
+    # dispatch through the tunnel costs ~25 ms); "1" forces, "0" disables
+    _DEVICE_MATCH_MIN_SYMS = int(
+        os.environ.get("AGC_TPU_MATCH_MIN_SYMS", str(24 << 20))
+    )
+
+    def _ref_codes_of(self, gid: int) -> bytes | None:
+        """Numeric reference codes of group ``gid`` for the device match
+        bank; None for raw/packed/unstored groups (those estimate as 0,
+        the host parity: CSegment::estimate, segment.cpp:83-85)."""
+        seg = self.v_segments[gid]
+        if seg is None or seg.get_ref_size() == 0:
+            return None
+        lz = seg.lz
+        rb = getattr(lz, "_ref_bytes", None)
+        if rb is not None:
+            return rb
+        if lz.reference is not None:
+            return lz.reference[: lz.ref_len].tobytes()
+        return None
+
+    def _device_match_prepass(self, codes, cuts, cut_kmers) -> dict:
+        """Batched device estimation of every one-splitter candidate
+        search in this contig (ops/match.py): one dispatch ranks all
+        (segment, candidate) pairs; the host then exact-estimates only
+        each segment's shortlist. Returns {segment-ordinal: (candidates,
+        allowed-indices)} for _add_segment.
+
+        Candidate sets depend only on ``terminators``/group refs, which
+        are stable between barriers — so ranking every segment of the
+        contig upfront equals ranking them one-by-one (reference
+        schedule: find_cand_segment_with_one_splitter per segment,
+        agc_compressor.cpp:1630-1808)."""
+        mode = os.environ.get("AGC_TPU_DEVICE_MATCH", "auto")
+        if mode == "0" or not cuts:
+            return {}
+        from ..ops import match as _match
+
+        queries = []  # (seg_ord, candidates, MatchQuery)
+        total_pair_syms = 0
+        n = len(codes)
+        bounds = list(cuts) + ([n - 1] if (len(cuts) and cuts[-1] + 1 - self.k < n) else [])
+        split_pos = 0
+        split_kmer = EMPTY_KMER
+        for seg_ord, p in enumerate(bounds):
+            is_tail = seg_ord == len(cuts)
+            kmer_here = EMPTY_KMER if is_tail else cut_kmers[p]
+            seg_slice = codes[split_pos : n if is_tail else p + 1]
+            front, back = split_kmer, kmer_here
+            if not is_tail:
+                split_pos = p + 1 - self.k
+                split_kmer = kmer_here
+            if front.full == back.full:
+                continue  # both or neither: no one-splitter search
+            if len(seg_slice) > (4 << 20):
+                continue  # outlier segment: host path (padding blowup)
+            role_swapped = not front.full  # back-only: dir role is RC
+            kmer = back.swapped() if role_swapped else front
+            cands = self._one_splitter_cands(kmer, len(seg_slice))
+            if not cands or len(cands) < 2:
+                continue  # 0/1 candidates: nothing for a ranker to prune
+            mq = _match.MatchQuery(
+                seg_slice,
+                [
+                    (
+                        self.map_segments[(c0, c1)],
+                        is_rc != role_swapped,
+                    )
+                    for c0, c1, is_rc in cands
+                ],
+            )
+            queries.append((seg_ord, cands, mq))
+            total_pair_syms += len(seg_slice) * len(cands)
+        if not queries:
+            return {}
+        if mode != "1" and total_pair_syms < self._DEVICE_MATCH_MIN_SYMS:
+            return {}
+        if self._match_bank is None:
+            self._match_bank = _match.RefBank(self.p.min_match_len - 3)
+        with self.timers.stage("device_match", total_pair_syms):
+            _match.estimate_batch(
+                [mq for _, _, mq in queries], self._match_bank,
+                self._ref_codes_of,
+            )
+        margin = float(os.environ.get("AGC_TPU_MATCH_MARGIN", "0.15"))
+        hints = {}
+        for seg_ord, cands, mq in queries:
+            allowed = _match.shortlist(mq.ests, margin=margin, extra=1)
+            hints[seg_ord] = (cands, allowed)
+        return hints
 
     # below this size the whole new-splitter search runs on the host: a
     # 30 kb genome costs microseconds in numpy vs several device RTTs
@@ -1611,6 +1708,7 @@ class Compressor:
         segment: np.ndarray,
         kmer_front: Kmer,
         kmer_back: Kmer,
+        device_hint: tuple[list, list[int]] | None = None,
     ) -> int:
         """Returns 1 when the segment was split into two parts, else 0."""
         pk = PK_EMPTY
@@ -1638,7 +1736,7 @@ class Compressor:
         elif kmer_front.full:
             segment_rc = _rc_numeric(segment)
             pk, store_rc = self._find_cand_one_splitter(
-                kmer_front, segment, segment_rc
+                kmer_front, segment, segment_rc, device_hint=device_hint
             )
             if (pk[0] == EMPTY or pk[1] == EMPTY) and self.fallback_filter:
                 pk_alt, rc_alt = self._find_cand_fallback(segment, 5)
@@ -1647,7 +1745,9 @@ class Compressor:
         else:  # kmer_back only
             kmer = kmer_back.swapped()
             segment_rc = _rc_numeric(segment)
-            pk, store_dir = self._find_cand_one_splitter(kmer, segment_rc, segment)
+            pk, store_dir = self._find_cand_one_splitter(
+                kmer, segment_rc, segment, device_hint=device_hint
+            )
             store_rc = not store_dir
             if (pk[0] == EMPTY or pk[1] == EMPTY) and self.fallback_filter:
                 pk_alt, dir_alt = self._find_cand_fallback(segment_rc, 5)
@@ -1753,28 +1853,23 @@ class Compressor:
 
     # ------------------------------------------------------------------
 
-    def _find_cand_one_splitter(
-        self, kmer: Kmer, segment_dir: np.ndarray, segment_rc: np.ndarray
-    ) -> tuple[tuple[int, int], bool]:
-        """reference: find_cand_segment_with_one_splitter (1630-1808)."""
+    def _one_splitter_cands(
+        self, kmer: Kmer, seg_size: int
+    ) -> list[tuple[int, int, bool]] | None:
+        """Ordered candidate (k1, k2, is_rc) triples for a one-splitter
+        search: terminator neighbors ranked by ref-size proximity
+        (reference: find_cand_segment_with_one_splitter, 1630-1718).
+        None when the splitter has no terminators (one-sided group)."""
         d = kmer.data()
         terms = self.terminators.get(d)
-
-        def one_sided():
-            if kmer.is_dir_oriented():
-                return (d, EMPTY), False
-            return (EMPTY, d), True
-
         if not terms:
-            return one_sided()
-
+            return None
         candidates = []
         for cand in terms:
             if cand < d:
                 candidates.append((cand, d, True))
             else:
                 candidates.append((d, cand, False))
-        seg_size = len(segment_dir)
         self._ensure_groups_ready(
             self.map_segments[(c0, c1)] for c0, c1, _ in candidates
         )
@@ -1785,6 +1880,34 @@ class Compressor:
         candidates.sort(
             key=lambda c: (abs(seg_size - ref_sizes[(c[0], c[1])]), ref_sizes[(c[0], c[1])])
         )
+        return candidates
+
+    def _find_cand_one_splitter(
+        self,
+        kmer: Kmer,
+        segment_dir: np.ndarray,
+        segment_rc: np.ndarray,
+        device_hint: tuple[list, list[int]] | None = None,
+    ) -> tuple[tuple[int, int], bool]:
+        """reference: find_cand_segment_with_one_splitter (1630-1808).
+
+        ``device_hint``: (candidates, allowed-indices) from the batched
+        device estimate prepass (ops/match.py) — the host exact-estimates
+        only the device shortlist instead of every candidate."""
+        d = kmer.data()
+
+        def one_sided():
+            if kmer.is_dir_oriented():
+                return (d, EMPTY), False
+            return (EMPTY, d), True
+
+        seg_size = len(segment_dir)
+        if device_hint is not None:
+            candidates = [device_hint[0][i] for i in device_hint[1]]
+        else:
+            candidates = self._one_splitter_cands(kmer, seg_size)
+        if not candidates:
+            return one_sided()
 
         best_pk = PK_EMPTY
         best_est = seg_size if seg_size < 16 else seg_size - 16
@@ -1884,6 +2007,31 @@ class Compressor:
         if e1 or e2:
             return (middle, 0) if (e1 and e2) else (EMPTY, 0)
 
+        mode = os.environ.get("AGC_TPU_DEVICE_MATCH", "auto")
+        if mode != "0" and (
+            mode == "1" or n * 2 >= self._DEVICE_MATCH_MIN_SYMS
+        ):
+            # device split search: both cost walks as batched coverage
+            # prefix-sums + argmin in one dispatch (ops/match.py)
+            from ..ops import match as _match
+
+            if self._match_bank is None:
+                self._match_bank = _match.RefBank(self.p.min_match_len - 3)
+            with self.timers.stage("device_match", 2 * n):
+                pos = _match.split_point_device(
+                    segment_dir, self._match_bank,
+                    gid1, not (kmer1.data() < middle),
+                    gid2, not (middle < kmer2.data()),
+                    self._ref_codes_of,
+                )
+            if pos is not None:
+                best_pos = pos
+                if best_pos < self.k + 1:
+                    best_pos = 0
+                if best_pos + self.k + 1 > n:
+                    best_pos = n
+                return middle, best_pos
+
         lz1, lz2 = seg1.lz, seg2.lz
         if lz1._ctx is not None and lz2._ctx is not None:
             # fused native path: both cost walks + cumulative sums +
@@ -1963,6 +2111,52 @@ class Compressor:
         pruned = pruned[:max_num_to_estimate]
         while pruned and pruned[-1][0] * 2 < pruned[0][0]:
             pruned.pop()
+
+        # device shortlist for the estimate sweep (ops/match.py): one
+        # dispatch ranks all surviving candidate groups, the host
+        # exact-estimates only the shortlist. Only pays off when the
+        # sweep is heavy (big segment x many candidates); short_segments
+        # never estimates at all, so it stays host-side.
+        mode = os.environ.get("AGC_TPU_DEVICE_MATCH", "auto")
+        if (
+            mode != "0"
+            and not short_segments
+            and len(pruned) >= 2
+            and (
+                mode == "1"
+                or len(segment) * len(pruned) >= self._DEVICE_MATCH_MIN_SYMS
+            )
+        ):
+            from ..ops import match as _match
+
+            dev_cands = []
+            dev_idx = []
+            for i, (cnt, pair) in enumerate(pruned):
+                is_seg_rc = pair[0] > pair[1]
+                key = (pair[1], pair[0]) if is_seg_rc else pair
+                gid = self.map_segments.get(key)
+                if gid is not None:
+                    dev_cands.append((gid, is_seg_rc))
+                    dev_idx.append(i)
+            if len(dev_cands) >= 2:
+                if self._match_bank is None:
+                    self._match_bank = _match.RefBank(self.p.min_match_len - 3)
+                mq = _match.MatchQuery(segment, dev_cands)
+                with self.timers.stage(
+                    "device_match", len(segment) * len(dev_cands)
+                ):
+                    _match.estimate_batch(
+                        [mq], self._match_bank, self._ref_codes_of
+                    )
+                margin = float(os.environ.get("AGC_TPU_MATCH_MARGIN", "0.15"))
+                keep = {
+                    dev_idx[j]
+                    for j in _match.shortlist(mq.ests, margin=margin, extra=1)
+                }
+                pruned = [
+                    e for i, e in enumerate(pruned)
+                    if i in keep or i not in dev_idx
+                ]
 
         seg_b = segment.astype(np.uint8, copy=False).tobytes()
         _rc_cache: list[bytes | None] = [None]

@@ -158,57 +158,123 @@ def _digits(x: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
-@partial(jax.jit, static_argnames=("key_len", "mml"))
+def _pair_marginal_cost(q, a, nn, skc, spc, key_len):
+    """Per-position marginal token cost of one (segment-row, candidate)
+    pair under the coverage model: literal = uncovered ACGT position,
+    match token cost attributed at its covered run's start, N-run cost
+    at the N-run start. Summing gives the scalar estimate; cumulative
+    sums give the prefix/suffix cost vectors the missing-middle split
+    search needs (reference: GetCodingCostVector, lz_diff.cpp:159-284)."""
+    m = skc.shape[0]
+    b = q.shape[0]
+    idx = jnp.minimum(jnp.searchsorted(skc, q), m - 1)
+    hit = (skc[idx] == q) & (q != SENTINEL)
+    rpos = jnp.where(hit, spc[idx], jnp.int32(0))
+    # coverage: hit at i covers [i, i + key_len)
+    c = jnp.cumsum(hit.astype(jnp.int32))
+    c_shift = jnp.concatenate(
+        [jnp.zeros(key_len, jnp.int32), c[:-key_len]]
+    )
+    covered = (c - c_shift) > 0
+    prev_cov = jnp.concatenate([jnp.zeros(1, bool), covered[:-1]])
+    run_start = covered & ~prev_cov
+    # diagonal at each run start (a run start is always a hit)
+    diag = rpos - jnp.arange(b, dtype=jnp.int32)
+    ridx = jnp.where(run_start, jnp.arange(b, dtype=jnp.int32), -1)
+    # cummax primitive, NOT associative_scan(maximum): the generic scan
+    # unrolls log2(b) concat stages whose vmapped TPU compile explodes
+    # (>10 min at 64x64k); cummax lowers to one reduce-window
+    last = jax.lax.cummax(ridx)
+    prev_start = jnp.concatenate([jnp.full(1, -1, jnp.int32), last[:-1]])
+    prev_diag = jnp.where(
+        prev_start >= 0, diag[jnp.maximum(prev_start, 0)], 0
+    )
+    dd = jnp.abs(diag - prev_diag)
+    # match token ~ digits(|dpos|) + sign + ',' + len-field + '.'
+    run_cost = _digits(dd) + 4
+    prev_n = jnp.concatenate([jnp.zeros(1, bool), nn[:-1]])
+    return (
+        (a & ~covered).astype(jnp.int32)
+        + jnp.where(run_start, run_cost, 0)
+        + 4 * (nn & ~prev_n).astype(jnp.int32)
+    )
+
+
+@partial(jax.jit, static_argnames=("key_len",))
 def _estimate_kernel(
-    keys: jnp.ndarray,   # (Q, b) u64 per-orientation seed keys
-    acgt: jnp.ndarray,   # (Q, b) bool
-    isn: jnp.ndarray,    # (Q, b) bool
-    rows: jnp.ndarray,   # (P,) i32: query row per pair
-    sk: jnp.ndarray,     # (P, m) u64 sorted candidate keys
-    sp: jnp.ndarray,     # (P, m) i32 co-sorted positions
+    keys: jnp.ndarray,    # (Q, b) u64 per-orientation seed keys
+    acgt: jnp.ndarray,    # (Q, b) bool
+    isn: jnp.ndarray,     # (Q, b) bool
+    rows: jnp.ndarray,    # (P,) i32: query row per pair
+    cands: jnp.ndarray,   # (P,) i32: bank-matrix row per pair
+    bsk: jnp.ndarray,     # (R, m) u64 consolidated sorted candidate keys
+    bsp: jnp.ndarray,     # (R, m) i32 co-sorted positions
     key_len: int,
-    mml: int,
 ):
     """Approximate token-stream cost for each (segment-row, candidate)
     pair: literals = uncovered ACGT positions, matches = covered runs
-    costed by their diagonal jump + average length field, N-runs ~4."""
-    del mml
-    m = sk.shape[1]
+    costed by their diagonal jump + average length field, N-runs ~4.
+
+    Candidate indexes are rows of one consolidated bank matrix and are
+    gathered ON DEVICE — the host never stacks per-candidate arrays
+    (eager per-array dispatches dominate wall time through a remote
+    tunnel)."""
+
+    def one(row, ci):
+        return jnp.sum(
+            _pair_marginal_cost(
+                keys[row], acgt[row], isn[row], bsk[ci], bsp[ci], key_len
+            )
+        )
+
+    return jax.vmap(one)(rows, cands)
+
+
+@partial(jax.jit, static_argnames=("key_len", "o1_rc", "o2_rc"))
+def _split_point_kernel(
+    keys: jnp.ndarray,   # (2, b) u64: row 0 dir, row 1 rc
+    acgt: jnp.ndarray,
+    isn: jnp.ndarray,
+    n: jnp.ndarray,      # () i32 true segment length
+    sk1: jnp.ndarray, sp1: jnp.ndarray,   # group-1 reference index
+    sk2: jnp.ndarray, sp2: jnp.ndarray,   # group-2 reference index
+    key_len: int,
+    o1_rc: bool,         # group 1 encodes the RC text
+    o2_rc: bool,
+):
+    """Cost-optimal split position for the missing-middle search: V1(i) =
+    cost of encoding the first i DIR symbols against ref1 (in group 1's
+    orientation) + V2(i) = cost of the remaining suffix against ref2;
+    returns argmin_i V1+V2 over i in [0, n] — the device twin of the two
+    GetCodingCostVector walks + cumulative-sum argmin (reference:
+    find_cand_segment_with_missing_middle_splitter,
+    agc_compressor.cpp:1502-1627)."""
     b = keys.shape[1]
-
-    def one(row, skc, spc):
-        q = keys[row]
-        a = acgt[row]
-        nn = isn[row]
-        idx = jnp.minimum(jnp.searchsorted(skc, q), m - 1)
-        hit = (skc[idx] == q) & (q != SENTINEL)
-        rpos = jnp.where(hit, spc[idx], jnp.int32(0))
-        # coverage: hit at i covers [i, i + key_len)
-        c = jnp.cumsum(hit.astype(jnp.int32))
-        c_shift = jnp.concatenate(
-            [jnp.zeros(key_len, jnp.int32), c[:-key_len]]
-        )
-        covered = (c - c_shift) > 0
-        prev_cov = jnp.concatenate([jnp.zeros(1, bool), covered[:-1]])
-        run_start = covered & ~prev_cov
-        # diagonal at each run start (a run start is always a hit)
-        diag = rpos - jnp.arange(b, dtype=jnp.int32)
-        ridx = jnp.where(run_start, jnp.arange(b, dtype=jnp.int32), -1)
-        last = jax.lax.associative_scan(jnp.maximum, ridx)
-        prev_start = jnp.concatenate([jnp.full(1, -1, jnp.int32), last[:-1]])
-        prev_diag = jnp.where(
-            prev_start >= 0, diag[jnp.maximum(prev_start, 0)], 0
-        )
-        dd = jnp.abs(diag - prev_diag)
-        # match token ~ digits(|dpos|) + sign + ',' + len-field + '.'
-        run_cost = _digits(dd) + 4
-        match_cost = jnp.sum(jnp.where(run_start, run_cost, 0))
-        literals = jnp.sum((a & ~covered).astype(jnp.int32))
-        prev_n = jnp.concatenate([jnp.zeros(1, bool), nn[:-1]])
-        nrun_cost = 4 * jnp.sum((nn & ~prev_n).astype(jnp.int32))
-        return literals + match_cost + nrun_cost
-
-    return jax.vmap(one)(rows, sk, sp)
+    r1 = 1 if o1_rc else 0
+    r2 = 1 if o2_rc else 0
+    c1 = _pair_marginal_cost(
+        keys[r1], acgt[r1], isn[r1], sk1, sp1, key_len
+    )
+    c2 = _pair_marginal_cost(
+        keys[r2], acgt[r2], isn[r2], sk2, sp2, key_len
+    )
+    z = jnp.zeros(1, jnp.int32)
+    cum1 = jnp.concatenate([z, jnp.cumsum(c1)])   # (b+1,) inclusive-prefix
+    cum2 = jnp.concatenate([z, jnp.cumsum(c2)])
+    i = jnp.arange(b + 1, dtype=jnp.int32)
+    ni = jnp.clip(n - i, 0, b)
+    if o1_rc:
+        # first i dir symbols = last i of the RC text
+        v1 = cum1[n] - cum1[ni]
+    else:
+        v1 = cum1[i]
+    if o2_rc:
+        # dir suffix from i = first n-i of the RC text
+        v2 = cum2[ni]
+    else:
+        v2 = cum2[n] - cum2[jnp.minimum(i, n)]
+    total = jnp.where(i <= n, v1 + v2, jnp.int32(2**30))
+    return jnp.argmin(total).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -216,18 +282,23 @@ def _estimate_kernel(
 # ---------------------------------------------------------------------------
 
 
-def estimate_np(
+def marginal_cost_np(
     seg_codes: np.ndarray, ref_codes: np.ndarray, key_len: int
-) -> int:
-    """Numpy twin of one (segment, candidate) device estimate (direct
-    orientation). Byte-identical to the kernel on the same inputs."""
+) -> np.ndarray:
+    """Numpy twin of :func:`_pair_marginal_cost` for one (segment,
+    candidate) pair (direct orientation): per-position marginal token
+    cost. Byte-identical to the kernel on the same inputs."""
     n = len(seg_codes)
+    out = np.zeros(n, dtype=np.int64)
+    nmask = seg_codes > 3
+    prev_n = np.concatenate([[False], nmask[:-1]])
+    out += 4 * (nmask & ~prev_n)
     if n < key_len:
-        return int(np.count_nonzero(seg_codes <= 3))
+        out += (seg_codes <= 3).astype(np.int64)
+        return out
     # ref index
-    r = ref_codes.astype(np.uint64)
-    rn = len(r)
     rkeys = {}
+    rn = len(ref_codes)
     for j in range(0, rn - key_len + 1, HASHING_STEP):
         w = ref_codes[j : j + key_len]
         if np.any(w > 3):
@@ -258,17 +329,42 @@ def estimate_np(
     prev_cov = np.concatenate([[False], covered[:-1]])
     run_start = covered & ~prev_cov
     diag = rpos - np.arange(n)
-    cost = 0
     prev_diag = 0
     for i in np.flatnonzero(run_start).tolist():
         dd = abs(int(diag[i]) - prev_diag)
-        cost += len(str(dd)) + 4
+        out[i] += len(str(dd)) + 4
         prev_diag = int(diag[i])
-    cost += int(np.count_nonzero((seg_codes <= 3) & ~covered))
-    nmask = seg_codes > 3
-    prev_n = np.concatenate([[False], nmask[:-1]])
-    cost += 4 * int(np.count_nonzero(nmask & ~prev_n))
-    return int(cost)
+    out += (seg_codes <= 3) & ~covered
+    return out
+
+
+def estimate_np(
+    seg_codes: np.ndarray, ref_codes: np.ndarray, key_len: int
+) -> int:
+    """Numpy twin of one (segment, candidate) device estimate (direct
+    orientation). Byte-identical to the kernel on the same inputs."""
+    return int(marginal_cost_np(seg_codes, ref_codes, key_len).sum())
+
+
+def split_point_np(
+    seg_codes: np.ndarray,
+    ref1: np.ndarray, o1_rc: bool,
+    ref2: np.ndarray, o2_rc: bool,
+    key_len: int,
+) -> int:
+    """Numpy twin of :func:`_split_point_kernel` (same V1/V2 definitions)."""
+    n = len(seg_codes)
+    rc = seg_codes[::-1].copy()
+    m = rc <= 3
+    rc[m] = 3 - rc[m]
+    c1 = marginal_cost_np(rc if o1_rc else seg_codes, ref1, key_len)
+    c2 = marginal_cost_np(rc if o2_rc else seg_codes, ref2, key_len)
+    cum1 = np.concatenate([[0], np.cumsum(c1)])
+    cum2 = np.concatenate([[0], np.cumsum(c2)])
+    i = np.arange(n + 1)
+    v1 = (cum1[n] - cum1[n - i]) if o1_rc else cum1[i]
+    v2 = cum2[n - i] if o2_rc else (cum2[n] - cum2[i])
+    return int(np.argmin(v1 + v2))
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +380,14 @@ class RefBank:
     the reference codes. LRU-evicted to ``budget_bytes`` (HBM is the
     constraint; v5e has 16 GB/chip). The reference's analogue is each
     CSegment's in-RAM LZ hash table (segment.h:27-70) — here the bank
-    is the persistent, device-side half of that state."""
+    is the persistent, device-side half of that state.
+
+    Entries sharing a key-count bucket ``m`` are additionally kept
+    CONSOLIDATED in one (R, m) device matrix per bucket (appended in one
+    concatenate per dispatch, rebuilt after eviction), so a batched
+    estimate gathers candidate rows on device instead of the host
+    stacking hundreds of arrays — eager per-array dispatch round-trips,
+    not FLOPs, are the wall through a remote device tunnel."""
 
     def __init__(self, key_len: int, budget_bytes: int | None = None):
         self.key_len = key_len
@@ -292,6 +395,9 @@ class RefBank:
             os.environ.get("AGC_TPU_MATCH_BANK_BYTES", str(2 << 30))
         )
         self._entries: OrderedDict[int, tuple] = OrderedDict()
+        # bucket m -> [built_sk (R,m), built_sp (R,m), row_gids list]
+        self._built: dict[int, list] = {}
+        self._row_of: dict[int, tuple[int, int]] = {}  # gid -> (m, row)
         self._bytes = 0
         self._lock = threading.Lock()
 
@@ -324,15 +430,84 @@ class RefBank:
             self._entries[gid] = (sk, sp, int(sk.shape[0]))
             self._bytes += nbytes
             while self._bytes > self.budget and len(self._entries) > 1:
-                _, (osk, _osp, _m) = self._entries.popitem(last=False)
+                ogid, (osk, _osp, om) = self._entries.popitem(last=False)
                 self._bytes -= int(osk.size) * 12
+                if self._row_of.pop(ogid, None) is not None:
+                    # consolidated matrix holds a stale row: rebuild the
+                    # bucket lazily at its next use
+                    blt = self._built.pop(om, None)
+                    if blt is not None:
+                        self._bytes -= int(blt[0].size) * 12
+                        for g in blt[2]:
+                            self._row_of.pop(g, None)
         return self._entries[gid]
+
+    def rows_for(self, gids_entries: list) -> list[int]:
+        """Consolidated-matrix row for each (gid, (sk, sp, m)) — all of
+        one bucket m. Missing rows are appended in ONE device
+        concatenate."""
+        with self._lock:
+            missing = [
+                (g, e) for g, e in gids_entries if g not in self._row_of
+            ]
+            if missing:
+                m = missing[0][1][2]
+                blt = self._built.get(m)
+                stack_sk = jnp.stack([e[0] for _, e in missing])
+                stack_sp = jnp.stack([e[1] for _, e in missing])
+                base = len(blt[2]) if blt is not None else 0
+                need = base + len(missing)
+                if blt is None:
+                    cap = _pow2(need, 4)
+                    blt = [
+                        jnp.zeros((cap, m), dtype=_U64),
+                        jnp.zeros((cap, m), dtype=jnp.int32),
+                        [],
+                    ]
+                    self._built[m] = blt
+                    self._bytes += cap * m * 12
+                elif need > blt[0].shape[0]:
+                    # capacity stays pow2 so the estimate kernel's
+                    # (R, m) shape — and its compiled variant — is
+                    # stable across appends
+                    old_cap = blt[0].shape[0]
+                    cap = _pow2(need, old_cap * 2)
+                    pad = cap - old_cap
+                    blt[0] = jnp.concatenate(
+                        [blt[0], jnp.zeros((pad, m), dtype=_U64)]
+                    )
+                    blt[1] = jnp.concatenate(
+                        [blt[1], jnp.zeros((pad, m), dtype=jnp.int32)]
+                    )
+                    self._bytes += pad * m * 12
+                blt[0] = jax.lax.dynamic_update_slice(
+                    blt[0], stack_sk, (base, 0)
+                )
+                blt[1] = jax.lax.dynamic_update_slice(
+                    blt[1], stack_sp, (base, 0)
+                )
+                for i, (g, _e) in enumerate(missing):
+                    self._row_of[g] = (m, base + i)
+                blt[2].extend(g for g, _ in missing)
+            return [self._row_of[g][1] for g, _ in gids_entries]
+
+    def built(self, m: int):
+        with self._lock:
+            blt = self._built[m]
+            return blt[0], blt[1]
 
     def drop(self, gid: int) -> None:
         with self._lock:
             e = self._entries.pop(gid, None)
             if e is not None:
                 self._bytes -= int(e[0].size) * 12
+            r = self._row_of.pop(gid, None)
+            if r is not None:
+                blt = self._built.pop(r[0], None)
+                if blt is not None:
+                    self._bytes -= int(blt[0].size) * 12
+                    for g in blt[2]:
+                        self._row_of.pop(g, None)
 
 
 # ---------------------------------------------------------------------------
@@ -359,12 +534,24 @@ def estimate_batch(queries: list[MatchQuery], bank: RefBank, ref_codes_of):
     dispatches; fills ``q.ests`` in-place. Pairs whose group reference
     is unavailable (still packed from appending) get estimate 0 — the
     same zero the host path reports for packed groups
-    (reference: CSegment::estimate, segment.cpp:83-85)."""
+    (reference: CSegment::estimate, segment.cpp:83-85).
+
+    Queries are bucketed by pow2 segment length so one outlier segment
+    does not pad the whole batch to its size."""
     live = [q for q in queries if q.cands]
     if not live:
         return
+    by_len: dict[int, list[MatchQuery]] = {}
+    for q in live:
+        by_len.setdefault(_pow2(len(q.codes), _MIN_SEG_BUCKET), []).append(q)
+    for seg_b, qs in by_len.items():
+        _estimate_bucket(qs, bank, ref_codes_of, seg_b)
+
+
+def _estimate_bucket(
+    live: list[MatchQuery], bank: RefBank, ref_codes_of, seg_b: int
+):
     key_len = bank.key_len
-    seg_b = _pow2(max(len(q.codes) for q in live), _MIN_SEG_BUCKET)
     s_bucket = _pow2(len(live), 1)
     mat = np.full((s_bucket, seg_b), 255, dtype=np.uint8)
     lens = np.zeros(s_bucket, dtype=np.int32)
@@ -382,31 +569,61 @@ def estimate_batch(queries: list[MatchQuery], bank: RefBank, ref_codes_of):
             entry = bank.get(gid, lambda g=gid: ref_codes_of(g))
             if entry is None:
                 continue
-            sk, sp, m = entry
+            m = entry[2]
             by_bucket.setdefault(m, []).append(
-                (qi * 2 + (1 if use_rc else 0), sk, sp, q, ci)
+                (qi * 2 + (1 if use_rc else 0), gid, entry, q, ci)
             )
+    results = []  # (device ests, items) — one blocking download at the end
     for m, items in by_bucket.items():
+        crows = bank.rows_for([(gid, e) for _row, gid, e, _q, _ci in items])
+        bsk, bsp = bank.built(m)
         p_bucket = _pow2(len(items), 1)
         rows = np.zeros(p_bucket, dtype=np.int32)
-        sks = []
-        sps = []
-        for j, (row, sk, sp, _q, _ci) in enumerate(items):
+        cands = np.zeros(p_bucket, dtype=np.int32)
+        for j, (row, _gid, _e, _q, _ci) in enumerate(items):
             rows[j] = row
-            sks.append(sk)
-            sps.append(sp)
-        pad = p_bucket - len(items)
-        if pad:
-            sks.extend([sks[-1]] * pad)
-            sps.extend([sps[-1]] * pad)
+            cands[j] = crows[j]
         ests = _estimate_kernel(
             keys, acgt, isn,
-            jnp.asarray(rows), jnp.stack(sks), jnp.stack(sps),
-            key_len, 0,
+            jnp.asarray(rows), jnp.asarray(cands), bsk, bsp,
+            key_len,
         )
+        results.append((ests, items))
+    for ests, items in results:
         ests = np.asarray(ests)
-        for j, (_row, _sk, _sp, q, ci) in enumerate(items):
+        for j, (_row, _gid, _e, q, ci) in enumerate(items):
             q.ests[ci] = int(ests[j])
+
+
+def split_point_device(
+    codes: np.ndarray,
+    bank: RefBank,
+    gid1: int, o1_rc: bool,
+    gid2: int, o2_rc: bool,
+    ref_codes_of,
+) -> int | None:
+    """Missing-middle split position on device (see
+    :func:`_split_point_kernel`); None when either group's reference is
+    unavailable (packed from appending — the host path then applies its
+    own packed-group rules, agc_compressor.cpp:1605-1608)."""
+    e1 = bank.get(gid1, lambda: ref_codes_of(gid1))
+    e2 = bank.get(gid2, lambda: ref_codes_of(gid2))
+    if e1 is None or e2 is None:
+        return None
+    key_len = bank.key_len
+    b = _pow2(len(codes), _MIN_SEG_BUCKET)
+    mat = np.full((1, b), 255, dtype=np.uint8)
+    mat[0, : len(codes)] = codes
+    packed = jnp.asarray(pack4_np(mat.reshape(-1)).reshape(1, b // 2))
+    keys, acgt, isn = _seg_rows_kernel(
+        packed, jnp.asarray([len(codes)], dtype=np.int32), key_len
+    )
+    pos = _split_point_kernel(
+        keys, acgt, isn, jnp.int32(len(codes)),
+        e1[0], e1[1], e2[0], e2[1],
+        key_len, bool(o1_rc), bool(o2_rc),
+    )
+    return int(pos)
 
 
 def shortlist(ests: np.ndarray, margin: float, extra: int) -> list[int]:

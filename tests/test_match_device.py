@@ -128,6 +128,32 @@ def test_refbank_eviction_and_reuse():
     assert bank.get(98, lambda: b"\x00" * 4) is None
 
 
+def test_split_point_matches_numpy_twin():
+    """Device missing-middle split argmin == the numpy twin, and lands
+    near the true boundary of a left-ref/right-ref chimera."""
+    rng = np.random.default_rng(6)
+    key_len = 17
+    left = _rand_seq(rng, 4000)
+    right = _rand_seq(rng, 4000)
+    for o1_rc, o2_rc in [(False, False), (True, False), (False, True)]:
+        seg = np.concatenate([_mutate(rng, left, 0.005)[:3000],
+                              _mutate(rng, right, 0.005)[:3000]])
+        # bank refs are stored in the group's own orientation; the seg's
+        # dir prefix matches ref1 after RC when o1_rc
+        bank = M.RefBank(key_len)
+        refs = {1: _rc(left) if o1_rc else left,
+                2: _rc(right) if o2_rc else right}
+        dev = M.split_point_device(
+            seg, bank, 1, o1_rc, 2, o2_rc,
+            lambda g: refs[g].tobytes(),
+        )
+        twin = M.split_point_np(
+            seg, refs[1], o1_rc, refs[2], o2_rc, key_len
+        )
+        assert dev == twin, (o1_rc, o2_rc, dev, twin)
+        assert abs(dev - 3000) < 200, (o1_rc, o2_rc, dev)
+
+
 def test_packed_group_scores_zero():
     """Unavailable reference codes (packed group from appending) must
     estimate as 0 — the host path's CSegment::estimate parity

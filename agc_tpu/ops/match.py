@@ -17,24 +17,32 @@ TPU rethink (SURVEY.md §7 step 7 "estimate-with-bound"):
 - every group reference keeps a device-resident index: its LZ seed keys
   (``key_len = min_match_len - 3`` 2-bit-coded symbols, sampled every
   ``hashing_step = 4`` positions — the same sampled index the host
-  encoder probes, lz_diff.cpp:16-25) co-sorted with their positions
-  (:class:`RefBank`, the "HBM-resident reference segment dictionary");
+  encoder probes, lz_diff.cpp:16-25) packed into a dual min/max
+  HASH-SLOT table (:class:`RefBank`, the "HBM-resident reference
+  segment dictionary"). Slot tables, not sorted arrays: TPUs gather at
+  ~100 M elements/s, so membership must cost ONE probe, not the
+  log2(m) passes of a binary search — measured 13.6 s vs 0.3 s for the
+  same pair batch on a v5e;
 - a batch of segments is uploaded once (nibble-packed) and its seed keys
   for BOTH orientations are computed on device by the same log-doubling
-  ladder the scan kernels use (O(log key_len) vector steps);
+  ladder the scan kernels use (O(log key_len) vector steps); probes are
+  sampled every ``hashing_step`` segment positions too (4x fewer
+  gathers; the reference's own -f fallback ranks groups from a ~1%
+  k-mer sample, so stride-4 ranking fidelity is conservative);
 - every (segment-orientation, candidate) pair is estimated at once:
-  sorted-join of segment keys against the candidate's key index
-  (searchsorted — gather-light, O(n log m)), seed coverage painted with
-  a shifted-cumsum window OR (no scatter), covered runs and their
-  diagonal jumps costed with the token grammar's digit lengths, and the
-  uncovered ACGT positions counted as literals;
+  strided hash probes against the candidate's slot rows (gathered on
+  device from one consolidated bank matrix), seed coverage painted with
+  a strided-cumsum window upsampled by ``repeat`` (no scatter), covered
+  runs and their diagonal jumps costed with the token grammar's digit
+  lengths, and the uncovered ACGT positions counted as literals;
 - the host exact-estimates only the short list that survives the device
   ranking (ties within a margin), so the final choice matches the
   host-only path whenever the true argmin is not decisively separated —
   the device removes the O(candidates) serial walks, not the decision.
 
-The estimate is approximate BY DESIGN (coverage model, not a replayed
-walk); :func:`shortlist` keeps candidate *choice* host-exact.
+The estimate is approximate BY DESIGN (coverage model over a lossy slot
+table, not a replayed walk — numpy twins pin the model exactly);
+:func:`shortlist` keeps candidate *choice* host-exact.
 """
 
 from __future__ import annotations
@@ -62,6 +70,34 @@ _MIN_SEG_BUCKET = 1 << 12
 _MIN_REF_KEY_BUCKET = 1 << 10
 
 _U64 = jnp.uint64
+
+
+def probe_stride() -> int:
+    """Segment-side probe stride (positions between probed seed keys).
+    Gathers are the device cost; stride 4 probes every index-aligned
+    position, 8/16 trade ranking resolution for half/quarter the
+    gathers. Must be a multiple of HASHING_STEP and < key_len."""
+    return int(os.environ.get("AGC_TPU_MATCH_STRIDE", "4"))
+
+# slot-table geometry: H buckets = 2 x sampled-key bucket (load 0.5),
+# each bucket keeps the MIN- and MAX-packed colliding entry (two scatter
+# passes) — only middle entries of >=3-way bucket collisions are lost
+# (~1% of keys at this load), which ranking tolerates and the twins model
+_POS_BITS = 24            # ref positions < 16M (bank refuses larger refs)
+_FP_BITS = 39
+_HASH_MUL = 0x9E3779B97F4A7C15    # splitmix64 golden-ratio multiplier
+_FP_MUL = 0xC2B2AE3D27D4EB4F      # xxhash64 prime_2
+_SLOT_SENT = (1 << 63) - 1        # empty slot for the min table
+
+
+def _bucket_of(keys, log2_h: int):
+    """Bucket id of each (u64) seed key: top log2_h bits of key * GOLDEN."""
+    return ((keys * _U64(_HASH_MUL)) >> _U64(64 - log2_h)).astype(jnp.int32)
+
+
+def _fp_of(keys):
+    """39-bit fingerprint (top bits of a second multiply), as int64."""
+    return ((keys * _U64(_FP_MUL)) >> _U64(64 - _FP_BITS)).astype(jnp.int64)
 
 
 def _pow2(n: int, lo: int) -> int:
@@ -92,10 +128,9 @@ def _start_keys(codes: jnp.ndarray, key_len: int):
     return jnp.where(valid, keys, SENTINEL), valid
 
 
-@partial(jax.jit, static_argnames=("key_len",))
-def _seg_rows_kernel(packed: jnp.ndarray, lens: jnp.ndarray, key_len: int):
+def _rows_build(packed: jnp.ndarray, lens: jnp.ndarray, key_len: int):
     """(S, b/2) nibble-packed segment batch -> per-orientation seed keys
-    + symbol classes.
+    + symbol classes (traced helper shared by the jitted row kernels).
 
     Returns (keys, acgt, isn), each (2S, b): row 2i is segment i in
     direct orientation, row 2i+1 its reverse complement (keys computed
@@ -133,20 +168,63 @@ def _seg_rows_kernel(packed: jnp.ndarray, lens: jnp.ndarray, key_len: int):
 
 
 @partial(jax.jit, static_argnames=("key_len",))
-def _ref_index_kernel(packed: jnp.ndarray, key_len: int):
-    """Nibble-packed reference -> (sorted seed keys, co-sorted positions)
-    sampled every HASHING_STEP positions (the device twin of the host
-    encoder's make_index, reference lz_diff.cpp:117-146). Invalid keys
-    sort to the end as SENTINEL."""
+def _seg_rows_kernel(packed: jnp.ndarray, lens: jnp.ndarray, key_len: int):
+    """Full-resolution per-orientation rows (split-point path)."""
+    return _rows_build(packed, lens, key_len)
+
+
+@partial(jax.jit, static_argnames=("key_len", "stride"))
+def _seg_rows_strided_kernel(
+    packed: jnp.ndarray, lens: jnp.ndarray, key_len: int, stride: int
+):
+    """Strided per-orientation row precomputation for batched
+    estimation: everything PER-PAIR work needs, reduced to the probe
+    grid so per-pair cost is O(b / stride) and — critically — gathered
+    elements stay O(probes), the TPU's actual bottleneck.
+
+    Returns (keys_s (2S,T) strided seed keys; a_lo/a_hi (2S,T) int32
+    per-block ACGT counts split at offset key_len % stride — the only
+    within-block coverage boundary; nrun_tot (2S,) int32 total N-run
+    token cost)."""
+    keys, acgt, isn, = _rows_build(packed, lens, key_len)
+    q2, b = keys.shape
+    t = b // stride
+    keys_s = keys[:, ::stride]
+    r = key_len % stride
+    blocks = acgt.reshape(q2, t, stride).astype(jnp.int32)
+    a_lo = blocks[:, :, :r].sum(axis=2) if r else jnp.zeros(
+        (q2, t), jnp.int32
+    )
+    a_hi = blocks[:, :, r:].sum(axis=2)
+    prev_n = jnp.concatenate(
+        [jnp.zeros((q2, 1), bool), isn[:, :-1]], axis=1
+    )
+    nrun_tot = 4 * jnp.sum((isn & ~prev_n).astype(jnp.int32), axis=1)
+    return keys_s, a_lo, a_hi, nrun_tot
+
+
+@partial(jax.jit, static_argnames=("key_len", "log2_h"))
+def _ref_index_kernel(packed: jnp.ndarray, key_len: int, log2_h: int):
+    """Nibble-packed reference -> dual min/max hash-slot tables over its
+    seed keys sampled every HASHING_STEP positions (the device twin of
+    the host encoder's make_index, reference lz_diff.cpp:117-146).
+    Each slot packs (39-bit fingerprint << 24) | position as int64."""
     codes = _unpack4_dev(packed)
-    keys, _ = _start_keys(codes, key_len)
+    keys, valid = _start_keys(codes, key_len)
     sk = keys[::HASHING_STEP]
-    pos = jnp.arange(sk.shape[0], dtype=jnp.int32) * HASHING_STEP
-    # num_keys=2: equal seed keys keep ascending positions, so a 'left'
-    # searchsorted always lands on the smallest position (deterministic
-    # and identical to the numpy twin)
-    sk, sp = jax.lax.sort((sk, pos), num_keys=2)
-    return sk, sp
+    sv = valid[::HASHING_STEP]
+    pos = jnp.arange(sk.shape[0], dtype=jnp.int64) * HASHING_STEP
+    packed_e = (_fp_of(sk) << _POS_BITS) | pos
+    packed_e = jnp.where(sv, packed_e, _SLOT_SENT)
+    bkt = jnp.where(sv, _bucket_of(sk, log2_h), 0)
+    h = 1 << log2_h
+    ta = jnp.full(h, _SLOT_SENT, dtype=jnp.int64).at[bkt].min(
+        packed_e, mode="drop"
+    )
+    tb = jnp.full(h, -1, dtype=jnp.int64).at[bkt].max(
+        jnp.where(sv, packed_e, jnp.int64(-1)), mode="drop"
+    )
+    return ta, tb
 
 
 def _digits(x: jnp.ndarray) -> jnp.ndarray:
@@ -158,37 +236,74 @@ def _digits(x: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
-def _pair_marginal_cost(q, a, nn, skc, spc, key_len):
+def _pair_marginal_cost(q, a, nn, ta, tb, key_len):
     """Per-position marginal token cost of one (segment-row, candidate)
     pair under the coverage model: literal = uncovered ACGT position,
     match token cost attributed at its covered run's start, N-run cost
     at the N-run start. Summing gives the scalar estimate; cumulative
     sums give the prefix/suffix cost vectors the missing-middle split
-    search needs (reference: GetCodingCostVector, lz_diff.cpp:159-284)."""
-    m = skc.shape[0]
-    b = q.shape[0]
-    idx = jnp.minimum(jnp.searchsorted(skc, q), m - 1)
-    hit = (skc[idx] == q) & (q != SENTINEL)
-    rpos = jnp.where(hit, spc[idx], jnp.int32(0))
-    # coverage: hit at i covers [i, i + key_len)
-    c = jnp.cumsum(hit.astype(jnp.int32))
-    c_shift = jnp.concatenate(
-        [jnp.zeros(key_len, jnp.int32), c[:-key_len]]
+    search needs (reference: GetCodingCostVector, lz_diff.cpp:159-284).
+
+    Probes are STRIDED (every HASHING_STEP segment positions) against
+    the candidate's dual slot tables (ta min-packed, tb max-packed):
+    two gathers per probed position instead of a binary search — the
+    only memory-access pattern that is not ruinous on a TPU."""
+    log2_h = int(ta.shape[0]).bit_length() - 1
+    qs = q[::HASHING_STEP]                    # (T,) strided seed keys
+    t_valid = qs != SENTINEL
+    bkt = jnp.where(t_valid, _bucket_of(qs, log2_h), 0)
+    fp = _fp_of(qs)
+    ea = ta[bkt]                              # gather 1
+    eb = tb[bkt]                              # gather 2
+    return _cost_given_probe(ea, eb, fp, t_valid, a, nn, key_len)
+
+
+def _cost_given_probe(ea, eb, fp, t_valid, a, nn, key_len):
+    """Marginal cost vector from already-gathered slot entries (the
+    VPU-only tail of :func:`_pair_marginal_cost`)."""
+    b = a.shape[0]
+    hit_a = t_valid & (ea != _SLOT_SENT) & ((ea >> _POS_BITS) == fp)
+    hit_b = t_valid & (eb >= 0) & ((eb >> _POS_BITS) == fp)
+    hit = hit_a | hit_b
+    rpos_t = jnp.where(
+        hit_a, ea & ((1 << _POS_BITS) - 1), eb & ((1 << _POS_BITS) - 1)
+    ).astype(jnp.int32)
+    rpos_t = jnp.where(hit, rpos_t, 0)
+    # strided coverage upsampled to full resolution: hit at strided
+    # position 4t covers [4t, 4t + key_len); covered[i] == any hit in
+    # [i - key_len + 1, i] == cum[i // 4] - cum[(i - key_len) // 4] > 0,
+    # both terms as static-stride repeats (no gathers)
+    cum = jnp.cumsum(hit.astype(jnp.int32))
+    cum_rep = jnp.repeat(cum, HASHING_STEP, total_repeat_length=b)
+    cum_shift = jnp.concatenate(
+        [jnp.zeros(key_len, jnp.int32), cum_rep[:-key_len]]
     )
-    covered = (c - c_shift) > 0
+    covered = (cum_rep - cum_shift) > 0
     prev_cov = jnp.concatenate([jnp.zeros(1, bool), covered[:-1]])
     run_start = covered & ~prev_cov
-    # diagonal at each run start (a run start is always a hit)
-    diag = rpos - jnp.arange(b, dtype=jnp.int32)
-    ridx = jnp.where(run_start, jnp.arange(b, dtype=jnp.int32), -1)
-    # cummax primitive, NOT associative_scan(maximum): the generic scan
-    # unrolls log2(b) concat stages whose vmapped TPU compile explodes
-    # (>10 min at 64x64k); cummax lowers to one reduce-window
-    last = jax.lax.cummax(ridx)
-    prev_start = jnp.concatenate([jnp.full(1, -1, jnp.int32), last[:-1]])
-    prev_diag = jnp.where(
-        prev_start >= 0, diag[jnp.maximum(prev_start, 0)], 0
+    # diagonal at each run start (run starts land on strided hits)
+    pos_full = jnp.arange(b, dtype=jnp.int32)
+    rpos_rep = jnp.repeat(rpos_t, HASHING_STEP, total_repeat_length=b)
+    diag = rpos_rep - (pos_full & ~jnp.int32(HASHING_STEP - 1))
+    # previous run start's diagonal, gather-free: pack (position,
+    # biased diag) so a cummax propagates the LATEST run start's value
+    # (position is the high word, so later starts win), then shift by
+    # one. cummax primitive, NOT associative_scan(maximum): the generic
+    # scan unrolls log2(b) concat stages whose vmapped TPU compile
+    # explodes (>10 min at 64x64k); cummax lowers to one reduce-window
+    bias = jnp.int64(1) << 31
+    packed_d = jnp.where(
+        run_start,
+        (pos_full.astype(jnp.int64) << 32) | (diag.astype(jnp.int64) + bias),
+        jnp.int64(-1),
     )
+    last = jax.lax.cummax(packed_d)
+    prev_packed = jnp.concatenate([jnp.full(1, -1, jnp.int64), last[:-1]])
+    prev_diag = jnp.where(
+        prev_packed >= 0,
+        (prev_packed & jnp.int64(0xFFFFFFFF)) - bias,
+        0,
+    ).astype(jnp.int32)
     dd = jnp.abs(diag - prev_diag)
     # match token ~ digits(|dpos|) + sign + ',' + len-field + '.'
     run_cost = _digits(dd) + 4
@@ -200,34 +315,95 @@ def _pair_marginal_cost(q, a, nn, skc, spc, key_len):
     )
 
 
-@partial(jax.jit, static_argnames=("key_len",))
+def _shift_right(x: jnp.ndarray, k: int):
+    """x shifted right along the last axis by k with zero fill."""
+    if k <= 0:
+        return x
+    pad = jnp.zeros(x.shape[:-1] + (k,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("key_len", "stride"))
 def _estimate_kernel(
-    keys: jnp.ndarray,    # (Q, b) u64 per-orientation seed keys
-    acgt: jnp.ndarray,    # (Q, b) bool
-    isn: jnp.ndarray,     # (Q, b) bool
-    rows: jnp.ndarray,    # (P,) i32: query row per pair
-    cands: jnp.ndarray,   # (P,) i32: bank-matrix row per pair
-    bsk: jnp.ndarray,     # (R, m) u64 consolidated sorted candidate keys
-    bsp: jnp.ndarray,     # (R, m) i32 co-sorted positions
+    keys_s: jnp.ndarray,    # (Q, T) u64 strided per-orientation seed keys
+    a_lo: jnp.ndarray,      # (Q, T) i32 per-block ACGT counts, offsets < r
+    a_hi: jnp.ndarray,      # (Q, T) i32 per-block ACGT counts, offsets >= r
+    nrun_tot: jnp.ndarray,  # (Q,) i32 per-row N-run token cost
+    rows: jnp.ndarray,      # (P,) i32: query row per pair
+    cands: jnp.ndarray,     # (P,) i32: bank-matrix row per pair
+    bta: jnp.ndarray,       # (R, H) i64 consolidated min slot tables
+    btb: jnp.ndarray,       # (R, H) i64 consolidated max slot tables
     key_len: int,
+    stride: int,
 ):
     """Approximate token-stream cost for each (segment-row, candidate)
     pair: literals = uncovered ACGT positions, matches = covered runs
     costed by their diagonal jump + average length field, N-runs ~4.
+    Numerically identical to summing the full-resolution marginal
+    vector (_pair_marginal_cost) at the same stride: coverage within a
+    probe block changes only at offset r = key_len % stride, so the
+    per-block ACGT split counts capture full-resolution literals.
 
-    Candidate indexes are rows of one consolidated bank matrix and are
-    gathered ON DEVICE — the host never stacks per-candidate arrays
-    (eager per-array dispatches dominate wall time through a remote
-    tunnel)."""
-
-    def one(row, ci):
-        return jnp.sum(
-            _pair_marginal_cost(
-                keys[row], acgt[row], isn[row], bsk[ci], bsp[ci], key_len
-            )
-        )
-
-    return jax.vmap(one)(rows, cands)
+    Candidate indexes are rows of one consolidated bank matrix; probes
+    gather straight from its FLAT view at ``cand * H + bucket``. All
+    per-pair arrays live on the probe grid (T = b/stride): GATHERED
+    ELEMENT COUNT — the TPU's real bottleneck at ~100M gathers/s — is
+    exactly 3 row-gathers + 2 probes per block, nothing full-res."""
+    h = btb.shape[1]
+    log2_h = int(h).bit_length() - 1
+    t = keys_s.shape[1]
+    qs = keys_s[rows]                         # (P, T)
+    t_valid = qs != SENTINEL
+    bkt = jnp.where(t_valid, _bucket_of(qs, log2_h), 0)
+    # i32 flat indices: 64-bit index vectors gather measurably slower
+    flat = cands[:, None] * jnp.int32(h) + bkt
+    ea = bta.reshape(-1)[flat]                # probe gather 1
+    eb = btb.reshape(-1)[flat]                # probe gather 2
+    fp = _fp_of(qs)
+    hit_a = t_valid & (ea != _SLOT_SENT) & ((ea >> _POS_BITS) == fp)
+    hit_b = t_valid & (eb >= 0) & ((eb >> _POS_BITS) == fp)
+    hit = hit_a | hit_b
+    rpos_t = jnp.where(
+        hit_a, ea & ((1 << _POS_BITS) - 1), eb & ((1 << _POS_BITS) - 1)
+    ).astype(jnp.int32)
+    rpos_t = jnp.where(hit, rpos_t, 0)
+    # block coverage: a hit at block u covers blocks [u, u+q0] fully and
+    # offsets < r of block u+q0+1 (key_len = q0*stride + r)
+    q0, r = divmod(key_len, stride)
+    c = jnp.cumsum(hit.astype(jnp.int32), axis=1)
+    cov_hi = (c - _shift_right(c, q0)) > 0          # offsets >= r
+    cov_lo = (c - _shift_right(c, q0 + 1)) > 0       # offsets < r
+    lits = jnp.sum(
+        a_lo[rows] * (~cov_lo) + a_hi[rows] * (~cov_hi), axis=1
+    )
+    cov0 = cov_lo if r else cov_hi                   # offset-0 coverage
+    run_start = cov0 & ~_shift_right(cov_hi, 1)
+    tpos = jnp.arange(t, dtype=jnp.int32) * stride
+    diag = rpos_t - tpos[None, :]
+    # previous run start's diagonal, gather-free: pack (block, biased
+    # diag) so a cummax propagates the LATEST run start's value, then
+    # shift by one. cummax primitive, NOT associative_scan(maximum):
+    # the generic scan's unrolled concat stages explode vmapped TPU
+    # compiles (>10 min at 64x64k)
+    bias = jnp.int64(1) << 31
+    packed_d = jnp.where(
+        run_start,
+        (jnp.arange(t, dtype=jnp.int64)[None, :] << 32)
+        | (diag.astype(jnp.int64) + bias),
+        jnp.int64(-1),
+    )
+    last = jax.lax.cummax(packed_d, axis=1)
+    prev_packed = jnp.concatenate(
+        [jnp.full((last.shape[0], 1), -1, jnp.int64), last[:, :-1]], axis=1
+    )
+    prev_diag = jnp.where(
+        prev_packed >= 0,
+        (prev_packed & jnp.int64(0xFFFFFFFF)) - bias,
+        0,
+    ).astype(jnp.int32)
+    dd = jnp.abs(diag - prev_diag)
+    run_cost = jnp.where(run_start, _digits(dd) + 4, 0)
+    return lits + jnp.sum(run_cost, axis=1) + nrun_tot[rows]
 
 
 @partial(jax.jit, static_argnames=("key_len", "o1_rc", "o2_rc"))
@@ -236,8 +412,8 @@ def _split_point_kernel(
     acgt: jnp.ndarray,
     isn: jnp.ndarray,
     n: jnp.ndarray,      # () i32 true segment length
-    sk1: jnp.ndarray, sp1: jnp.ndarray,   # group-1 reference index
-    sk2: jnp.ndarray, sp2: jnp.ndarray,   # group-2 reference index
+    ta1: jnp.ndarray, tb1: jnp.ndarray,   # group-1 slot tables
+    ta2: jnp.ndarray, tb2: jnp.ndarray,   # group-2 slot tables
     key_len: int,
     o1_rc: bool,         # group 1 encodes the RC text
     o2_rc: bool,
@@ -253,10 +429,10 @@ def _split_point_kernel(
     r1 = 1 if o1_rc else 0
     r2 = 1 if o2_rc else 0
     c1 = _pair_marginal_cost(
-        keys[r1], acgt[r1], isn[r1], sk1, sp1, key_len
+        keys[r1], acgt[r1], isn[r1], ta1, tb1, key_len
     )
     c2 = _pair_marginal_cost(
-        keys[r2], acgt[r2], isn[r2], sk2, sp2, key_len
+        keys[r2], acgt[r2], isn[r2], ta2, tb2, key_len
     )
     z = jnp.zeros(1, jnp.int32)
     cum1 = jnp.concatenate([z, jnp.cumsum(c1)])   # (b+1,) inclusive-prefix
@@ -282,12 +458,50 @@ def _split_point_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _key_at(codes: np.ndarray, j: int, key_len: int) -> int | None:
+    w = codes[j : j + key_len]
+    if len(w) < key_len or np.any(w > 3):
+        return None
+    x = 0
+    for s in w.tolist():
+        x = (x << 2) | int(s)
+    return x
+
+
+def build_slot_tables_np(ref_codes: np.ndarray, key_len: int):
+    """Numpy twin of :func:`_ref_index_kernel`: dual min/max slot tables
+    over seed keys sampled every HASHING_STEP positions, with the SAME
+    bucket geometry as the device bank (ref padded to its pow2 bucket,
+    H = 2 x sampled count)."""
+    b = _pow2(len(ref_codes), _MIN_REF_KEY_BUCKET * 2)
+    log2_h = (b // HASHING_STEP * 2).bit_length() - 1
+    h = 1 << log2_h
+    ta = np.full(h, _SLOT_SENT, dtype=np.int64)
+    tb = np.full(h, -1, dtype=np.int64)
+    for j in range(0, len(ref_codes) - key_len + 1, HASHING_STEP):
+        x = _key_at(ref_codes, j, key_len)
+        if x is None:
+            continue
+        bkt = ((x * _HASH_MUL) % (1 << 64)) >> (64 - log2_h)
+        fp = ((x * _FP_MUL) % (1 << 64)) >> (64 - _FP_BITS)
+        packed = (fp << _POS_BITS) | j
+        ta[bkt] = min(int(ta[bkt]), packed)
+        tb[bkt] = max(int(tb[bkt]), packed)
+    return ta, tb, log2_h
+
+
 def marginal_cost_np(
-    seg_codes: np.ndarray, ref_codes: np.ndarray, key_len: int
+    seg_codes: np.ndarray,
+    ref_codes: np.ndarray,
+    key_len: int,
+    stride: int = HASHING_STEP,
 ) -> np.ndarray:
     """Numpy twin of :func:`_pair_marginal_cost` for one (segment,
     candidate) pair (direct orientation): per-position marginal token
-    cost. Byte-identical to the kernel on the same inputs."""
+    cost. Byte-identical to the kernel on the same inputs (same slot
+    tables, same strided probes, same upsampled coverage). The batched
+    estimate kernel's scalar result equals this vector's sum at the
+    same ``stride``."""
     n = len(seg_codes)
     out = np.zeros(n, dtype=np.int64)
     nmask = seg_codes > 3
@@ -296,39 +510,32 @@ def marginal_cost_np(
     if n < key_len:
         out += (seg_codes <= 3).astype(np.int64)
         return out
-    # ref index
-    rkeys = {}
-    rn = len(ref_codes)
-    for j in range(0, rn - key_len + 1, HASHING_STEP):
-        w = ref_codes[j : j + key_len]
-        if np.any(w > 3):
+    ta, tb, log2_h = build_slot_tables_np(ref_codes, key_len)
+    # strided probes
+    t_count = (n + stride - 1) // stride
+    hit = np.zeros(t_count, dtype=bool)
+    rpos_t = np.zeros(t_count, dtype=np.int64)
+    for t in range(t_count):
+        x = _key_at(seg_codes, t * stride, key_len)
+        if x is None:
             continue
-        x = 0
-        for s in w.tolist():
-            x = (x << 2) | int(s)
-        if x not in rkeys:
-            rkeys[x] = j
-        else:
-            rkeys[x] = min(rkeys[x], j)
-    hit = np.zeros(n, dtype=bool)
-    rpos = np.zeros(n, dtype=np.int64)
-    for i in range(0, n - key_len + 1):
-        w = seg_codes[i : i + key_len]
-        if np.any(w > 3):
-            continue
-        x = 0
-        for s in w.tolist():
-            x = (x << 2) | int(s)
-        j = rkeys.get(x)
-        if j is not None:
-            hit[i] = True
-            rpos[i] = j
-    c = np.cumsum(hit.astype(np.int64))
-    c_shift = np.concatenate([np.zeros(key_len, np.int64), c[:-key_len]])
-    covered = (c - c_shift) > 0
+        bkt = ((x * _HASH_MUL) % (1 << 64)) >> (64 - log2_h)
+        fp = ((x * _FP_MUL) % (1 << 64)) >> (64 - _FP_BITS)
+        ea, eb = int(ta[bkt]), int(tb[bkt])
+        if ea != _SLOT_SENT and (ea >> _POS_BITS) == fp:
+            hit[t] = True
+            rpos_t[t] = ea & ((1 << _POS_BITS) - 1)
+        elif eb >= 0 and (eb >> _POS_BITS) == fp:
+            hit[t] = True
+            rpos_t[t] = eb & ((1 << _POS_BITS) - 1)
+    cum = np.cumsum(hit.astype(np.int64))
+    cum_rep = np.repeat(cum, stride)[:n]
+    cum_shift = np.concatenate([np.zeros(key_len, np.int64), cum_rep[:-key_len]])
+    covered = (cum_rep - cum_shift) > 0
     prev_cov = np.concatenate([[False], covered[:-1]])
     run_start = covered & ~prev_cov
-    diag = rpos - np.arange(n)
+    rpos_rep = np.repeat(rpos_t, stride)[:n]
+    diag = rpos_rep - (np.arange(n) // stride) * stride
     prev_diag = 0
     for i in np.flatnonzero(run_start).tolist():
         dd = abs(int(diag[i]) - prev_diag)
@@ -343,7 +550,11 @@ def estimate_np(
 ) -> int:
     """Numpy twin of one (segment, candidate) device estimate (direct
     orientation). Byte-identical to the kernel on the same inputs."""
-    return int(marginal_cost_np(seg_codes, ref_codes, key_len).sum())
+    return int(
+        marginal_cost_np(
+            seg_codes, ref_codes, key_len, stride=probe_stride()
+        ).sum()
+    )
 
 
 def split_point_np(
@@ -414,30 +625,36 @@ class RefBank:
                 self._entries.move_to_end(gid)
                 return e
         codes = codes_provider()
-        if codes is None or len(codes) < self.key_len + HASHING_STEP:
+        if (
+            codes is None
+            or len(codes) < self.key_len + HASHING_STEP
+            or len(codes) >= (1 << _POS_BITS)  # pos field width
+        ):
             return None
         arr = np.frombuffer(bytes(codes), dtype=np.uint8)
         b = _pow2(len(arr), _MIN_REF_KEY_BUCKET * 2)
         padded = np.full(b, 255, dtype=np.uint8)
         padded[: len(arr)] = arr
         packed = jnp.asarray(pack4_np(padded))
-        sk, sp = _ref_index_kernel(packed, self.key_len)
-        nbytes = int(sk.size) * 12
+        # H = 2 x sampled-key count (load 0.5)
+        log2_h = (b // HASHING_STEP * 2).bit_length() - 1
+        ta, tb = _ref_index_kernel(packed, self.key_len, log2_h)
+        nbytes = int(ta.size) * 16
         with self._lock:
             if gid in self._entries:  # lost a race; keep the first
                 self._entries.move_to_end(gid)
                 return self._entries[gid]
-            self._entries[gid] = (sk, sp, int(sk.shape[0]))
+            self._entries[gid] = (ta, tb, int(ta.shape[0]))
             self._bytes += nbytes
             while self._bytes > self.budget and len(self._entries) > 1:
-                ogid, (osk, _osp, om) = self._entries.popitem(last=False)
-                self._bytes -= int(osk.size) * 12
+                ogid, (ota, _otb, om) = self._entries.popitem(last=False)
+                self._bytes -= int(ota.size) * 16
                 if self._row_of.pop(ogid, None) is not None:
                     # consolidated matrix holds a stale row: rebuild the
                     # bucket lazily at its next use
                     blt = self._built.pop(om, None)
                     if blt is not None:
-                        self._bytes -= int(blt[0].size) * 12
+                        self._bytes -= int(blt[0].size) * 16
                         for g in blt[2]:
                             self._row_of.pop(g, None)
         return self._entries[gid]
@@ -460,12 +677,12 @@ class RefBank:
                 if blt is None:
                     cap = _pow2(need, 4)
                     blt = [
-                        jnp.zeros((cap, m), dtype=_U64),
-                        jnp.zeros((cap, m), dtype=jnp.int32),
+                        jnp.full((cap, m), _SLOT_SENT, dtype=jnp.int64),
+                        jnp.full((cap, m), -1, dtype=jnp.int64),
                         [],
                     ]
                     self._built[m] = blt
-                    self._bytes += cap * m * 12
+                    self._bytes += cap * m * 16
                 elif need > blt[0].shape[0]:
                     # capacity stays pow2 so the estimate kernel's
                     # (R, m) shape — and its compiled variant — is
@@ -474,12 +691,12 @@ class RefBank:
                     cap = _pow2(need, old_cap * 2)
                     pad = cap - old_cap
                     blt[0] = jnp.concatenate(
-                        [blt[0], jnp.zeros((pad, m), dtype=_U64)]
+                        [blt[0], jnp.full((pad, m), _SLOT_SENT, jnp.int64)]
                     )
                     blt[1] = jnp.concatenate(
-                        [blt[1], jnp.zeros((pad, m), dtype=jnp.int32)]
+                        [blt[1], jnp.full((pad, m), -1, jnp.int64)]
                     )
-                    self._bytes += pad * m * 12
+                    self._bytes += pad * m * 16
                 blt[0] = jax.lax.dynamic_update_slice(
                     blt[0], stack_sk, (base, 0)
                 )
@@ -500,12 +717,12 @@ class RefBank:
         with self._lock:
             e = self._entries.pop(gid, None)
             if e is not None:
-                self._bytes -= int(e[0].size) * 12
+                self._bytes -= int(e[0].size) * 16
             r = self._row_of.pop(gid, None)
             if r is not None:
                 blt = self._built.pop(r[0], None)
                 if blt is not None:
-                    self._bytes -= int(blt[0].size) * 12
+                    self._bytes -= int(blt[0].size) * 16
                     for g in blt[2]:
                         self._row_of.pop(g, None)
 
@@ -559,7 +776,10 @@ def _estimate_bucket(
         mat[i, : len(q.codes)] = q.codes
         lens[i] = len(q.codes)
     packed = jnp.asarray(pack4_np(mat.reshape(-1)).reshape(s_bucket, seg_b // 2))
-    keys, acgt, isn = _seg_rows_kernel(packed, jnp.asarray(lens), key_len)
+    stride = probe_stride()
+    keys_s, a_lo, a_hi, nrun_tot = _seg_rows_strided_kernel(
+        packed, jnp.asarray(lens), key_len, stride
+    )
 
     # gather pairs, grouped by the candidate index's bucket size
     by_bucket: dict[int, list] = {}
@@ -584,9 +804,9 @@ def _estimate_bucket(
             rows[j] = row
             cands[j] = crows[j]
         ests = _estimate_kernel(
-            keys, acgt, isn,
+            keys_s, a_lo, a_hi, nrun_tot,
             jnp.asarray(rows), jnp.asarray(cands), bsk, bsp,
-            key_len,
+            key_len, stride,
         )
         results.append((ests, items))
     for ests, items in results:

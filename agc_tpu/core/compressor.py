@@ -268,6 +268,7 @@ class Compressor:
     _ref_scan_cache = None
     _ref_scan_file = None
     _store_pool = None
+    _entropy_batcher = None  # tpu-rans deferred-part sink (lazy)
     _pending_store = None
     _pending_meta = ()
     _pending_reference = None
@@ -540,7 +541,21 @@ class Compressor:
             self.archive_version,
         )
         w.profile = self.p.profile
+        w.entropy_batcher = self._entropy_sink()
         return w
+
+    def _entropy_sink(self):
+        """Shared deferred-entropy sink for the tpu-rans profile: part
+        payloads queue here and are rANS-coded in batched device
+        dispatches at store/finish flush points (entropy.compress_parts).
+        None on the zstd profile (zstd compresses inline)."""
+        if self.p.profile != "tpu-rans":
+            return None
+        if self._entropy_batcher is None:
+            from .entropy import EntropyBatcher
+
+            self._entropy_batcher = EntropyBatcher(self.writer)
+        return self._entropy_batcher
 
     # ==================================================================
     # splitter discovery (device kernels + host greedy)
@@ -2400,6 +2415,9 @@ class Compressor:
                 out = []
                 for g in groups:
                     out.extend(store_group(g))
+                if self._entropy_batcher is not None:
+                    # one batched device dispatch for this barrier's parts
+                    self._entropy_batcher.flush()
                 return out
 
             if self._pending_store is None:
@@ -2416,6 +2434,8 @@ class Compressor:
                 all_placements = list(pool.map(store_group, groups))
         else:
             all_placements = [store_group(g) for g in groups]
+        if self._entropy_batcher is not None:
+            self._entropy_batcher.flush()
         for placements in all_placements:
             for args in placements:
                 self.collection.add_segment_placed(*args)
@@ -2465,11 +2485,15 @@ class Compressor:
             def finish_all():
                 for seg in live:
                     seg.finish()
+                if self._entropy_batcher is not None:
+                    self._entropy_batcher.flush()
 
             finish_fut = self._store_pool.submit(finish_all)
         else:
             for seg in live:
                 seg.finish()
+            if self._entropy_batcher is not None:
+                self._entropy_batcher.flush()
 
         # earlier metadata batches were compressed on the same worker
         # queue; their parts must land before the partial batch below

@@ -401,3 +401,78 @@ def decompress_np(blob, expected_size: int | None = None) -> bytes:
 
 def is_rans_blob(data) -> bool:
     return len(data) >= 2 and data[0] == MAGIC
+
+
+# ---------------------------------------------------------------------------
+# batched part compression (the production device dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _device_batch_enabled(total_bytes: int) -> bool:
+    """Route a part batch to the device encoder? Blobs are byte-identical
+    either way, so this is purely a perf decision: the device wins only
+    when the batch is big enough to amortize dispatch+transfer, and only
+    when a real accelerator is attached (the CPU backend would just be a
+    slower numpy). AGC_TPU_RANS_DEVICE=1/0 forces either way."""
+    import os
+
+    force = os.environ.get("AGC_TPU_RANS_DEVICE")
+    if force is not None:
+        return force not in ("0", "")
+    if total_bytes < (4 << 20):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def compress_parts(payloads: list[bytes]) -> list[bytes]:
+    """Compress many parts at once: one batched device dispatch when it
+    pays (see _device_batch_enabled), else the host coder per part."""
+    if _device_batch_enabled(sum(len(p) for p in payloads)):
+        from ..ops.device_rans import encode_batch
+
+        return encode_batch(payloads)
+    return [compress(p) for p in payloads]
+
+
+class EntropyBatcher:
+    """Deferred-part sink for the tpu-rans profile: SegmentWriters queue
+    (stream, payload, marker, original) tuples instead of compressing
+    inline; flush() entropy-codes the whole queue in batched device
+    dispatches and lands the parts on the archive writer in queue order
+    (streams only ever receive parts from one producer, so per-stream
+    part order is preserved). The raw-escape decision (store the original
+    when compression does not pay; reference segment.h:218-255) happens
+    here, after compressed sizes are known."""
+
+    def __init__(self, writer):
+        import threading
+
+        self._writer = writer
+        self._q: list[tuple[str, bytes, int, bytes]] = []
+        self._lock = threading.Lock()
+
+    def defer(self, stream: str, payload: bytes, marker: int, original: bytes) -> None:
+        with self._lock:
+            self._q.append((stream, payload, marker, original))
+
+    def pending(self) -> int:
+        with self._lock:
+            return len(self._q)
+
+    def flush(self) -> None:
+        with self._lock:
+            q, self._q = self._q, []
+        if not q:
+            return
+        blobs = compress_parts([payload for (_, payload, _, _) in q])
+        for (stream, _, marker, original), blob in zip(q, blobs):
+            z = blob + bytes([marker])
+            if len(z) < len(original):
+                self._writer.add_part_buffered(stream, z, len(original))
+            else:
+                self._writer.add_part_buffered(stream, original, 0)

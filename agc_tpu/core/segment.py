@@ -250,11 +250,10 @@ def _zstd_level(level: int):
     return c
 
 
-def store_ref_blob(data: bytes, profile: str = "zstd") -> tuple[bytes, int]:
-    """The full reference-part store decision (probe -> tuples repack ->
-    compress -> raw fallback), shared by SegmentWriter and the profile
-    converter so a converted archive is part-identical to a direct
-    create. reference: segment.h:218-255."""
+def ref_payload(data: bytes) -> tuple[bytes, int, int]:
+    """The reference-part repack decision (autocorrelation probe ->
+    tuples), without the compression: -> (payload_to_compress, zstd_level,
+    marker byte). reference: segment.h:218-255."""
     arr = np.frombuffer(data[:8192], dtype=np.uint8)
     best_frac = 0.0
     acgt = arr < 4
@@ -269,10 +268,17 @@ def store_ref_blob(data: bytes, profile: str = "zstd") -> tuple[bytes, int]:
             if best_frac >= 0.5:
                 break
     if best_frac < 0.5:
-        tuples = bytes2tuples(data)
-        z = part_compress(tuples, 13, profile) + b"\x01"
-    else:
-        z = part_compress(data, 19, profile) + b"\x00"
+        return bytes2tuples(data), 13, 1
+    return data, 19, 0
+
+
+def store_ref_blob(data: bytes, profile: str = "zstd") -> tuple[bytes, int]:
+    """The full reference-part store decision (probe -> tuples repack ->
+    compress -> raw fallback), shared by SegmentWriter and the profile
+    converter so a converted archive is part-identical to a direct
+    create. reference: segment.h:218-255."""
+    payload, level, marker = ref_payload(data)
+    z = part_compress(payload, level, profile) + bytes([marker])
     if len(z) < len(data):
         return z, len(data)
     return data, 0
@@ -304,6 +310,10 @@ class SegmentWriter:
         self.min_match_len = min_match_len
         self.archive_version = archive_version
         self.profile = "zstd"  # archive profile; set by the compressor
+        # tpu-rans deferred-entropy sink (entropy.EntropyBatcher); when
+        # set, part payloads queue there for batched device encoding
+        # instead of compressing inline
+        self.entropy_batcher = None
         self.lz = LZDiff(min_match_len, v1_grammar=archive_version < 2000)
         self.no_seqs = 0
         self.v_lzp: list[bytes] = []
@@ -323,12 +333,19 @@ class SegmentWriter:
         mode as reliably as the whole segment and caps the probe at O(1)
         (reference probes the full segment: segment.h:218)."""
         stream = self.name + ss_ref_ext(self.archive_version)
+        if self.entropy_batcher is not None:
+            payload, _, marker = ref_payload(data)
+            self.entropy_batcher.defer(stream, payload, marker, data)
+            return
         blob, meta = store_ref_blob(data, self.profile)
         self.writer.add_part_buffered(stream, blob, meta)
 
     def _store_pack(self, items: list[bytes]) -> None:
         stream = self.name + ss_delta_ext(self.archive_version)
         pack = b"\xff".join(items) + b"\xff"
+        if self.entropy_batcher is not None:
+            self.entropy_batcher.defer(stream, pack, 0, pack)
+            return
         blob, meta = store_pack_blob(pack, self.profile)
         self.writer.add_part_buffered(stream, blob, meta)
 

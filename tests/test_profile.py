@@ -189,6 +189,48 @@ def test_sharded_create_carries_profile(collection, tmp_path):
     assert fti.get("compression-profile") == "tpu-rans"
 
 
+def test_batched_device_entropy_archive_identical(collection, tmp_path, monkeypatch):
+    """The production tpu-rans store path defers parts to an
+    EntropyBatcher and rANS-codes them in batched device dispatches
+    (ops/device_rans.encode_batch). Forcing the device route vs the host
+    route must produce stream-identical archives (same parts in the same
+    order with the same metadata; physical offsets may shift with async
+    store timing) — the dispatch is purely a perf decision."""
+    tmp, files, bodies = collection
+
+    monkeypatch.setenv("AGC_TPU_RANS_DEVICE", "1")
+    dev = tmp_path / "dev.agc"
+    create_archive(str(dev), files, CompressorParams(profile="tpu-rans"))
+    monkeypatch.setenv("AGC_TPU_RANS_DEVICE", "0")
+    host = tmp_path / "host.agc"
+    create_archive(str(host), files, CompressorParams(profile="tpu-rans"))
+
+    assert _stream_dump(dev) == _stream_dump(host)
+    _check_extract(dev, bodies)
+
+
+def test_batched_entropy_append(collection, tmp_path, monkeypatch):
+    """Append inherits the tpu-rans profile and therefore the deferred
+    batcher; the appended archive must extract and stay stream-identical
+    between device-forced and host-forced runs."""
+    tmp, files, bodies = collection
+    rng = random.Random(17)
+    extra = {c: mutate(rng, s, subs=25) for c, s in bodies["ref"].items()}
+    extra_fa = str(tmp_path / "sb.fa")
+    write_fa(extra_fa, list(extra.items()))
+    base = tmp_path / "b_base.agc"
+    create_archive(str(base), files, CompressorParams(profile="tpu-rans"))
+
+    outs = []
+    for force in ("1", "0"):
+        monkeypatch.setenv("AGC_TPU_RANS_DEVICE", force)
+        out = tmp_path / f"b_app{force}.agc"
+        append_archive(str(base), str(out), [extra_fa], CompressorParams())
+        outs.append(out)
+    assert _stream_dump(outs[0]) == _stream_dump(outs[1])
+    _check_extract(outs[0], {**bodies, "sb": extra})
+
+
 def test_append_does_not_mutate_caller_params(collection, tmp_path):
     """Compressor copies its params: append overwrites k/profile from the
     input archive, and that must not leak into the caller's object."""

@@ -1622,7 +1622,14 @@ class Compressor:
         if not queries:
             return {}
         if mode != "1" and total_pair_syms < self._DEVICE_MATCH_MIN_SYMS:
-            return {}
+            # batch too small for a device dispatch — but the candidate
+            # lists (group readiness joins, ref-size queries, sort) are
+            # already computed; hand them down with every index allowed
+            # so _find_cand_one_splitter doesn't recompute them
+            return {
+                seg_ord: (cands, list(range(len(cands))))
+                for seg_ord, cands, _mq in queries
+            }
         if self._match_bank is None:
             self._match_bank = _match.RefBank(self.p.min_match_len - 3)
         with self.timers.stage("device_match", total_pair_syms):
@@ -2022,9 +2029,18 @@ class Compressor:
         if e1 or e2:
             return (middle, 0) if (e1 and e2) else (EMPTY, 0)
 
+        # Unlike the one-splitter prepass (device ranks, host decides),
+        # the device split search RETURNS the decision: its coverage-model
+        # argmin replaces the host's exact LZ cost walk, which can move
+        # the split point and change the archive (not the round-trip).
+        # It is therefore gated separately: AGC_TPU_DEVICE_MATCH=1 forces
+        # it (the forced-device parity suite covers it), and under auto it
+        # additionally requires the explicit AGC_TPU_DEVICE_SPLIT=1 opt-in.
         mode = os.environ.get("AGC_TPU_DEVICE_MATCH", "auto")
+        split_opt_in = os.environ.get("AGC_TPU_DEVICE_SPLIT", "0") == "1"
         if mode != "0" and (
-            mode == "1" or n * 2 >= self._DEVICE_MATCH_MIN_SYMS
+            mode == "1"
+            or (split_opt_in and n * 2 >= self._DEVICE_MATCH_MIN_SYMS)
         ):
             # device split search: both cost walks as batched coverage
             # prefix-sums + argmin in one dispatch (ops/match.py)

@@ -38,11 +38,17 @@ TPU rethink (SURVEY.md §7 step 7 "estimate-with-bound"):
 - the host exact-estimates only the short list that survives the device
   ranking (ties within a margin), so the final choice matches the
   host-only path whenever the true argmin is not decisively separated —
-  the device removes the O(candidates) serial walks, not the decision.
+  in the one-splitter path the device removes the O(candidates) serial
+  walks, not the decision.
 
 The estimate is approximate BY DESIGN (coverage model over a lossy slot
 table, not a replayed walk — numpy twins pin the model exactly);
-:func:`shortlist` keeps candidate *choice* host-exact.
+:func:`shortlist` keeps candidate *choice* host-exact. The one
+exception is :func:`split_point_device` (missing-middle split): its
+coverage-model argmin IS the decision and can move the split point vs
+the host's exact cost walk, so the compressor gates it separately
+(AGC_TPU_DEVICE_SPLIT opt-in under auto; always on when
+AGC_TPU_DEVICE_MATCH=1 forces the all-device path).
 """
 
 from __future__ import annotations
@@ -72,12 +78,28 @@ _MIN_REF_KEY_BUCKET = 1 << 10
 _U64 = jnp.uint64
 
 
-def probe_stride() -> int:
+def probe_stride(key_len: int | None = None) -> int:
     """Segment-side probe stride (positions between probed seed keys).
     Gathers are the device cost; stride 4 probes every index-aligned
     position, 8/16 trade ranking resolution for half/quarter the
-    gathers. Must be a multiple of HASHING_STEP and < key_len."""
-    return int(os.environ.get("AGC_TPU_MATCH_STRIDE", "4"))
+    gathers. Must be a multiple of HASHING_STEP and (when known)
+    < key_len — the env value is validated here so a bad override
+    fails loudly instead of silently breaking the strided kernel's
+    reshape and its numpy-twin parity."""
+    raw = os.environ.get("AGC_TPU_MATCH_STRIDE", "4")
+    try:
+        stride = int(raw)
+    except ValueError:
+        raise ValueError(f"AGC_TPU_MATCH_STRIDE={raw!r} is not an integer")
+    if stride <= 0 or stride % HASHING_STEP != 0 or (
+        key_len is not None and stride >= key_len
+    ):
+        raise ValueError(
+            f"AGC_TPU_MATCH_STRIDE={stride} invalid: must be a positive "
+            f"multiple of {HASHING_STEP}"
+            + (f" and < key_len={key_len}" if key_len is not None else "")
+        )
+    return stride
 
 # slot-table geometry: H buckets = 2 x sampled-key bucket (load 0.5),
 # each bucket keeps the MIN- and MAX-packed colliding entry (two scatter
@@ -355,8 +377,16 @@ def _estimate_kernel(
     qs = keys_s[rows]                         # (P, T)
     t_valid = qs != SENTINEL
     bkt = jnp.where(t_valid, _bucket_of(qs, log2_h), 0)
-    # i32 flat indices: 64-bit index vectors gather measurably slower
-    flat = cands[:, None] * jnp.int32(h) + bkt
+    # i32 flat indices: 64-bit index vectors gather measurably slower.
+    # Past 2^31 flat elements (huge AGC_TPU_MATCH_BANK_BYTES) i32 would
+    # silently wrap — the shape is static, so widen at trace time.
+    if int(bta.shape[0]) * int(h) < (1 << 31):
+        flat = cands[:, None] * jnp.int32(h) + bkt
+    else:
+        flat = (
+            cands[:, None].astype(jnp.int64) * jnp.int64(h)
+            + bkt.astype(jnp.int64)
+        )
     ea = bta.reshape(-1)[flat]                # probe gather 1
     eb = btb.reshape(-1)[flat]                # probe gather 2
     fp = _fp_of(qs)
@@ -552,7 +582,7 @@ def estimate_np(
     orientation). Byte-identical to the kernel on the same inputs."""
     return int(
         marginal_cost_np(
-            seg_codes, ref_codes, key_len, stride=probe_stride()
+            seg_codes, ref_codes, key_len, stride=probe_stride(key_len)
         ).sum()
     )
 
@@ -586,12 +616,16 @@ def split_point_np(
 class RefBank:
     """Device-resident dictionary of group-reference seed indexes.
 
-    One entry per group id: (sorted seed keys, co-sorted positions) on
-    device, built by :func:`_ref_index_kernel` from a single upload of
-    the reference codes. LRU-evicted to ``budget_bytes`` (HBM is the
-    constraint; v5e has 16 GB/chip). The reference's analogue is each
-    CSegment's in-RAM LZ hash table (segment.h:27-70) — here the bank
-    is the persistent, device-side half of that state.
+    One entry per group id: dual min/max HASH-SLOT tables ``(ta, tb, h)``
+    on device — ``ta[bucket]`` holds the minimum (fingerprint, position)
+    packed entry hashing to that bucket, ``tb[bucket]`` the maximum —
+    built by :func:`_ref_index_kernel` from a single upload of the
+    reference codes (see the module docstring: slot probes, not sorted
+    lookups, are what a TPU gathers fast). LRU-evicted to
+    ``budget_bytes`` (HBM is the constraint; v5e has 16 GB/chip). The
+    reference's analogue is each CSegment's in-RAM LZ hash table
+    (segment.h:27-70) — here the bank is the persistent, device-side
+    half of that state.
 
     Entries sharing a key-count bucket ``m`` are additionally kept
     CONSOLIDATED in one (R, m) device matrix per bucket (appended in one
@@ -659,14 +693,20 @@ class RefBank:
                             self._row_of.pop(g, None)
         return self._entries[gid]
 
-    def rows_for(self, gids_entries: list) -> list[int]:
-        """Consolidated-matrix row for each (gid, (sk, sp, m)) — all of
-        one bucket m. Missing rows are appended in ONE device
-        concatenate."""
+    def rows_for(self, gids_entries: list) -> tuple[list[int], object, object]:
+        """Consolidated-matrix rows for each (gid, (ta, tb, h)) — all of
+        one slot-width bucket — plus the bucket's consolidated (min, max)
+        slot matrices, returned under the SAME lock acquisition (a
+        concurrent eviction between a rows_for and a separate built()
+        read could drop the bucket). Missing rows are appended in ONE
+        device update; duplicate gids in the call collapse to one row."""
         with self._lock:
-            missing = [
-                (g, e) for g, e in gids_entries if g not in self._row_of
-            ]
+            seen: set[int] = set()
+            missing = []
+            for g, e in gids_entries:
+                if g not in self._row_of and g not in seen:
+                    seen.add(g)
+                    missing.append((g, e))
             if missing:
                 m = missing[0][1][2]
                 blt = self._built.get(m)
@@ -706,12 +746,10 @@ class RefBank:
                 for i, (g, _e) in enumerate(missing):
                     self._row_of[g] = (m, base + i)
                 blt[2].extend(g for g, _ in missing)
-            return [self._row_of[g][1] for g, _ in gids_entries]
-
-    def built(self, m: int):
-        with self._lock:
-            blt = self._built[m]
-            return blt[0], blt[1]
+            rows = [self._row_of[g][1] for g, _ in gids_entries]
+            m_all = self._row_of[gids_entries[0][0]][0]
+            blt = self._built[m_all]
+            return rows, blt[0], blt[1]
 
     def drop(self, gid: int) -> None:
         with self._lock:
@@ -776,7 +814,7 @@ def _estimate_bucket(
         mat[i, : len(q.codes)] = q.codes
         lens[i] = len(q.codes)
     packed = jnp.asarray(pack4_np(mat.reshape(-1)).reshape(s_bucket, seg_b // 2))
-    stride = probe_stride()
+    stride = probe_stride(key_len)
     keys_s, a_lo, a_hi, nrun_tot = _seg_rows_strided_kernel(
         packed, jnp.asarray(lens), key_len, stride
     )
@@ -795,8 +833,9 @@ def _estimate_bucket(
             )
     results = []  # (device ests, items) — one blocking download at the end
     for m, items in by_bucket.items():
-        crows = bank.rows_for([(gid, e) for _row, gid, e, _q, _ci in items])
-        bsk, bsp = bank.built(m)
+        crows, bsk, bsp = bank.rows_for(
+            [(gid, e) for _row, gid, e, _q, _ci in items]
+        )
         p_bucket = _pow2(len(items), 1)
         rows = np.zeros(p_bucket, dtype=np.int32)
         cands = np.zeros(p_bucket, dtype=np.int32)

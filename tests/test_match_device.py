@@ -128,6 +128,57 @@ def test_refbank_eviction_and_reuse():
     assert bank.get(98, lambda: b"\x00" * 4) is None
 
 
+def test_refbank_eviction_under_estimate_pressure():
+    """Estimates stay correct while the bank budget forces evictions of
+    consolidated-bucket rows mid-stream: every batch's results must
+    equal the numpy twin even when earlier groups (and their bucket
+    matrices) were dropped and rebuilt between dispatches."""
+    rng = np.random.default_rng(7)
+    key_len = 17
+    # sized so ~3 entries fit: every new group evicts an older one and
+    # invalidates its consolidated bucket
+    bank = M.RefBank(key_len, budget_bytes=150_000)
+    refs = {i: _rand_seq(rng, 4000) for i in range(10)}
+    for round_no in range(3):
+        for lo in range(0, 10, 2):
+            gids = [lo, lo + 1]
+            seg = _mutate(rng, refs[lo], 0.01)
+            q = M.MatchQuery(seg, [(g, False) for g in gids])
+            M.estimate_batch([q], bank, lambda g: refs[g].tobytes())
+            twin = [M.estimate_np(seg, refs[g], key_len) for g in gids]
+            assert q.ests.tolist() == twin, (round_no, lo)
+    assert len(bank) < 10  # budget actually forced evictions
+
+
+def test_refbank_duplicate_gids_one_row():
+    """Duplicate gids in one estimate call (many queries sharing a
+    candidate group) must consolidate to a single bank row."""
+    rng = np.random.default_rng(8)
+    key_len = 17
+    ref = _rand_seq(rng, 3000)
+    bank = M.RefBank(key_len)
+    queries = [
+        M.MatchQuery(_mutate(rng, ref, 0.01), [(5, False)])
+        for _ in range(6)
+    ]
+    M.estimate_batch(queries, bank, lambda g: ref.tobytes())
+    m, _row = bank._row_of[5]
+    assert len(bank._built[m][2]) == 1  # one consolidated row, not six
+    for q in queries:
+        assert int(q.ests[0]) == M.estimate_np(q.codes, ref, key_len)
+
+
+def test_probe_stride_validation(monkeypatch):
+    monkeypatch.setenv("AGC_TPU_MATCH_STRIDE", "6")
+    with pytest.raises(ValueError):
+        M.probe_stride()
+    monkeypatch.setenv("AGC_TPU_MATCH_STRIDE", "20")
+    with pytest.raises(ValueError):
+        M.probe_stride(key_len=17)
+    monkeypatch.setenv("AGC_TPU_MATCH_STRIDE", "8")
+    assert M.probe_stride(key_len=17) == 8
+
+
 def test_split_point_matches_numpy_twin():
     """Device missing-middle split argmin == the numpy twin, and lands
     near the true boundary of a left-ref/right-ref chimera."""

@@ -107,26 +107,30 @@ def preprocess_raw_contig(raw, label: str = "") -> np.ndarray:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         n = len(arr)
         out = np.empty(n, dtype=np.uint8)
-        m = lib.fasta_preprocess(
+        bad = ctypes.c_int64(-1)
+        m = lib.fasta_preprocess2(
             arr.ctypes.data_as(u8p),
             n,
             CNV_ASCII.ctypes.data_as(u8p),
             out.ctypes.data_as(u8p),
+            ctypes.byref(bad),
         )
-        codes = out[:m]
+        if bad.value < 0:
+            return out[:m]
+        idx = int(bad.value)  # validity check fused into the native pass
     else:
         codes = CNV_ASCII[arr[arr >= 64]]
-    if len(codes) and int(codes.max()) > 15:
+        if not len(codes) or int(codes.max()) <= 15:
+            return codes
         idx = int(np.argmax(codes > 15))
-        orig = int(arr[arr >= 64][idx])
-        where = f" in contig {label!r}" if label else ""
-        raise ValueError(
-            f"symbol {chr(orig)!r} at position {idx}{where} is outside "
-            "the IUPAC alphabet (ACGTNRYSWKMBDHVU/acgtn...); the AGC "
-            "format cannot store it losslessly (the reference tool "
-            "crashes extracting such archives) - clean the input"
-        )
-    return codes
+    orig = int(arr[arr >= 64][idx])
+    where = f" in contig {label!r}" if label else ""
+    raise ValueError(
+        f"symbol {chr(orig)!r} at position {idx}{where} is outside "
+        "the IUPAC alphabet (ACGTNRYSWKMBDHVU/acgtn...); the AGC "
+        "format cannot store it losslessly (the reference tool "
+        "crashes extracting such archives) - clean the input"
+    )
 
 
 def contig_to_ascii(ctg: np.ndarray) -> bytes:

@@ -253,7 +253,27 @@ def _zstd_level(level: int):
 def ref_payload(data: bytes) -> tuple[bytes, int, int]:
     """The reference-part repack decision (autocorrelation probe ->
     tuples), without the compression: -> (payload_to_compress, zstd_level,
-    marker byte). reference: segment.h:218-255."""
+    marker byte). reference: segment.h:218-255. One GIL-free native call
+    (probe + repack) when available; the numpy twin below is the spec."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and data:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = len(data)
+        out = np.empty(n + 2, dtype=np.uint8)
+        marker = ctypes.c_int32(0)
+        m = lib.ref_payload_tuples(
+            np.frombuffer(data, dtype=np.uint8).ctypes.data_as(u8p),
+            n,
+            out.ctypes.data_as(u8p),
+            ctypes.byref(marker),
+        )
+        if m < 0:
+            return data, 19, 0
+        return out[:m].tobytes(), 13, int(marker.value)
     arr = np.frombuffer(data[:8192], dtype=np.uint8)
     best_frac = 0.0
     acgt = arr < 4

@@ -155,6 +155,15 @@ def get_lib():
         ]
         lib.fasta_preprocess.restype = ctypes.c_uint64
         lib.fasta_preprocess.argtypes = [u8p, ctypes.c_uint64, u8p, u8p]
+        lib.fasta_preprocess2.restype = ctypes.c_int64
+        lib.fasta_preprocess2.argtypes = [
+            u8p, ctypes.c_uint64, u8p, u8p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ref_payload_tuples.restype = ctypes.c_int64
+        lib.ref_payload_tuples.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pack_nibbles.restype = None
         lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
         lib.tuples_to_bytes.restype = ctypes.c_uint64

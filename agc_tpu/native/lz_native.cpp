@@ -854,6 +854,130 @@ void pack_nibbles(const uint8_t* in, uint64_t n, uint8_t* out) {
   }
 }
 
+// FASTA body -> numeric codes, run-structured: bytes < 64 (newlines /
+// controls) are dropped, the rest map through lut. FASTA bodies are
+// long runs of sequence bytes broken by single newlines, so the scan
+// advances 8 bytes per iteration inside a run (a zero byte in
+// w & 0xC0.. marks the first byte < 64) and the translation loop is
+// branch-free and unrollable — ~4x the byte-at-a-time loop above.
+// The IUPAC validity check (code <= 15) is fused as an OR-accumulate
+// over the OUTPUT words: returns the first invalid output index in
+// *bad_pos (or -1), so the caller skips its own full max() pass.
+int64_t fasta_preprocess2(const uint8_t* raw, uint64_t n,
+                          const uint8_t* lut, uint8_t* out,
+                          int64_t* bad_pos) {
+  const uint64_t HI = 0xC0C0C0C0C0C0C0C0ULL;
+  const uint64_t LO1 = 0x0101010101010101ULL;
+  const uint64_t HI8 = 0x8080808080808080ULL;
+  uint64_t m = 0, i = 0;
+  while (i < n) {
+    while (i < n && raw[i] < 64) ++i;
+    uint64_t j = i;
+    while (j + 8 <= n) {
+      uint64_t w;
+      std::memcpy(&w, raw + j, 8);
+      uint64_t t = w & HI;
+      if (((t - LO1) & ~t & HI8) != 0) break;  // some byte < 64
+      j += 8;
+    }
+    while (j < n && raw[j] >= 64) ++j;
+    uint64_t len = j - i;
+    uint64_t q = 0;
+    for (; q + 8 <= len; q += 8) {
+      out[m + q + 0] = lut[raw[i + q + 0]];
+      out[m + q + 1] = lut[raw[i + q + 1]];
+      out[m + q + 2] = lut[raw[i + q + 2]];
+      out[m + q + 3] = lut[raw[i + q + 3]];
+      out[m + q + 4] = lut[raw[i + q + 4]];
+      out[m + q + 5] = lut[raw[i + q + 5]];
+      out[m + q + 6] = lut[raw[i + q + 6]];
+      out[m + q + 7] = lut[raw[i + q + 7]];
+    }
+    for (; q < len; ++q) out[m + q] = lut[raw[i + q]];
+    m += len;
+    i = j;
+  }
+  // fused validity: valid codes are 0..15 (low nibble); any 0xF0 bit
+  // set anywhere marks a non-IUPAC symbol (lut gives 30/32/255)
+  const uint64_t NIB = 0xF0F0F0F0F0F0F0F0ULL;
+  *bad_pos = -1;
+  uint64_t acc = 0, p = 0;
+  for (; p + 8 <= m; p += 8) {
+    uint64_t w;
+    std::memcpy(&w, out + p, 8);
+    acc |= w;
+  }
+  for (; p < m; ++p) acc |= out[p];
+  if ((acc & NIB) != 0) {
+    for (uint64_t q2 = 0; q2 < m; ++q2) {
+      if (out[q2] > 15) { *bad_pos = (int64_t)q2; break; }
+    }
+  }
+  return (int64_t)m;
+}
+
+// Reference-part repack decision + tuples encode in one call
+// (reference: segment.h:73-169, 218-255; the numpy twin is
+// core/segment.py ref_payload/bytes2tuples). Probes the first 8 KiB
+// for autocorrelation at lags 4..31 (early exit at frac >= 0.5): if no
+// lag repeats, the part stays plain (returns -1; caller zstd-19s the
+// original). Otherwise the tuples repack is written to out (capacity
+// n / 2 + 2 suffices for nb >= 2; n + 1 covers the nb-1 passthrough)
+// and its length returned; *marker_out is the store marker (1).
+int64_t ref_payload_tuples(const uint8_t* data, uint64_t n, uint8_t* out,
+                           int32_t* marker_out) {
+  uint64_t probe_n = n < 8192 ? n : 8192;
+  double best_frac = 0.0;
+  // acgt prefix counts for the probe window (cur = count(acgt[:-lag]))
+  for (uint32_t lag = 4; lag < 32 && lag < probe_n; ++lag) {
+    uint64_t cnt = 0, cur = 0;
+    for (uint64_t t = 0; t + lag < probe_n; ++t) {
+      cnt += (data[t] == data[t + lag]);
+      cur += (data[t] < 4);
+    }
+    double frac = cur ? (double)cnt / (double)cur : 0.0;
+    if (frac > best_frac) {
+      best_frac = frac;
+      if (best_frac >= 0.5) break;
+    }
+  }
+  if (best_frac >= 0.5) return -1;  // plain, zstd level 19, marker 0
+  *marker_out = 1;
+  uint8_t me = 0;
+  for (uint64_t t = 0; t < n; ++t) me = me > data[t] ? me : data[t];
+  uint32_t nb, mult;
+  if (me < 4) { nb = 4; mult = 4; }
+  else if (me < 6) { nb = 3; mult = 6; }
+  else if (me < 16) { nb = 2; mult = 16; }
+  else {
+    std::memcpy(out, data, n);
+    out[n] = 0x10;
+    return (int64_t)(n + 1);
+  }
+  uint64_t n_full = n / nb;
+  if (nb == 4) {
+    for (uint64_t t = 0; t < n_full; ++t) {
+      const uint8_t* p = data + t * 4;
+      out[t] = (uint8_t)((((p[0] << 2 | p[1]) << 2 | p[2]) << 2) | p[3]);
+    }
+  } else if (nb == 3) {
+    for (uint64_t t = 0; t < n_full; ++t) {
+      const uint8_t* p = data + t * 3;
+      out[t] = (uint8_t)((p[0] * 6 + p[1]) * 6 + p[2]);
+    }
+  } else {
+    for (uint64_t t = 0; t < n_full; ++t) {
+      const uint8_t* p = data + t * 2;
+      out[t] = (uint8_t)(p[0] * 16 + p[1]);
+    }
+  }
+  uint32_t c = 0;
+  for (uint64_t t = n_full * nb; t < n; ++t) c = c * mult + data[t];
+  out[n_full] = (uint8_t)c;
+  out[n_full + 1] = (uint8_t)((nb << 4) | (n % nb));
+  return (int64_t)(n_full + 2);
+}
+
 }  // extern "C"
 
 // ===========================================================================

@@ -114,11 +114,22 @@ class _PendingSeg:
     # and converted on the store worker, off the matcher's thread)
 
     def materialize(self) -> bytes:
-        if self.data is None:
-            arr = _rc_numeric(self.raw) if self.is_rc else self.raw
-            self.data = arr.astype(np.uint8, copy=False).tobytes()
+        # race-tolerant (the store worker and a matcher-side ensure_ref
+        # may materialize concurrently): read fields once, publish data
+        # before clearing raw — both compute identical bytes
+        data = self.data
+        if data is None:
+            raw = self.raw
+            if raw is None:
+                return self.data  # lost the race; winner published data
+            arr = _rc_numeric(raw) if self.is_rc else raw
+            data = arr.astype(np.uint8, copy=False).tobytes()
+            self.data = data
             self.raw = None
-        return self.data
+        return data
+
+    def size(self) -> int:
+        return len(self.data) if self.data is not None else len(self.raw)
 
 def rerank_near_ties(
     scored: list[tuple[int, int, tuple[int, int]]], window: float = 1.01
@@ -164,13 +175,28 @@ def _union_hits(a, b):
     )
 
 
+_NATIVE_LIB = None
+_NATIVE_LIB_TRIED = False
+
+
+def _native_lib():
+    """Module-local memo of the ctypes library: get_lib() takes a lock on
+    every call, which contends measurably when store worker + matcher
+    both reverse-complement thousands of segments."""
+    global _NATIVE_LIB, _NATIVE_LIB_TRIED
+    if not _NATIVE_LIB_TRIED:
+        from ..native import get_lib
+
+        _NATIVE_LIB = get_lib()
+        _NATIVE_LIB_TRIED = True
+    return _NATIVE_LIB
+
+
 def _rc_numeric(arr: np.ndarray) -> np.ndarray:
     """Reverse complement of a numeric sequence (ACGT codes 0-3 flip,
     N/IUPAC codes pass through; reference: agc_basic.cpp:257-315).
     Single native pass when the fast library is available."""
-    from ..native import get_lib
-
-    lib = get_lib()
+    lib = _native_lib()
     if lib is not None and arr.flags.c_contiguous and arr.dtype == np.uint8:
         import ctypes
 
@@ -1559,13 +1585,7 @@ class Compressor:
         seg = self.v_segments[gid]
         if seg is None or seg.get_ref_size() == 0:
             return None
-        lz = seg.lz
-        rb = getattr(lz, "_ref_bytes", None)
-        if rb is not None:
-            return rb
-        if lz.reference is not None:
-            return lz.reference[: lz.ref_len].tobytes()
-        return None
+        return seg.ref_bytes_for_index()
 
     def _device_match_prepass(self, codes, cuts, cut_kmers) -> dict:
         """Batched device estimation of every one-splitter candidate
@@ -2014,11 +2034,19 @@ class Compressor:
         self._ensure_groups_ready((gid1, gid2))
         seg1 = self.v_segments[gid1]
         seg2 = self.v_segments[gid2]
-        seg_dir_b = segment_dir.astype(np.uint8, copy=False).tobytes()
-        seg_rc_b = segment_rc.astype(np.uint8, copy=False).tobytes()
-        n = len(seg_dir_b)
+        n = len(segment_dir)
         if n == 0:
             return EMPTY, 0
+        # byte views built lazily: each walk reads ONE orientation, so
+        # eagerly rendering both wastes a full-segment copy per call
+        _views: dict[bool, bytes] = {}
+
+        def bview(rc: bool) -> bytes:
+            v = _views.get(rc)
+            if v is None:
+                src = segment_rc if rc else segment_dir
+                v = _views[rc] = src.astype(np.uint8, copy=False).tobytes()
+            return v
 
         # reference parity: groups still PACKED from appending_init report
         # ref_size 0 and contribute no cost vector (segment.cpp:103); one
@@ -2063,6 +2091,8 @@ class Compressor:
                     best_pos = n
                 return middle, best_pos
 
+        seg1.ensure_ref()
+        seg2.ensure_ref()
         lz1, lz2 = seg1.lz, seg2.lz
         if lz1._ctx is not None and lz2._ctx is not None:
             # fused native path: both cost walks + cumulative sums +
@@ -2070,13 +2100,13 @@ class Compressor:
             seg1._ensure_unpacked()
             seg2._ensure_unpacked()
             if kmer1.data() < middle:
-                t1, pc1, rev1 = seg_dir_b, 1, 0
+                t1, pc1, rev1 = bview(False), 1, 0
             else:
-                t1, pc1, rev1 = seg_rc_b, 0, 1
+                t1, pc1, rev1 = bview(True), 0, 1
             if middle < kmer2.data():
-                t2, mode2 = seg_dir_b, 0
+                t2, mode2 = bview(False), 0
             else:
-                t2, mode2 = seg_rc_b, 1
+                t2, mode2 = bview(True), 1
             best_pos = int(
                 lz1._lib.lz_split_point(
                     lz1._ctx, t1, pc1, rev1, lz2._ctx, t2, mode2, n
@@ -2084,16 +2114,16 @@ class Compressor:
             )
         else:
             if kmer1.data() < middle:
-                v1 = seg1.get_coding_cost(seg_dir_b, True)
+                v1 = seg1.get_coding_cost(bview(False), True)
             else:
-                v1 = seg1.get_coding_cost(seg_rc_b, False)[::-1]
+                v1 = seg1.get_coding_cost(bview(True), False)[::-1]
             v1 = np.cumsum(v1.astype(np.int64))
 
             if middle < kmer2.data():
-                v2 = seg2.get_coding_cost(seg_dir_b, False).astype(np.int64)
+                v2 = seg2.get_coding_cost(bview(False), False).astype(np.int64)
                 v2 = np.cumsum(v2[::-1])[::-1]
             else:
-                v2 = seg2.get_coding_cost(seg_rc_b, True).astype(np.int64)
+                v2 = seg2.get_coding_cost(bview(True), True).astype(np.int64)
                 v2 = np.cumsum(v2)[::-1]
 
             if len(v1) != len(v2):
@@ -2408,15 +2438,17 @@ class Compressor:
         # merges touch no group state
         use_async = async_ok and bool(groups)
         if use_async:
-            # pre-set LZ references for groups born this barrier (cheap,
-            # main thread): the matcher can then estimate against them
-            # without joining the in-flight store
+            # pre-set LZ references for groups born this barrier (lazy:
+            # only ref_size is recorded on the main thread; the two
+            # reference copies + LZ prepare run at first use, normally on
+            # the store worker): the matcher can then estimate against
+            # them without joining the in-flight store
             for gid in groups:
                 if gid >= NO_RAW_GROUPS and self.v_segments[gid] is None:
                     items = buf[gid]
                     items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
                     seg = self._make_writer(gid)
-                    seg.preset_ref(items[0].materialize())
+                    seg.preset_ref_lazy(items[0])
                     self.v_segments[gid] = seg
             if self._store_pool is None:
                 from concurrent.futures import ThreadPoolExecutor

@@ -340,6 +340,8 @@ class SegmentWriter:
         self.v_raw: list[bytes] = []
         self.ref_size = 0
         self._ref_preset = False
+        self._ref_pending = None  # lazy preset (see preset_ref_lazy)
+        self._ref_pending_lock = __import__("threading").Lock()
         # appending-mode rehydration state
         self._packed_ref: tuple[bytes, int] | None = None
         self._packed_delta: tuple[bytes, int] | None = None
@@ -389,10 +391,53 @@ class SegmentWriter:
         self.ref_size = len(seq) + 1
         self._ref_preset = True
 
+    def preset_ref_lazy(self, pending) -> None:
+        """Zero-copy variant of preset_ref: record the group's reference
+        WITHOUT materializing or preparing the LZ context. The matcher
+        only needs ref_size immediately (readiness checks / candidate
+        ranking by size); the two reference copies (materialize +
+        lz.prepare) happen at first actual use — normally on the store
+        worker, off the matcher's thread. ``pending`` is any object with
+        ``materialize() -> bytes`` and ``size() -> int``."""
+        self._ref_pending = pending
+        self.ref_size = pending.size() + 1
+        self._ref_preset = True
+
+    def ensure_ref(self) -> None:
+        """Prepare the LZ reference from a lazy preset, once, from any
+        thread (first user wins; the store worker and the matcher may
+        race here). The pending marker is cleared only AFTER prepare
+        completes: the native prepare releases the GIL, so a lock-free
+        fast-path reader observing an early clear would use a
+        half-prepared LZ context."""
+        if self._ref_pending is None:
+            return
+        with self._ref_pending_lock:
+            p = self._ref_pending
+            if p is not None:
+                self.lz.prepare(p.materialize())
+                self._ref_pending = None
+
+    def ref_bytes_for_index(self) -> bytes | None:
+        """Reference codes for the device match bank without forcing the
+        LZ context to prepare (a lazy preset materializes its bytes
+        only)."""
+        p = self._ref_pending
+        if p is not None:
+            return p.materialize()
+        lz = self.lz
+        rb = getattr(lz, "_ref_bytes", None)
+        if rb is not None:
+            return rb
+        if lz.reference is not None:
+            return lz.reference[: lz.ref_len].tobytes()
+        return None
+
     def add(self, seq: bytes) -> int:
         """LZ-encode vs the group reference (reference: segment.cpp:34-80)."""
         self._ensure_unpacked()
         if self.no_seqs == 0:
+            self.ensure_ref()
             if not self._ref_preset:
                 self.lz.prepare(seq)
             self._store_ref(bytes(seq))
@@ -423,6 +468,7 @@ class SegmentWriter:
         if self.ref_size == 0:
             return 0
         self._ensure_unpacked()
+        self.ensure_ref()
         return self.lz.estimate(bytes(seq), bound)
 
     def get_coding_cost(self, seq: bytes, prefix_costs: bool) -> np.ndarray:
@@ -434,6 +480,7 @@ class SegmentWriter:
         if self.ref_size == 0:
             return np.empty(0, dtype=np.uint32)
         self._ensure_unpacked()
+        self.ensure_ref()
         return self.lz.get_coding_cost_vector(bytes(seq), prefix_costs)
 
     def get_ref_size(self) -> int:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import sys
 import threading
+import time
 from dataclasses import dataclass, field, replace as _dc_replace
 
 import numpy as np
@@ -75,6 +76,14 @@ class CompressorParams:
     # interleaved rANS stage; readable by agc-tpu and its C API, not by
     # the reference binary; see core/entropy.py and core/convert.py)
     profile: str = "zstd"
+    # LZ decision rule: "classic" (the reference's probe-per-position
+    # walk, lz_diff.cpp:669-798) or "anchor" (the device-assisted
+    # anchor rule, lz_native.cpp anchor section + ops/match.py
+    # anchor_diag_sets). Grammar is identical (any V2 decoder replays
+    # both); the CHOICE of matches differs, so mode changes archive
+    # bytes — whereas AGC_TPU_DEVICE_LZ (engine: where anchor tables
+    # are computed) never does. None = AGC_TPU_LZ_MODE env or classic.
+    lz_mode: str | None = None
 
 
 class Kmer:
@@ -112,6 +121,9 @@ class _PendingSeg:
     is_rc: bool
     raw: np.ndarray | None = None  # numeric view (reverse-complemented
     # and converted on the store worker, off the matcher's thread)
+    # device-computed anchor tables for the anchor LZ mode (set by the
+    # store worker's prepass; None = compute on host / classic rule)
+    anchor_tab: object = None
 
     def materialize(self) -> bytes:
         # race-tolerant (the store worker and a matcher-side ensure_ref
@@ -326,6 +338,7 @@ class Compressor:
         self._splitter_set: set[int] = set()
         self.fallback_filter = _FallbackFilter(self.p.fallback_frac)
         self._match_bank = None  # device RefBank (ops/match.py), lazy
+        self._anchor_bank = None  # AnchorCodeBank for the anchor LZ mode
         self.map_fallback: dict[int, list[tuple[int, int]]] = {}
         self._pending_fallback: list[tuple[int, int, int, bool]] = []
         # adaptive-mode candidate singleton/duplicate k-mers of the reference
@@ -567,8 +580,33 @@ class Compressor:
             self.archive_version,
         )
         w.profile = self.p.profile
+        w.lz_mode = self._lz_mode()
         w.entropy_batcher = self._entropy_sink()
         return w
+
+    def _lz_mode(self) -> str:
+        """Resolved LZ decision rule (see CompressorParams.lz_mode).
+        Anchor mode needs the native library and the V2 grammar; legacy
+        (1.x) archives always use classic."""
+        mode = self.p.lz_mode or os.environ.get("AGC_TPU_LZ_MODE", "classic")
+        if mode == "anchor" and self.archive_version >= 2000:
+            return "anchor"
+        return "classic"
+
+    @staticmethod
+    def _device_lz_enabled() -> bool:
+        """Engine choice for anchor-mode tables (never changes bytes):
+        AGC_TPU_DEVICE_LZ=1/0 forces; auto uses the device whenever a
+        real accelerator is attached."""
+        force = os.environ.get("AGC_TPU_DEVICE_LZ")
+        if force is not None:
+            return force not in ("0", "")
+        try:
+            import jax
+
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
 
     def _entropy_sink(self):
         """Shared deferred-entropy sink for the tpu-rans profile: part
@@ -2413,6 +2451,47 @@ class Compressor:
         self._buf_known = {}
         groups = sorted(buf)
 
+        def anchor_prepass():
+            """Device leg of the anchor LZ mode: ONE batched dispatch
+            computes every member's anchor tables (diag sets + per-
+            position anchor indices) against the dense reference bank;
+            store_group's adds then only tile + emit tokens on the host
+            (lz_encode_anchored). Bytes are identical with or without
+            this prepass — it is purely an engine choice."""
+            if self._lz_mode() != "anchor" or not self._device_lz_enabled():
+                return
+            from ..ops import match as _match
+
+            pairs = []
+            for gid in groups:
+                if gid < NO_RAW_GROUPS:
+                    continue
+                seg = self.v_segments[gid]
+                if seg is None:
+                    continue  # sync path creates writers lazily
+                items = buf[gid]
+                items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
+                start = 1 if seg.no_seqs == 0 else 0
+                for it in items[start:]:
+                    pairs.append((gid, it))
+            if not pairs:
+                return
+            if self._anchor_bank is None:
+                self._anchor_bank = _match.AnchorCodeBank()
+            t0 = time.perf_counter()
+            tabs = _match.anchor_diag_sets(
+                [it.materialize() for _, it in pairs],
+                [gid for gid, _ in pairs],
+                self._anchor_bank,
+                self._ref_codes_of,
+                self.p.min_match_len - 3,
+            )
+            for (_gid, it), tab in zip(pairs, tabs):
+                it.anchor_tab = tab
+            self.timers.times["device_lz_tables"] += (
+                time.perf_counter() - t0
+            )
+
         def store_group(gid):
             items = buf[gid]
             items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
@@ -2423,10 +2502,14 @@ class Compressor:
             placements = []
             for it in items:
                 data = it.materialize()
+                t0 = time.perf_counter()
                 if gid < NO_RAW_GROUPS:
                     in_group_id = seg.add_raw(data)
                 else:
-                    in_group_id = seg.add(data)
+                    in_group_id = seg.add(data, anchor_tab=it.anchor_tab)
+                self.timers.times["store_encode"] += (
+                    time.perf_counter() - t0
+                )
                 placements.append(
                     (it.sample, it.contig, it.part_no, gid, in_group_id,
                      it.is_rc, len(data))
@@ -2460,6 +2543,7 @@ class Compressor:
                 self._store_pool = ThreadPoolExecutor(max_workers=1)
 
             def store_all(groups=groups):
+                anchor_prepass()
                 out = []
                 for g in groups:
                     out.extend(store_group(g))
@@ -2475,6 +2559,7 @@ class Compressor:
             while len(self._pending_store) > 8:
                 self._join_oldest_store()
             return
+        anchor_prepass()
         if len(groups) > 4 and self._n_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
 

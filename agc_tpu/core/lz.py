@@ -408,6 +408,90 @@ class LZDiff:
 
     # -- encode ----------------------------------------------------------
 
+    # -- anchor-mode encode (device-assisted path; see lz_native.cpp) ----
+
+    _ANCHOR_POS_LIMIT = 1 << 24  # slot-table position field width
+
+    def anchor_applies(self, n: int) -> bool:
+        """Does the anchor-mode decision rule apply to a text of length
+        ``n`` against the prepared reference? Pure function of (n, m) —
+        the device prepass and the host twin must agree on this so
+        device-on and device-off archives stay byte-identical."""
+        if self._ctx is None or self.v1_grammar:
+            return False
+        m = self.ref_len
+        return (
+            0 < m < self._ANCHOR_POS_LIMIT
+            and n < self._ANCHOR_POS_LIMIT
+            and m >= self.key_len + 4
+        )
+
+    def encode_anchor(self, text_b: bytes, tables=None) -> bytes | None:
+        """Anchor-mode encode: emit V2 tokens from the anchor diagonal
+        set (``tables`` = int32 array of diagonals from the device
+        kernel ops/match.py::anchor_diag_sets, INT32_MIN-padded, or
+        None to compute it with the native host twin). Returns None
+        when the rule does not apply (caller must use the classic
+        encoder). Byte-identical regardless of where the set came
+        from."""
+        text = text_b if isinstance(text_b, bytes) else bytes(text_b)
+        if not self.anchor_applies(len(text)):
+            return None
+        ref = self._ref_bytes
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        cap = max(len(text) + 64, 1 << 12)
+        buf = self._enc_buf
+        if buf is None or len(buf) < cap:
+            buf = self._enc_buf = np.empty(max(cap, 1 << 16), np.uint8)
+        if tables is None:
+            # ctx variant: the reference occurrence map is built once
+            # per prepared reference and cached in the native context
+            n = self._lib.lz_encode_anchor_ctx(
+                self._ctx, text, len(text),
+                buf.ctypes.data_as(u8p), len(buf),
+            )
+            if n == -(1 << 63):
+                return None
+            if n < 0:
+                buf = self._enc_buf = np.empty(-n + 64, np.uint8)
+                n = self._lib.lz_encode_anchor_ctx(
+                    self._ctx, text, len(text),
+                    buf.ctypes.data_as(u8p), len(buf),
+                )
+        else:
+            diags = np.ascontiguousarray(tables, dtype=np.int32)
+            ndiag = int(np.sum(diags != np.int32(-(1 << 31))))
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            n = self._lib.lz_encode_anchored(
+                text, len(text), ref, len(ref), self.min_match_len,
+                diags.ctypes.data_as(i32p), ndiag,
+                buf.ctypes.data_as(u8p), len(buf),
+            )
+            if n < 0:
+                buf = self._enc_buf = np.empty(-n + 64, np.uint8)
+                n = self._lib.lz_encode_anchored(
+                    text, len(text), ref, len(ref), self.min_match_len,
+                    diags.ctypes.data_as(i32p), ndiag,
+                    buf.ctypes.data_as(u8p), len(buf),
+                )
+        return buf[:n].tobytes()
+
+    def anchor_diags_host(self, text_b: bytes):
+        """Host-twin anchor diagonal set for ``text_b`` (parity testing
+        against the device kernel): -> int32[32], INT32_MIN-padded; None
+        when the rule does not apply."""
+        text = bytes(text_b)
+        ref = self._ref_bytes
+        diags = np.empty(32, dtype=np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        r = self._lib.lz_anchor_diags(
+            text, len(text), ref, len(ref), self.min_match_len,
+            diags.ctypes.data_as(i32p),
+        )
+        if r < 0:
+            return None
+        return diags
+
     def encode(self, text_b: bytes) -> bytes:
         """Encode ``text_b``; returns b"" when identical to the reference."""
         if self._ctx is not None:

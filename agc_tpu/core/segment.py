@@ -330,6 +330,7 @@ class SegmentWriter:
         self.min_match_len = min_match_len
         self.archive_version = archive_version
         self.profile = "zstd"  # archive profile; set by the compressor
+        self.lz_mode = "classic"  # LZ decision rule; set by the compressor
         # tpu-rans deferred-entropy sink (entropy.EntropyBatcher); when
         # set, part payloads queue there for batched device encoding
         # instead of compressing inline
@@ -433,8 +434,13 @@ class SegmentWriter:
             return lz.reference[: lz.ref_len].tobytes()
         return None
 
-    def add(self, seq: bytes) -> int:
-        """LZ-encode vs the group reference (reference: segment.cpp:34-80)."""
+    def add(self, seq: bytes, anchor_tab=None) -> int:
+        """LZ-encode vs the group reference (reference: segment.cpp:34-80).
+
+        ``anchor_tab``: device-computed anchor tables for the anchor LZ
+        mode (ops/match.py::anchor_tables); the emitted bytes are
+        identical whether the tables come from the device or the host
+        twin, so this argument never changes the archive."""
         self._ensure_unpacked()
         if self.no_seqs == 0:
             self.ensure_ref()
@@ -447,7 +453,12 @@ class SegmentWriter:
         if len(self.v_lzp) == self.pack:
             self._store_pack(self.v_lzp)
             self.v_lzp = []
-        delta = self.lz.encode(bytes(seq))
+        delta = None
+        if self.lz_mode == "anchor":
+            self.ensure_ref()
+            delta = self.lz.encode_anchor(bytes(seq), tables=anchor_tab)
+        if delta is None:
+            delta = self.lz.encode(bytes(seq))
         if not delta:  # identical to reference
             return 0
         try:

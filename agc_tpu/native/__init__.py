@@ -164,6 +164,28 @@ def get_lib():
         lib.ref_payload_tuples.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.POINTER(ctypes.c_int32),
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.lz_anchor_diags.restype = ctypes.c_int64
+        lib.lz_anchor_diags.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+            ctypes.c_uint64, ctypes.c_uint32, i32p,
+        ]
+        lib.lz_encode_anchored.restype = ctypes.c_int64
+        lib.lz_encode_anchored.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+            ctypes.c_uint64, ctypes.c_uint32, i32p, ctypes.c_uint32,
+            u8p, ctypes.c_uint64,
+        ]
+        lib.lz_encode_anchor_host.restype = ctypes.c_int64
+        lib.lz_encode_anchor_host.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+            ctypes.c_uint64, ctypes.c_uint32, u8p, ctypes.c_uint64,
+        ]
+        lib.lz_encode_anchor_ctx.restype = ctypes.c_int64
+        lib.lz_encode_anchor_ctx.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+            u8p, ctypes.c_uint64,
+        ]
         lib.pack_nibbles.restype = None
         lib.pack_nibbles.argtypes = [u8p, ctypes.c_uint64, u8p]
         lib.tuples_to_bytes.restype = ctypes.c_uint64

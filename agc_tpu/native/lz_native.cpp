@@ -18,6 +18,8 @@
 #include <mutex>
 #include <string>
 #include <vector>
+#include <map>
+#include <unordered_map>
 
 namespace {
 
@@ -63,6 +65,11 @@ struct LZContext {
   std::vector<int64_t> ht;   // position table, -1 empty
   uint64_t ht_mask = 0;
   std::atomic<bool> index_ready = false;
+  // anchor-mode occurrence map (key -> min/max dense ref positions),
+  // built once per prepared reference on first anchor encode
+  std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> anchor_occ;
+  std::atomic<bool> anchor_occ_ready = false;
+  std::mutex anchor_mtx;
 
   // key_len is clamped to [8, 31]: below 8 the word-at-a-time
   // match_forward could read past the key_len-byte reference padding,
@@ -83,6 +90,7 @@ struct LZContext {
     ref.resize(len + key_len, kInvalidSymbol);
     ref_len = len;
     index_ready = false;
+    anchor_occ_ready = false;
   }
 
   // 2-bit pack key_len symbols; ~0 when any symbol is non-ACGT.
@@ -914,6 +922,309 @@ int64_t fasta_preprocess2(const uint8_t* raw, uint64_t n,
     }
   }
   return (int64_t)m;
+}
+
+// ===========================================================================
+// Anchor-mode LZ encode (the device-assisted encode path).
+//
+// The classic encoder above probes an insertion-ordered linear-probe hash
+// table at every position — a walk a TPU cannot replicate exactly. Anchor
+// mode redefines the ENCODE DECISION RULE (not the V2 token grammar) to be
+// a pure function of (text, ref) built from operations both a TPU kernel
+// (ops/match.py::anchor_tables) and this C++ twin compute identically:
+//
+//   1. ref index = dual min/max hash-slot tables over seed keys at EVERY
+//      reference position (dense, unlike the estimate bank's stride-4
+//      sampling: text probes run on a stride-4 grid, so a sampled ref
+//      index could only ever discover diagonals divisible by 4 — every
+//      indel whose shift is not a multiple of 4 would degenerate to
+//      literals). Same multipliers, fingerprint and entry packing as
+//      ops/match.py::_ref_index_kernel; H = 2 x pow2-padded ref length
+//      (load <= 0.5); entry = fp39 << 24 | pos; min and max per bucket;
+//   2. text anchors = per sampled text position, the (<= 2) candidate
+//      diagonals from probing the min/max slots, expressed as u8 indices
+//      into the top-32 diagonal set D (count desc, diag asc);
+//   3. greedy tiling (lz_encode_anchored below, HOST-only, O(n)): scan
+//      for the next anchor, verify + extend the byte-equality run on its
+//      diagonal(s), emit V2 tokens (literals / '!' rewrites / N-runs /
+//      matches with the match-to-end discount) exactly as the classic
+//      emitter does.
+//
+// Archives are byte-identical whether the anchor tables come from the
+// device kernel or lz_anchor_table below — that is the parity contract
+// (tests/test_lz_anchor.py). reference for the grammar itself:
+// lz_diff.cpp:631-798.
+
+constexpr uint64_t kAHashMul = 0x9E3779B97F4A7C15ULL;  // match.py _HASH_MUL
+constexpr uint64_t kAFpMul = 0xC2B2AE3D27D4EB4FULL;    // match.py _FP_MUL
+constexpr int kAPosBits = 24;                          // match.py _POS_BITS
+constexpr int kAFpBits = 39;                           // match.py _FP_BITS
+constexpr int64_t kASlotSent = INT64_MAX;              // match.py _SLOT_SENT
+constexpr uint32_t kAStride = 4;                       // HASHING_STEP
+constexpr uint32_t kANDiag = 32;                       // diagonal-set cap
+constexpr uint64_t kAMinRefBucket = 2048;  // match.py _MIN_REF_KEY_BUCKET*2
+
+static inline bool anchor_key_at(const uint8_t* s, uint32_t kl,
+                                 uint64_t* key) {
+  uint64_t x = 0;
+  for (uint32_t t = 0; t < kl; ++t) {
+    if (s[t] > 3) return false;
+    x = (x << 2) | s[t];
+  }
+  *key = x;
+  return true;
+}
+
+// Sampled-position count of the anchor grid over a text of length n.
+uint64_t lz_anchor_T(uint64_t n) { return (n + kAStride - 1) / kAStride; }
+
+// Anchor occurrence map: every dense reference key -> exact (min, max)
+// occurrence positions. Shared by the stateless twin and the
+// LZContext-cached production path.
+static void anchor_build_occ(
+    const uint8_t* ref, uint64_t m, uint32_t kl,
+    std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>>& occ) {
+  const uint64_t kmask = (kl < 32) ? ((1ULL << (2 * kl)) - 1) : ~0ULL;
+  occ.reserve(m);
+  uint64_t key = 0;
+  int64_t last_bad = -1;
+  for (uint64_t e = 0; e < m; ++e) {
+    uint8_t s = ref[e];
+    key = ((key << 2) & kmask) | (s & 3);
+    if (s > 3) last_bad = (int64_t)e;
+    if (e + 1 < kl) continue;
+    uint64_t j = e + 1 - kl;
+    if (last_bad >= (int64_t)j) continue;
+    auto it = occ.find(key);
+    if (it == occ.end())
+      occ.emplace(key, std::make_pair((uint32_t)j, (uint32_t)j));
+    else {
+      if (j < it->second.first) it->second.first = (uint32_t)j;
+      if (j > it->second.second) it->second.second = (uint32_t)j;
+    }
+  }
+}
+
+// Strided text probes over the occurrence map -> top-32 diagonal set
+// (count desc, diag asc). Returns the diagonal count.
+static int64_t anchor_diags_from_occ(
+    const std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>>& occ,
+    const uint8_t* text, uint64_t n, uint32_t kl, int32_t* diags_out) {
+  const uint64_t kmask = (kl < 32) ? ((1ULL << (2 * kl)) - 1) : ~0ULL;
+  std::map<int32_t, uint32_t> hist;
+  uint64_t key = 0;
+  int64_t last_bad = -1;
+  for (uint64_t e = 0; e < n; ++e) {
+    uint8_t s = text[e];
+    key = ((key << 2) & kmask) | (s & 3);
+    if (s > 3) last_bad = (int64_t)e;
+    if (e + 1 < kl) continue;
+    uint64_t j = e + 1 - kl;
+    if (j % kAStride != 0 || last_bad >= (int64_t)j) continue;
+    auto it = occ.find(key);
+    if (it == occ.end()) continue;
+    hist[(int32_t)((int64_t)it->second.first - (int64_t)j)] += 1;
+    hist[(int32_t)((int64_t)it->second.second - (int64_t)j)] += 1;
+  }
+  std::vector<std::pair<int32_t, uint32_t>> hs(hist.begin(), hist.end());
+  std::stable_sort(hs.begin(), hs.end(),
+                   [](const auto& x, const auto& y) {
+                     if (x.second != y.second) return x.second > y.second;
+                     return x.first < y.first;
+                   });
+  uint32_t nd = 0;
+  for (uint32_t i = 0; i < kANDiag; ++i) {
+    if (i < hs.size()) {
+      diags_out[i] = hs[i].first;
+      ++nd;
+    } else {
+      diags_out[i] = INT32_MIN;
+    }
+  }
+  return (int64_t)nd;
+}
+
+static inline bool anchor_applies_nm(uint64_t n, uint64_t m, uint32_t kl) {
+  return m < (1ULL << kAPosBits) && n < (1ULL << kAPosBits) &&
+         m >= kl + kAStride;
+}
+
+// Build the anchor DIAGONAL SET for (text, ref) on the host — the
+// device twin is ops/match.py::anchor_diag_sets (sort-merge join; no
+// hash tables, no scatters, identical min/max-occurrence semantics).
+// diags_out: kANDiag int32 (unused tail = INT32_MIN). Returns the
+// number of diagonals, or -1 when anchor mode does not apply to this
+// (n, m). Only the SET crosses the device link (128 bytes per
+// segment): the emitter below rediscovers anchors by direct byte
+// equality against each diagonal, so no per-position table pays the
+// download tax. Stateless (parity tests); the production host path is
+// lz_anchor_diags_ctx, which caches the occurrence map per reference.
+int64_t lz_anchor_diags(const uint8_t* text, uint64_t n, const uint8_t* ref,
+                        uint64_t m, uint32_t mml, int32_t* diags_out) {
+  const uint32_t kl = mml - kAStride + 1;
+  if (!anchor_applies_nm(n, m, kl)) return -1;
+  std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> occ;
+  anchor_build_occ(ref, m, kl, occ);
+  return anchor_diags_from_occ(occ, text, n, kl, diags_out);
+}
+
+// Greedy tiling + V2 emission from anchor tables (host leg of both the
+// device path and the all-host twin). Token grammar identical to the
+// classic lz_encode above: literals 'A'+code, '!' ref-equal rewrites,
+// N-runs 0x1E dec(len-4) 0x04, matches dec(dpos)[,len-mml]'.' with the
+// match-to-end discount. Returns token length or -(needed) when cap is
+// too small.
+int64_t lz_encode_anchored(const uint8_t* text, uint64_t n,
+                           const uint8_t* ref, uint64_t m, uint32_t mml,
+                           const int32_t* diags, uint32_t ndiag,
+                           uint8_t* out, uint64_t cap) {
+  if (n == m && std::memcmp(text, ref, n) == 0) return 0;
+  if (ndiag > kANDiag) ndiag = kANDiag;
+
+  std::string enc;
+  enc.reserve(n / 16 + 64);
+  uint64_t i = 0;
+  uint64_t pred_pos = 0;
+  uint64_t tp = 0;  // monotone sampled-grid cursor
+
+  // next usable match at or after position i: at each grid position,
+  // try EVERY diagonal in D by direct byte equality (a run of the
+  // text against ref shifted by d is contiguous, so any grid point
+  // inside it discovers it); extend the run, keep (start, end, diag)
+  // when end - max(i, run start) >= mml. Longer wins; ties take the
+  // smaller diagonal. Spurious byte agreements on wrong diagonals die
+  // after a ~1.3-byte expected extension, so this stays O(|D|) per
+  // grid position worst case and O(1) amortized on matched data.
+  auto find_match = [&](uint64_t from, uint64_t* ms, uint64_t* me,
+                        int64_t* md) -> bool {
+    if (ndiag == 0) return false;
+    while (tp * kAStride < from) ++tp;
+    for (;; ++tp) {
+      uint64_t j = tp * kAStride;
+      if (j >= n) return false;
+      uint64_t best_len = 0, best_s = 0, best_e = 0;
+      int64_t best_d = 0;
+      for (uint32_t ix = 0; ix < ndiag; ++ix) {
+        int64_t d = diags[ix];
+        int64_t rj = (int64_t)j + d;
+        if (rj < 0 || (uint64_t)rj >= m) continue;
+        if (text[j] != ref[rj]) continue;
+        // extend forward from j
+        uint64_t e = j;
+        uint64_t e_lim = ((int64_t)n < (int64_t)m - d)
+                             ? n
+                             : (uint64_t)((int64_t)m - d);
+        while (e < e_lim && text[e] == ref[e + d]) ++e;
+        // extend backward from j, not past `from`
+        uint64_t s = j;
+        while (s > from && (int64_t)s - 1 + d >= 0 &&
+               text[s - 1] == ref[s - 1 + d])
+          --s;
+        uint64_t len = e - s;
+        if (len >= mml &&
+            (len > best_len || (len == best_len && d < best_d))) {
+          best_len = len;
+          best_s = s;
+          best_e = e;
+          best_d = d;
+        }
+      }
+      if (best_len) {
+        *ms = best_s;
+        *me = best_e;
+        *md = best_d;
+        return true;
+      }
+    }
+  };
+
+  while (i < n) {
+    uint64_t ms, me;
+    int64_t md;
+    bool found = find_match(i, &ms, &me, &md);
+    uint64_t target = found ? ms : n;
+    // literal / N-run stretch [i, target)
+    while (i < target) {
+      uint32_t nr = nrun_len(text + i, target - i);
+      if (nr >= kMinNRunLen) {
+        enc.push_back(static_cast<char>(kNRunStarter));
+        append_uint(enc, nr - kMinNRunLen);
+        enc.push_back(static_cast<char>(kNCode));
+        i += nr;  // N-runs do not advance pred_pos (classic parity)
+      } else {
+        enc.push_back(static_cast<char>('A' + text[i]));
+        ++i;
+        ++pred_pos;
+      }
+    }
+    if (!found) break;
+    // match [ms, me) on diagonal md; i == ms
+    uint64_t match_pos = ms + md;
+    uint64_t total = me - ms;
+    if (match_pos == pred_pos) {
+      // rewrite trailing ref-equal literals as '!' (classic parity)
+      size_t e_size = enc.size();
+      for (uint64_t j2 = 1; j2 < e_size && j2 < match_pos; ++j2) {
+        char c = enc[e_size - j2];
+        if (c < 'A' || c > 'Z') break;
+        if (static_cast<uint8_t>(c - 'A') == ref[match_pos - j2])
+          enc[e_size - j2] = '!';
+      }
+    }
+    append_int(enc, static_cast<int64_t>(match_pos) -
+                        static_cast<int64_t>(pred_pos));
+    bool to_end = (ms + total == n) && (match_pos + total == m);
+    if (!to_end) {
+      enc.push_back(',');
+      append_uint(enc, total - mml);
+    }
+    enc.push_back('.');
+    pred_pos = match_pos + total;
+    i = me;
+  }
+
+  if (enc.size() > cap) return -static_cast<int64_t>(enc.size());
+  std::memcpy(out, enc.data(), enc.size());
+  return static_cast<int64_t>(enc.size());
+}
+
+// All-host anchor encode (twin of the device-assisted path): builds the
+// anchor tables with lz_anchor_table, then emits. Returns token length,
+// -(needed) when cap is too small, or INT64_MIN when anchor mode does
+// not apply (caller should use the classic encoder).
+int64_t lz_encode_anchor_host(const uint8_t* text, uint64_t n,
+                              const uint8_t* ref, uint64_t m, uint32_t mml,
+                              uint8_t* out, uint64_t cap) {
+  std::vector<int32_t> diags(kANDiag);
+  int64_t nd = lz_anchor_diags(text, n, ref, m, mml, diags.data());
+  if (nd < 0) return INT64_MIN;
+  return lz_encode_anchored(text, n, ref, m, mml, diags.data(),
+                            (uint32_t)nd, out, cap);
+}
+
+// Production host path: anchor encode against a PREPARED LZContext,
+// with the occurrence map built once per reference (prepare()
+// invalidates it) — the stateless twin above rebuilds it per call,
+// which is only acceptable for tests.
+int64_t lz_encode_anchor_ctx(void* vctx, const uint8_t* text, uint64_t n,
+                             uint8_t* out, uint64_t cap) {
+  LZContext& ctx = *static_cast<LZContext*>(vctx);
+  const uint32_t kl = ctx.key_len;
+  const uint64_t m = ctx.ref_len;
+  if (ctx.v1_grammar || !anchor_applies_nm(n, m, kl)) return INT64_MIN;
+  if (!ctx.anchor_occ_ready.load(std::memory_order_acquire)) {
+    std::lock_guard<std::mutex> lk(ctx.anchor_mtx);
+    if (!ctx.anchor_occ_ready.load(std::memory_order_relaxed)) {
+      ctx.anchor_occ.clear();
+      anchor_build_occ(ctx.ref.data(), m, kl, ctx.anchor_occ);
+      ctx.anchor_occ_ready.store(true, std::memory_order_release);
+    }
+  }
+  std::vector<int32_t> diags(kANDiag);
+  int64_t nd = anchor_diags_from_occ(ctx.anchor_occ, text, n, kl,
+                                     diags.data());
+  return lz_encode_anchored(text, n, ctx.ref.data(), m, ctx.min_match_len,
+                            diags.data(), (uint32_t)nd, out, cap);
 }
 
 // Reference-part repack decision + tuples encode in one call

@@ -673,25 +673,75 @@ class RefBank:
         # H = 2 x sampled-key count (load 0.5)
         log2_h = (b // HASHING_STEP * 2).bit_length() - 1
         ta, tb = _ref_index_kernel(packed, self.key_len, log2_h)
-        nbytes = int(ta.size) * 16
         with self._lock:
-            if gid in self._entries:  # lost a race; keep the first
-                self._entries.move_to_end(gid)
-                return self._entries[gid]
-            self._entries[gid] = (ta, tb, int(ta.shape[0]))
-            self._bytes += nbytes
-            while self._bytes > self.budget and len(self._entries) > 1:
-                ogid, (ota, _otb, om) = self._entries.popitem(last=False)
-                self._bytes -= int(ota.size) * 16
-                if self._row_of.pop(ogid, None) is not None:
-                    # consolidated matrix holds a stale row: rebuild the
-                    # bucket lazily at its next use
-                    blt = self._built.pop(om, None)
-                    if blt is not None:
-                        self._bytes -= int(blt[0].size) * 16
-                        for g in blt[2]:
-                            self._row_of.pop(g, None)
-        return self._entries[gid]
+            # _insert_locked keeps the first entry on insert races and
+            # runs the LRU eviction loop (stale consolidated rows drop
+            # their bucket for a lazy rebuild at next use)
+            self._insert_locked(gid, ta, tb)
+            return self._entries[gid]
+
+    def _insert_locked(self, gid: int, ta, tb) -> None:
+        """Register one built entry + run the LRU eviction loop; caller
+        holds the lock."""
+        if gid in self._entries:
+            self._entries.move_to_end(gid)
+            return
+        self._entries[gid] = (ta, tb, int(ta.shape[0]))
+        self._bytes += int(ta.size) * 16
+        while self._bytes > self.budget and len(self._entries) > 1:
+            ogid, (ota, _otb, om) = self._entries.popitem(last=False)
+            self._bytes -= int(ota.size) * 16
+            if self._row_of.pop(ogid, None) is not None:
+                blt = self._built.pop(om, None)
+                if blt is not None:
+                    self._bytes -= int(blt[0].size) * 16
+                    for g in blt[2]:
+                        self._row_of.pop(g, None)
+
+    _GET_MANY_ROWS = 64  # per-dispatch row cap (bounds transient HBM)
+
+    def get_many(self, gids, codes_provider) -> None:
+        """Build the indexes of every missing gid in BATCHED dispatches
+        (refs stacked per padded-length bucket, one vmapped index build
+        per chunk) instead of one upload + kernel round-trip per group —
+        through a remote device link the per-dispatch latency dwarfs the
+        index kernel, so cold-start misses must amortize. Safe to call
+        concurrently; losers of insert races keep the first entry."""
+        with self._lock:
+            missing = sorted(
+                {g for g in gids if g not in self._entries}
+            )
+        if not missing:
+            return
+        by_b: dict[int, list] = {}
+        for g in missing:
+            codes = codes_provider(g)
+            if (
+                codes is None
+                or len(codes) < self.key_len + HASHING_STEP
+                or len(codes) >= (1 << _POS_BITS)
+            ):
+                continue
+            arr = np.frombuffer(bytes(codes), dtype=np.uint8)
+            b = _pow2(len(arr), _MIN_REF_KEY_BUCKET * 2)
+            by_b.setdefault(b, []).append((g, arr))
+        for b, items in sorted(by_b.items()):
+            log2_h = (b // HASHING_STEP * 2).bit_length() - 1
+            kern = _ref_index_kernel
+            for lo in range(0, len(items), self._GET_MANY_ROWS):
+                chunk = items[lo : lo + self._GET_MANY_ROWS]
+                mat = np.full((len(chunk), b), 255, dtype=np.uint8)
+                for j, (_g, arr) in enumerate(chunk):
+                    mat[j, : len(arr)] = arr
+                packed = jnp.asarray(
+                    pack4_np(mat.reshape(-1)).reshape(len(chunk), b // 2)
+                )
+                ta, tb = jax.vmap(
+                    lambda p: kern(p, self.key_len, log2_h)
+                )(packed)
+                with self._lock:
+                    for j, (g, _arr) in enumerate(chunk):
+                        self._insert_locked(g, ta[j], tb[j])
 
     def rows_for(self, gids_entries: list) -> tuple[list[int], object, object]:
         """Consolidated-matrix rows for each (gid, (ta, tb, h)) — all of
@@ -819,7 +869,12 @@ def _estimate_bucket(
         packed, jnp.asarray(lens), key_len, stride
     )
 
-    # gather pairs, grouped by the candidate index's bucket size
+    # gather pairs, grouped by the candidate index's bucket size;
+    # missing group indexes build batched first (one vmapped dispatch
+    # per length bucket, not one round-trip per group)
+    bank.get_many(
+        [gid for q in live for gid, _rc in q.cands], ref_codes_of
+    )
     by_bucket: dict[int, list] = {}
     for qi, q in enumerate(live):
         q.ests = np.zeros(len(q.cands), dtype=np.int64)
@@ -852,6 +907,257 @@ def _estimate_bucket(
         ests = np.asarray(ests)
         for j, (_row, _gid, _e, q, ci) in enumerate(items):
             q.ests[ci] = int(ests[j])
+
+
+# ---------------------------------------------------------------------------
+# anchor-encode tables (device leg of the anchor-mode LZ encoder)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_NDIAG = 32
+_I32_MISS = -(1 << 31)
+
+
+@partial(jax.jit, static_argnames=("key_len",))
+def _anchor_join_kernel(tpacked, rrows, rowidx, key_len: int):
+    """Sort-merge join of each text's STRIDED seed keys against its
+    group reference's DENSE keys, per pair: one lexicographic sort of
+    (key, tag, pos) triples + segmented min/max propagation replaces
+    hash tables entirely — no scatters to build an index (TPU scatters
+    measured ~12 ms per 64 k-entry table), no random gathers to probe
+    it (~30 M/s from HBM), no fingerprint collisions. Dense ref keys
+    keep every indel shift discoverable under stride-4 text probing.
+
+    Returns (S, K) int32 diagonals of every (text key occurrence,
+    min/max ref occurrence) pair, _I32_MISS elsewhere — unordered, as
+    :func:`_anchor_select_kernel`'s histogram input. C++ twin:
+    lz_anchor_diags (exact min/max occurrence map)."""
+    rsel = rrows[rowidx]  # contiguous row gather (S, br/2)
+
+    def one(tp, rp):
+        tcodes = _unpack4_dev(tp)
+        rcodes = _unpack4_dev(rp)
+        tk, _tv = _start_keys(tcodes, key_len)
+        tk = tk[::HASHING_STEP]
+        rk, _rv = _start_keys(rcodes, key_len)
+        bt_s = tk.shape[0]
+        br = rk.shape[0]
+        keys = jnp.concatenate([rk, tk])  # invalid keys are SENTINEL
+        tag = jnp.concatenate(
+            [jnp.zeros(br, jnp.int32), jnp.ones(bt_s, jnp.int32)]
+        )
+        pos = jnp.concatenate(
+            [
+                jnp.arange(br, dtype=jnp.int32),
+                jnp.arange(bt_s, dtype=jnp.int32) * HASHING_STEP,
+            ]
+        )
+        sk, stag, spos = jax.lax.sort(
+            (keys, tag, pos), num_keys=2, is_stable=True
+        )
+        newrun = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+        run_id = jnp.cumsum(newrun.astype(jnp.int64)) - 1
+        valid = sk != SENTINEL
+        is_ref = valid & (stag == 0)
+        posmask = jnp.int64((1 << _POS_BITS) - 1)
+        sp64 = spos.astype(jnp.int64)
+        # refs sort before texts within a key run (tag is the second
+        # sort key), so a forward cummax sees every ref of the run
+        # before any text entry reads it
+        mx = jnp.where(
+            is_ref, (run_id << _POS_BITS) | sp64, jnp.int64(-1)
+        )
+        cmx = jax.lax.cummax(mx)
+        mn = jnp.where(
+            is_ref, (run_id << _POS_BITS) | (posmask - sp64), jnp.int64(-1)
+        )
+        cmn = jax.lax.cummax(mn)
+        is_text = valid & (stag == 1)
+        ok_a = is_text & (cmn >= 0) & ((cmn >> _POS_BITS) == run_id)
+        ok_b = is_text & (cmx >= 0) & ((cmx >> _POS_BITS) == run_id)
+        da = jnp.where(
+            ok_a,
+            (posmask - (cmn & posmask)).astype(jnp.int32) - spos,
+            jnp.int32(_I32_MISS),
+        )
+        db = jnp.where(
+            ok_b,
+            (cmx & posmask).astype(jnp.int32) - spos,
+            jnp.int32(_I32_MISS),
+        )
+        return jnp.concatenate([da, db])
+
+    return jax.vmap(one)(tpacked, rsel)
+
+
+class AnchorCodeBank:
+    """Device-resident nibble-packed group-reference CODES for the
+    anchor join kernel, consolidated per pow2-length bucket (one
+    (R, b/2) uint8 matrix per bucket — ~32 KB per 60 kb group, 60x
+    lighter than slot tables). The join kernel re-derives keys from
+    codes each dispatch (cheap vector ladders); only uploads are
+    cached."""
+
+    def __init__(self):
+        self._buckets: dict[int, list] = {}  # b -> [mat (R,b/2), gids]
+        self._row_of: dict[int, tuple[int, int]] = {}  # gid -> (b, row)
+        self._len: dict[int, int] = {}
+        self._refused: set[int] = set()
+        self._lock = threading.Lock()
+
+    def get_many(self, gids, codes_provider, key_len: int) -> None:
+        with self._lock:
+            missing = sorted(
+                {
+                    g
+                    for g in gids
+                    if g not in self._row_of and g not in self._refused
+                }
+            )
+        if not missing:
+            return
+        by_b: dict[int, list] = {}
+        refused = []
+        for g in missing:
+            codes = codes_provider(g)
+            if (
+                codes is None
+                or len(codes) < key_len + HASHING_STEP
+                or len(codes) >= (1 << _POS_BITS)
+            ):
+                refused.append(g)
+                continue
+            arr = np.frombuffer(bytes(codes), dtype=np.uint8)
+            by_b.setdefault(_pow2(len(arr), _MIN_SEG_BUCKET), []).append(
+                (g, arr)
+            )
+        for b, items in sorted(by_b.items()):
+            mat_np = np.full((len(items), b), 255, dtype=np.uint8)
+            lens = []
+            for j, (_g, arr) in enumerate(items):
+                mat_np[j, : len(arr)] = arr
+                lens.append(len(arr))
+            packed = jnp.asarray(
+                pack4_np(mat_np.reshape(-1)).reshape(len(items), b // 2)
+            )
+            with self._lock:
+                blt = self._buckets.get(b)
+                if blt is None:
+                    self._buckets[b] = [packed, [g for g, _ in items]]
+                else:
+                    blt[0] = jnp.concatenate([blt[0], packed])
+                    blt[1].extend(g for g, _ in items)
+                blt = self._buckets[b]
+                base = len(blt[1]) - len(items)
+                for j, (g, _arr) in enumerate(items):
+                    if g not in self._row_of:
+                        self._row_of[g] = (b, base + j)
+                        self._len[g] = lens[j]
+        with self._lock:
+            self._refused.update(refused)
+
+    def lookup(self, gid: int):
+        """-> (bucket, row) or None (unavailable / out of bounds)."""
+        with self._lock:
+            return self._row_of.get(gid)
+
+    def bucket_mat(self, b: int):
+        with self._lock:
+            return self._buckets[b][0]
+
+
+
+
+@jax.jit
+def _anchor_select_kernel(allv):
+    """Top-32 diagonal set per text row (count desc, diag asc — the
+    C++ twin's stable_sort order) from a MISS-padded array of hit
+    diagonals. Histogram built free of scatters: sort the diagonals,
+    run-length count, composite-key sort for the top-K. Only the SET
+    leaves the device (128 bytes per segment): the host emitter
+    rediscovers anchors by byte equality against each diagonal, so no
+    per-position table pays the download tax."""
+    s, n2 = allv.shape
+    miss = allv == _I32_MISS
+    key = jnp.where(miss, jnp.int32((1 << 31) - 1), allv)
+    sv = jnp.sort(key, axis=1)
+    is_max = sv == jnp.int32((1 << 31) - 1)
+    first = (
+        jnp.concatenate(
+            [jnp.ones((s, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1
+        )
+        & ~is_max
+    )
+    idx = jnp.arange(n2, dtype=jnp.int32)[None, :]
+    prev_max = jnp.concatenate(
+        [jnp.zeros((s, 1), bool), is_max[:, :-1]], axis=1
+    )
+    boundary = first | (is_max & ~prev_max)
+    bpos = jnp.where(boundary, idx, jnp.int32(n2))
+    # next boundary strictly after i (exclusive reverse cummin)
+    rev = bpos[:, ::-1]
+    nxt = jax.lax.cummin(
+        jnp.concatenate(
+            [jnp.full((s, 1), n2, jnp.int32), rev[:, :-1]], axis=1
+        ),
+        axis=1,
+    )[:, ::-1]
+    counts = jnp.where(first, nxt - idx, 0)
+    rk = jnp.int64(1 << 31) - sv.astype(jnp.int64)  # diag asc -> rk desc
+    comp = jnp.where(
+        first, (counts.astype(jnp.int64) << 32) | rk, jnp.int64(-1)
+    )
+    top = jnp.sort(comp, axis=1)[:, ::-1][:, :_ANCHOR_NDIAG]
+    dsel = jnp.where(
+        top >= 0,
+        (jnp.int64(1 << 31) - (top & jnp.int64(0xFFFFFFFF))).astype(
+            jnp.int32
+        ),
+        jnp.int32(_I32_MISS),
+    )
+
+    return dsel
+
+
+def anchor_diag_sets(texts: list, gids: list, bank: AnchorCodeBank,
+                     ref_codes_of, key_len: int):
+    """Batched device anchor diagonal sets for (text, group) pairs:
+    uploads the texts nibble-packed, sort-merge joins each against its
+    group's cached reference codes (:func:`_anchor_join_kernel`), and
+    selects per-text top-32 diagonal sets — the discovery half of the
+    anchor-mode encoder in a few dispatches, downloading 128 BYTES per
+    segment. Returns per pair an int32[32] diagonal array
+    (INT32_MIN-padded) or None when the group's reference is
+    unavailable / out of anchor bounds (the caller then uses the host
+    twin or the classic encoder — the RULE decides, not the engine)."""
+    out: list = [None] * len(texts)
+    bank.get_many(gids, ref_codes_of, key_len)
+    by: dict[tuple[int, int], list] = {}
+    for i, (txt, gid) in enumerate(zip(texts, gids)):
+        n = len(txt)
+        if n >= (1 << _POS_BITS) or n == 0:
+            continue
+        loc = bank.lookup(gid)
+        if loc is None:
+            continue
+        by.setdefault((_pow2(n, _MIN_SEG_BUCKET), loc[0]), []).append(
+            (i, txt, loc[1])
+        )
+    for (seg_b, ref_b), items in sorted(by.items()):
+        rrows = bank.bucket_mat(ref_b)
+        s_bucket = _pow2(len(items), 1)
+        mat = np.full((s_bucket, seg_b), 255, dtype=np.uint8)
+        rows = np.zeros(s_bucket, dtype=np.int32)
+        for j, (_i, txt, row) in enumerate(items):
+            mat[j, : len(txt)] = np.frombuffer(bytes(txt), dtype=np.uint8)
+            rows[j] = row
+        packed = jnp.asarray(
+            pack4_np(mat.reshape(-1)).reshape(s_bucket, seg_b // 2)
+        )
+        dd = _anchor_join_kernel(packed, rrows, jnp.asarray(rows), key_len)
+        dsel = np.asarray(_anchor_select_kernel(dd))
+        for j, (i, _txt, _row) in enumerate(items):
+            out[i] = dsel[j]
+    return out
 
 
 def split_point_device(

@@ -20,6 +20,9 @@
 #include <vector>
 #include <map>
 #include <unordered_map>
+#if defined(__AVX512VBMI__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -877,6 +880,41 @@ int64_t fasta_preprocess2(const uint8_t* raw, uint64_t n,
   const uint64_t HI = 0xC0C0C0C0C0C0C0C0ULL;
   const uint64_t LO1 = 0x0101010101010101ULL;
   const uint64_t HI8 = 0x8080808080808080ULL;
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+  // The ASCII->code table is PERIODIC over [64, 128): lut[64+o] ==
+  // lut[96+o] for o in [0, 32) (upper/lowercase rows are identical),
+  // so one vpermb with a 64-byte table over (byte & 63) translates a
+  // whole run lane-parallel. Bytes < 64 (newlines) are compressed out
+  // with a movemask + compress-store per 64-byte block.
+  __m512i table;
+  {
+    uint8_t t64[64];
+    for (int o = 0; o < 64; ++o) t64[o] = lut[64 + (o & 31)];
+    table = _mm512_loadu_si512(t64);
+  }
+  uint64_t m = 0, i = 0;
+  for (; i + 64 <= n; i += 64) {
+    __m512i v = _mm512_loadu_si512(raw + i);
+    // keep = byte >= 64 <=> (signed) byte < 0 for >=128 is impossible
+    // in FASTA, but stay exact: keep = (v & 0xC0) != 0 fails for
+    // 128..191? lut covers >=128 as 255 via the scalar path only —
+    // match the scalar semantics: keep = byte >= 64 (unsigned)
+    __mmask64 keep = _mm512_cmpge_epu8_mask(v, _mm512_set1_epi8(64));
+    __m512i tr = _mm512_permutexvar_epi8(
+        _mm512_and_si512(v, _mm512_set1_epi8(63)), table);
+    // bytes >= 128 index the table like 64..127 would; the reference
+    // LUT maps 128.. to 255 — replicate: force 255 where byte >= 128
+    __mmask64 hi = _mm512_movepi8_mask(v);  // top bit set
+    tr = _mm512_mask_mov_epi8(tr, hi, _mm512_set1_epi8((char)255));
+    _mm512_mask_compressstoreu_epi8(out + m, keep, tr);
+    m += (uint64_t)_mm_popcnt_u64(keep);
+  }
+  for (; i < n; ++i) {
+    uint8_t c = raw[i];
+    out[m] = lut[c];
+    m += (c >= 64);
+  }
+#else
   uint64_t m = 0, i = 0;
   while (i < n) {
     while (i < n && raw[i] < 64) ++i;
@@ -905,6 +943,7 @@ int64_t fasta_preprocess2(const uint8_t* raw, uint64_t n,
     m += len;
     i = j;
   }
+#endif
   // fused validity: valid codes are 0..15 (low nibble); any 0xF0 bit
   // set anywhere marks a non-IUPAC symbol (lut gives 30/32/255)
   const uint64_t NIB = 0xF0F0F0F0F0F0F0F0ULL;

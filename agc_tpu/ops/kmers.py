@@ -1028,23 +1028,51 @@ def collect_kmers_device(contig_codes: np.ndarray, k: int) -> list:
 
     Each record is (canon_dev, keep_from, real, start): canon_dev[j] is
     the canonical code of the window ending at global position
-    start - keep_from + j, valid for j in [keep_from, real)."""
+    start - keep_from + j, valid for j in [keep_from, real).
+
+    Full-CHUNK chunks batch into ONE vmapped canonization dispatch (one
+    upload, one kernel) — per-chunk dispatches cost a link round-trip
+    each, which dominates discovery wall time on remote-tunneled
+    devices. Ragged tails keep the single-chunk path."""
     n = len(contig_codes)
     out = []
     if n < k:
         return out
+    # plan the chunk windows first
+    plans = []  # (lo, end, keep_from, start)
     start = 0
     while start < n:
         lo = max(0, start - (k - 1))
         end = min(lo + CHUNK, n)
-        padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
-        keep_from = start - lo
-        arr = canon_kmers_window_p4(
-            jnp.asarray(pack4_np(padded)), k, keep_from, real
-        )
-        out.append((arr, keep_from, real, start))
+        plans.append((lo, end, start - lo, start))
         start = end
-    return out
+    full = [p for p in plans if p[1] - p[0] == CHUNK]
+    rest = [p for p in plans if p[1] - p[0] != CHUNK]
+    recs: dict[int, tuple] = {}
+    if len(full) > 1:
+        mat = np.empty((len(full), CHUNK), dtype=np.uint8)
+        for j, (lo, end, _kf, _st) in enumerate(full):
+            mat[j] = contig_codes[lo:end]
+        packed = jnp.asarray(
+            pack4_np(mat.reshape(-1)).reshape(len(full), CHUNK // 2)
+        )
+        kfs = jnp.asarray(
+            np.array([p[2] for p in full], dtype=np.int32)
+        )
+        rows = jax.vmap(
+            lambda p, kf: canon_kmers_window_p4(p, k, kf, CHUNK)
+        )(packed, kfs)
+        for j, (lo, end, kf, st) in enumerate(full):
+            recs[st] = (rows[j], kf, CHUNK, st)
+    else:
+        rest = plans
+    for lo, end, kf, st in rest:
+        padded, real = _padded(np.ascontiguousarray(contig_codes[lo:end]))
+        arr = canon_kmers_window_p4(
+            jnp.asarray(pack4_np(padded)), k, kf, real
+        )
+        recs[st] = (arr, kf, real, st)
+    return [recs[p[3]] for p in plans]
 
 
 @jax.jit

@@ -14,17 +14,29 @@ static in-kernel slices of a (k-1)-padded copy, so every add is an aligned
 (8,128) VPU op. Output halves are reassembled (or compared pairwise) by
 the caller.
 
-Status: the single-block variant (chunks up to BLOCK_ROWS*LANE = 64K
-symbols) COMPILES AND MATCHES the XLA core on real TPU hardware — the
-shifted reads are expressed as lane-rotates + seam selects, which Mosaic
-lowers (it rejects lane-unaligned slice+concat and has no dynamic_slice
-or 1D vector ops in this toolchain). The gridded variant for multi-block
-chunks is written and correct in interpret mode, but any grid invocation
-of this body crashes this image's remote Mosaic compiler (tpu_compile
-helper exit 1); it is kept for when the toolchain catches up. The scan
-path stays on the XLA log-doubling core (kmers._dir_halves), which runs
-at a small fraction of the scan budget. tests/test_pallas_kmers.py
-cross-checks both variants in interpret mode.
+Status — DEMOTED BY MEASUREMENT (round 3), kept as a validated
+alternative for future toolchains:
+
+- the single-block variant (chunks up to BLOCK_ROWS*LANE = 64K symbols)
+  compiles AND matches the XLA core bit-exactly on real TPU hardware —
+  the shifted reads are expressed as lane-rotates + seam selects, which
+  Mosaic lowers (it rejects lane-unaligned slice+concat and has no
+  dynamic_slice or 1D vector ops in this toolchain);
+- measured head-to-head on the real chip (64K chunk, warm, 20 reps):
+  Pallas 56.4 ms vs XLA log-doubling core 25.9 ms per dispatch — BOTH
+  are dispatch-round-trip-bound through the remote tunnel, and the
+  Pallas call costs an extra round trip, so wiring it into the ≤64K
+  path would make every small-contig scan ~2x slower while the ≥64K
+  production path (4 MB chunks) cannot use it at all: any GRID
+  invocation of this body crashes this image's remote Mosaic compiler
+  (tpu_compile helper exit 1);
+- the scan path therefore stays on the XLA core (kmers._dir_halves),
+  whose u64-emulation cost this kernel was written to remove — that
+  cost is a small fraction of the scan budget, far below one link
+  round trip.
+
+tests/test_pallas_kmers.py cross-checks both variants in interpret mode
+so the kernel stays correct for the day the toolchain accepts grids.
 """
 
 from __future__ import annotations

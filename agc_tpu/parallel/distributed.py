@@ -48,14 +48,29 @@ from ..core.genome_io import sample_name_from_path
 
 @dataclass
 class _ShardResult:
-    """Everything a shard produces for the merge step."""
+    """Everything a shard produces for the merge step.
+
+    Shards SCAN AND CUT; the writer MATCHES AND STORES: each captured
+    segment carries its boundary k-mers, and the merge replays the real
+    matcher (_add_segment) against the GLOBAL group inventory in global
+    sample order. Shard-local matching would make group choices (one-
+    splitter pairings, missing-middle splits) depend on each shard's
+    private inventory — measured +11..27% archive growth at 2..8 shards
+    from divergent pair choices; replay keeps N-shard archives within
+    2% of 1-shard (test_shard_count_archive_growth_bounded). The writer
+    paid the LZ+entropy cost at merge anyway (members always re-encoded
+    against merged references), so moving the cheap matching there too
+    costs only the candidate estimates."""
 
     shard_id: int
     sample_names: list
-    # group payloads: gid -> list of (sample, contig, part_no, data, is_rc)
-    groups: dict = field(default_factory=dict)
-    group_pk: dict = field(default_factory=dict)  # local gid -> (k1, k2)
+    # sample -> ordered [(contig, ord, data_bytes, (kf_dir, kf_rc,
+    # kf_full), (kb_dir, kb_rc, kb_full))] in contig/segment order
+    segments: dict = field(default_factory=dict)
     splitter_set: set = field(default_factory=set)
+    # sample -> fallback-minimizer records collected while scanning it
+    # (merged at that sample's barrier, mirroring the plain schedule)
+    fallback_by_sample: dict = field(default_factory=dict)
     # sample -> ordered full contig names (so the merge never re-parses
     # the input FASTA on the writer host just to recover names)
     contig_names: dict = field(default_factory=dict)
@@ -152,8 +167,9 @@ class _CapturingCompressor(Compressor):
         self._splitter_set = set(splitter_set)
         self._refresh_splitter_table()
         self.shard_id = shard_id
-        self.captured: dict[int, list] = {}
-        self.captured_pk: dict[int, tuple] = {}
+        self.captured_segments: dict[str, list] = {}
+        self.fallback_by_sample: dict[str, list] = {}
+        self._current_sample = None
         # shard-local segment writers exist only to hold LZ contexts for
         # estimates; they never touch an archive
         for gid in range(NO_RAW_GROUPS):
@@ -181,15 +197,18 @@ class _CapturingCompressor(Compressor):
         )
 
     def _synchronize(self) -> None:
-        """Shard-local barrier: registration + capture only (the global
-        metadata/archive writes happen in the merge phase). Adaptive mode
-        runs the same merge-then-rescan half-barrier as a plain create
-        (with the cross-shard exchange hook when an exchanger is wired)."""
+        """Shard-local barrier: adaptive splitter merges only (matching
+        and storing happen at the global merge). Fallback records are
+        banked per sample so the merge can replay them at that sample's
+        barrier, mirroring the plain-create schedule."""
         if self.p.adaptive_compression:
             self._adaptive_barrier()
-        self._register_segments()
-        self._store_segments()
-        self._merge_fallback_mappings()
+        if self._pending_fallback:
+            key = self._current_sample
+            self.fallback_by_sample.setdefault(key, []).extend(
+                self._pending_fallback
+            )
+            self._pending_fallback = []
         self.processed_samples += 1
 
     def _exchange_new_splitters(self, pending):
@@ -197,53 +216,41 @@ class _CapturingCompressor(Compressor):
             return pending
         return self._exchanger.exchange(pending)
 
-    def _register_segments(self) -> None:
-        super()._register_segments()
-        # inverted gid -> pk map, maintained incrementally at registration
-        # (a reverse scan of map_segments per group would be quadratic)
-        for pk, gid in self.map_segments.items():
-            if gid >= NO_RAW_GROUPS and gid not in self.captured_pk:
-                self.captured_pk[gid] = pk
+    def _add_segment(
+        self, sample, contig, part_no, segment, kmer_front, kmer_back,
+        device_hint=None,
+    ) -> int:
+        """Capture the cut segment + its boundary k-mers; the MERGE runs
+        the real matcher against the global inventory (see _ShardResult).
+        Always returns 0: splits are the merge's decision, so shard-side
+        part numbers are per-segment ordinals."""
+        self._current_sample = sample
+        self.captured_segments.setdefault(sample, []).append(
+            (
+                contig,
+                part_no,
+                segment.astype(np.uint8, copy=False).tobytes(),
+                (kmer_front.dir, kmer_front.rc, kmer_front.full),
+                (kmer_back.dir, kmer_back.rc, kmer_back.full),
+            )
+        )
+        return 0
+
+    def _device_match_prepass(self, codes, cuts, cut_kmers) -> dict:
+        return {}  # no shard-side matching: nothing to rank
 
     def _store_segments(self) -> None:
-        for gid in sorted(self._buf_known):
-            items = self._buf_known[gid]
-            items.sort(key=lambda s: (s.sample, s.contig, s.part_no))
-            seg = self.v_segments[gid]
-            if seg is None:
-                seg = self._make_writer(gid)
-                self.v_segments[gid] = seg
-            cap = self.captured.setdefault(gid, [])
-            for it in items:
-                data = it.materialize()
-                # feed the LZ context so estimates stay meaningful, but
-                # capture the raw member for the global merge
-                if gid >= NO_RAW_GROUPS and seg.no_seqs == 0:
-                    seg.lz.prepare(data)
-                    seg.ref_size = len(data) + 1
-                    seg.no_seqs = 1
-                elif gid >= NO_RAW_GROUPS:
-                    # keep the member count live: the -f near-tie re-rank
-                    # tiebreaks on no_seqs (rerank_near_ties), so freezing
-                    # it at 1 would silently disable pack cohesion in
-                    # sharded creates
-                    seg.no_seqs += 1
-                cap.append((it.sample, it.contig, it.part_no, data, it.is_rc))
-        self._buf_known = {}
+        self._buf_known = {}  # raw-group buffers (nothing is staged)
+
+    def _synchronize_sample_name(self, name: str) -> None:
+        """Record which sample the next barrier's fallback records
+        belong to (merge replays them at that sample's barrier)."""
+        self._current_sample = name
 
     def result(self) -> _ShardResult:
         res = _ShardResult(self.shard_id, [s.name for s in self.collection.samples])
-        res.groups = self.captured
-        # one final sweep catches any group registered after the last
-        # barrier's captured_pk fill
-        for pk, gid in self.map_segments.items():
-            if gid >= NO_RAW_GROUPS and gid not in self.captured_pk:
-                self.captured_pk[gid] = pk
-        res.group_pk = {
-            gid: self.captured_pk.get(gid, PK_EMPTY)
-            for gid in self.captured
-            if gid >= NO_RAW_GROUPS
-        }
+        res.segments = self.captured_segments
+        res.fallback_by_sample = self.fallback_by_sample
         res.splitter_set = self._splitter_set
         res.contig_names = {
             s.name: [c.name for c in s.contigs] for s in self.collection.samples
@@ -371,6 +378,9 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
         params.pack_cardinality, params.segment_size, params.kmer_length
     )
     merged.collection.profile = params.profile
+    from ..utils.profiling import StageTimers
+
+    merged.timers = StageTimers()
     merged.map_segments = {PK_EMPTY: 0}
     merged.terminators = {}
     merged.v_segments = []
@@ -427,58 +437,53 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
         seg.add_raw(b"\x7f")
     merged.no_segments = NO_RAW_GROUPS
 
-    # global group numbering: shards in order, local gid order within
-    gid_map: dict[tuple[int, int], int] = {}
-    for res in sorted(results, key=lambda r: r.shard_id):
-        for local_gid in sorted(res.group_pk):
-            g = merged.no_segments
-            merged.no_segments += 1
-            gid_map[(res.shard_id, local_gid)] = g
-            merged.writer.register_stream(ss_ref_name(merged.archive_version, g))
-            merged.writer.register_stream(ss_delta_name(merged.archive_version, g))
-            merged.v_segments.append(None)
-            pk = res.group_pk[local_gid]
-            if pk not in merged.map_segments:
-                merged.map_segments[pk] = g
-                k1, k2 = pk
-                if k1 != EMPTY and k2 != EMPTY:
-                    merged.terminators.setdefault(k1, []).append(k2)
-                    if k1 != k2:
-                        merged.terminators.setdefault(k2, []).append(k1)
-    for v in merged.terminators.values():
-        v.sort()
+    # Replay: the writer runs the REAL matcher over every captured
+    # segment in global sample order against the growing global
+    # inventory — group pairing, one-splitter estimation, missing-middle
+    # splits and fallback-minimizer matching all happen HERE, exactly as
+    # a plain create would do them (shard-local matching diverges per
+    # shard inventory; see _ShardResult). Storing (LZ + entropy) was
+    # always the writer's job.
+    from ..core.compressor import Kmer
 
-    # replay samples in global order, one sample barrier at a time
-    # (so collection batches and in-group ids follow the reference schedule)
-    per_sample: dict[str, list[tuple[int, tuple]]] = {}
-    for res in results:
-        for local_gid, members in res.groups.items():
-            for m in members:
-                sample = m[0]
-                if local_gid < NO_RAW_GROUPS:
-                    g = 0  # raw members are re-distributed at the barrier
-                else:
-                    g = gid_map[(res.shard_id, local_gid)]
-                per_sample.setdefault(sample, []).append((g, m))
+    merged._pending_store = None
+    merged._store_pool = None
+    merged._match_bank = None
+    merged._anchor_bank = None
+    merged._entropy_batcher = None
+    merged._pending_meta = []
+    merged._batches_stored_end = 0
 
+    per_sample: dict[str, list] = {}
+    fb_per_sample: dict[str, list] = {}
     contig_names: dict[str, list[str]] = {}
-    for res in results:
+    for res in sorted(results, key=lambda r: r.shard_id):
+        for sample, segs in res.segments.items():
+            per_sample[sample] = segs
+        for sample, recs in res.fallback_by_sample.items():
+            fb_per_sample.setdefault(sample, []).extend(recs)
         contig_names.update(res.contig_names)
 
     for sample_name, path in sample_files:
         merged.collection.reset_prev_sample_name()
         for cid in contig_names.get(sample_name, []):
             merged.collection.register_sample_contig(sample_name, cid)
-        from ..core.compressor import _PendingSeg
-
-        for g, (s, contig, part_no, data, is_rc) in per_sample.get(
-            sample_name, []
-        ):
-            merged._buf_known.setdefault(g, []).append(
-                _PendingSeg(s, contig, part_no, data, is_rc)
+        part_no: dict[str, int] = {}
+        for contig, _ord, data, kf, kb in per_sample.get(sample_name, []):
+            pn = part_no.get(contig, 0)
+            extra = merged._add_segment(
+                sample_name,
+                contig,
+                pn,
+                np.frombuffer(data, dtype=np.uint8),
+                Kmer(*kf),
+                Kmer(*kb),
             )
+            part_no[contig] = pn + 1 + extra
         merged._register_segments()
         merged._store_segments()
+        merged._pending_fallback.extend(fb_per_sample.get(sample_name, []))
+        merged._merge_fallback_mappings()
         merged.processed_samples += 1
         if merged.processed_samples % params.pack_cardinality == 0:
             merged.collection.store_contig_batch(

@@ -266,3 +266,69 @@ def test_fuzz_sharded_matches_plain(tmp_path, seed):
     finally:
         dp.close()
         ds.close()
+
+
+def test_mesh_create_byte_identical_to_single_chip(tmp_path):
+    """mesh_create_archive (every membership scan as the mesh-sharded
+    SPMD program over the 8 virtual devices) must produce BYTE-IDENTICAL
+    archives to the plain single-chip create, and extract exactly."""
+    import jax
+
+    from agc_tpu.core.compressor import create_archive
+    from agc_tpu.parallel.sharding import make_mesh, mesh_create_archive
+
+    files = make_collection(tmp_path, n_samples=3, contig_lens=(30000, 9000))
+    paths = [p for _, p in files]
+    plain = str(tmp_path / "plain.agc")
+    create_archive(plain, paths, PARAMS)
+    meshed = str(tmp_path / "mesh.agc")
+    mesh_create_archive(
+        meshed, paths, PARAMS, mesh=make_mesh(jax.devices()), chunk_len=8192
+    )
+    # content identity, not raw-file identity: the PHYSICAL part order
+    # depends on the async store worker's interleaving with the barrier
+    # flushes (the reference's own AddPartBuffered layout is scheduler-
+    # dependent the same way); the format's random access contract is
+    # the footer-indexed stream/part CONTENT, which must match exactly
+    from agc_tpu.core.archive import ArchiveReader
+
+    ra, rb = ArchiveReader(plain), ArchiveReader(meshed)
+    assert set(ra.stream_names()) == set(rb.stream_names())
+    for n in ra.stream_names():
+        assert ra.n_parts(n) == rb.n_parts(n), n
+        for i in range(ra.n_parts(n)):
+            assert ra.get_part(n, i) == rb.get_part(n, i), (n, i)
+    ra.close()
+    rb.close()
+    d = Decompressor(meshed)
+    for sample, path in files:
+        out = str(tmp_path / f"mesh_out_{sample}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), sample
+    d.close()
+
+
+def test_shard_count_archive_growth_bounded(tmp_path):
+    """N-shard archives must stay within 2% of the 1-shard size: the
+    merge dedups same-splitter-pair groups across shards (one surviving
+    reference per pair; duplicate shards' members re-encode as LZ
+    deltas against it). Guards the one-reference-per-group invariant
+    under sharding (reference: segment.cpp:34-80)."""
+    import os
+
+    files = make_collection(tmp_path, n_samples=8, contig_lens=(30000, 12000))
+    paths = [p for _, p in files]
+    sizes = {}
+    for n_shards in (1, 2, 4, 8):
+        archive = str(tmp_path / f"g{n_shards}.agc")
+        create_archive_sharded(archive, paths, PARAMS, n_shards=n_shards)
+        sizes[n_shards] = os.path.getsize(archive)
+        # extraction must stay exact after the dedup
+        d = Decompressor(archive)
+        sample, path = files[-1]
+        out = str(tmp_path / f"gx{n_shards}.fa")
+        d.get_sample_file(out, [sample], line_length=70)
+        assert filecmp.cmp(out, path, shallow=False), n_shards
+        d.close()
+    for n_shards in (2, 4, 8):
+        assert sizes[n_shards] <= sizes[1] * 1.02, sizes

@@ -52,7 +52,7 @@ def _extract_all(archive, bodies):
         d.close()
 
 
-@pytest.mark.parametrize("n_procs", [2, 3])
+@pytest.mark.parametrize("n_procs", [2, 3, 4])
 def test_jaxdist_create_extracts_identically(collection, n_procs, tmp_path):
     tmp, files, bodies = collection
     from agc_tpu.core.compressor import CompressorParams
@@ -233,3 +233,23 @@ def test_jaxdist_chunked_exchange_identical(collection, tmp_path, monkeypatch):
             r.close()
 
     assert contents(plain) == contents(chunked)
+
+
+def test_jaxdist_four_procs_adaptive_and_fallback(collection, tmp_path):
+    """4 processes with -a AND -f together: the per-barrier splitter
+    all_gather and the fallback-record exchange must both cross all four
+    shards; extraction stays exact and the splitter set matches the
+    single-host create."""
+    tmp, files, bodies = collection
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from agc_tpu.parallel.jaxdist import create_archive_jaxdist
+
+    params = CompressorParams(
+        segment_size=5000, adaptive_compression=True, fallback_frac=0.01
+    )
+    plain = tmp_path / "plain_af.agc"
+    create_archive(str(plain), files, params)
+    out = tmp_path / "dist4_af.agc"
+    create_archive_jaxdist(str(out), files, params, n_procs=4)
+    _extract_all(out, bodies)
+    assert _archive_splitters(out) == _archive_splitters(plain)

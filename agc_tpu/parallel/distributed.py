@@ -429,6 +429,19 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
     # _register_collection_streams)
     merged._register_collection_streams()
 
+    # store-side state must exist BEFORE any _make_writer call: the
+    # tpu-rans profile's _entropy_sink() lazily creates the shared
+    # EntropyBatcher on first use, and assigning _entropy_batcher = None
+    # after writers were made would orphan their sink (its deferred
+    # parts would never flush — the raw groups' seed packs vanished)
+    merged._pending_store = None
+    merged._store_pool = None
+    merged._match_bank = None
+    merged._anchor_bank = None
+    merged._entropy_batcher = None
+    merged._pending_meta = []
+    merged._batches_stored_end = 0
+
     # raw groups first (shared id space 0..15)
     for gid in range(NO_RAW_GROUPS):
         merged.writer.register_stream(ss_delta_name(merged.archive_version, gid))
@@ -445,14 +458,6 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
     # shard inventory; see _ShardResult). Storing (LZ + entropy) was
     # always the writer's job.
     from ..core.compressor import Kmer
-
-    merged._pending_store = None
-    merged._store_pool = None
-    merged._match_bank = None
-    merged._anchor_bank = None
-    merged._entropy_batcher = None
-    merged._pending_meta = []
-    merged._batches_stored_end = 0
 
     per_sample: dict[str, list] = {}
     fb_per_sample: dict[str, list] = {}

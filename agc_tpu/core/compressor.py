@@ -143,6 +143,24 @@ class _PendingSeg:
     def size(self) -> int:
         return len(self.data) if self.data is not None else len(self.raw)
 
+class _LazyHints:
+    """Deferred result of the async device-match prepass: ``get`` blocks
+    on the background estimate job at the FIRST one-splitter segment that
+    actually consumes a hint, so the device dispatch + download overlap
+    the host's walk over the contig's earlier segments."""
+
+    __slots__ = ("_fut", "_hints")
+
+    def __init__(self, fut):
+        self._fut = fut
+        self._hints = None
+
+    def get(self, seg_ord, default=None):
+        if self._hints is None:
+            self._hints = self._fut.result()
+        return self._hints.get(seg_ord, default)
+
+
 def rerank_near_ties(
     scored: list[tuple[int, int, tuple[int, int]]], window: float = 1.01
 ) -> tuple[int, int, tuple[int, int]]:
@@ -311,6 +329,7 @@ class Compressor:
     _pending_meta = ()
     _pending_reference = None
     _splitter_log = ()  # immutable default; __init__ replaces with a list
+    _match_pool = None  # async device-match prepass worker (lazy)
 
     def __init__(
         self,
@@ -826,10 +845,11 @@ class Compressor:
             # reference stage messages (agc_compressor.cpp:448, 481)
             print("Gathering reference k-mers", file=sys.stderr)
             print("Determination of splitters", file=sys.stderr)
-        named = [
-            (cid, preprocess_raw_contig(raw, cid))
-            for cid, raw in read_contigs_raw(reference_file)
-        ]
+        with self.timers.stage("disc_parse_ref"):
+            named = [
+                (cid, preprocess_raw_contig(raw, cid))
+                for cid, raw in read_contigs_raw(reference_file)
+            ]
         self._ref_codes = named
         contigs = [codes for _, codes in named]
         total = sum(len(c) for c in contigs)
@@ -853,18 +873,19 @@ class Compressor:
         packed = None  # (canon_flat, placements) for all-small references
         contig_recs = []
         dev_chunks = []
-        if _km._PACK_DISCOVERY and len(contigs) > 1 and all(
-            len(c) <= CHUNK for c in contigs
-        ):
-            # many small contigs: pack them into CHUNK rows and canonize
-            # in a handful of dispatches (one per ~32 Mbase)
-            packed = collect_kmers_device_packed(contigs, self.k)
-            dev_chunks = [packed[0]]
-        else:
-            for codes in contigs:
-                recs = collect_kmers_device(codes, self.k)
-                contig_recs.append(recs)
-                dev_chunks.extend(r[0] for r in recs)
+        with self.timers.stage("disc_collect"):
+            if _km._PACK_DISCOVERY and len(contigs) > 1 and all(
+                len(c) <= CHUNK for c in contigs
+            ):
+                # many small contigs: pack them into CHUNK rows and
+                # canonize in a handful of dispatches (one per ~32 Mbase)
+                packed = collect_kmers_device_packed(contigs, self.k)
+                dev_chunks = [packed[0]]
+            else:
+                for codes in contigs:
+                    recs = collect_kmers_device(codes, self.k)
+                    contig_recs.append(recs)
+                    dev_chunks.extend(r[0] for r in recs)
 
         splitters: list[int] = []
         if (
@@ -882,21 +903,23 @@ class Compressor:
                 find_splitter_emissions_packed,
             )
 
-            pool = self._sorted_pool(dev_chunks)
+            with self.timers.stage("disc_sort"):
+                pool = self._sorted_pool(dev_chunks)
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
             self._cand_singletons_dev = None
             cache = []
-            if packed is not None:
-                emissions = find_splitter_emissions_packed(
-                    packed[0], packed[1], self.k, pool,
-                    self.p.segment_size, singleton=True,
-                )
-            else:
-                emissions = find_splitter_emissions_batched(
-                    contig_recs, [len(c) for c in contigs], self.k, pool,
-                    self.p.segment_size, singleton=True,
-                )
+            with self.timers.stage("disc_greedy"):
+                if packed is not None:
+                    emissions = find_splitter_emissions_packed(
+                        packed[0], packed[1], self.k, pool,
+                        self.p.segment_size, singleton=True,
+                    )
+                else:
+                    emissions = find_splitter_emissions_batched(
+                        contig_recs, [len(c) for c in contigs], self.k, pool,
+                        self.p.segment_size, singleton=True,
+                    )
             for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
                 contigs, emissions
             ):
@@ -1690,17 +1713,33 @@ class Compressor:
             }
         if self._match_bank is None:
             self._match_bank = _match.RefBank(self.p.min_match_len - 3)
-        with self.timers.stage("device_match", total_pair_syms):
+        if self._match_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._match_pool = ThreadPoolExecutor(max_workers=1)
+
+        def run_estimates():
+            # background thread: device dispatch + result download overlap
+            # the host's _add_segment walk over this contig's earlier
+            # segments (VERDICT round-2: the sync prepass strictly added
+            # the device wall to the critical path). RefBank is locked;
+            # _ref_codes_of has the same store-worker exposure as the
+            # previous synchronous call site.
+            t0 = time.perf_counter()
             _match.estimate_batch(
                 [mq for _, _, mq in queries], self._match_bank,
                 self._ref_codes_of,
             )
-        margin = float(os.environ.get("AGC_TPU_MATCH_MARGIN", "0.15"))
-        hints = {}
-        for seg_ord, cands, mq in queries:
-            allowed = _match.shortlist(mq.ests, margin=margin, extra=1)
-            hints[seg_ord] = (cands, allowed)
-        return hints
+            margin = float(os.environ.get("AGC_TPU_MATCH_MARGIN", "0.15"))
+            out = {}
+            for seg_ord, cands, mq in queries:
+                allowed = _match.shortlist(mq.ests, margin=margin, extra=1)
+                out[seg_ord] = (cands, allowed)
+            self.timers.times["device_match"] += time.perf_counter() - t0
+            self.timers.units["device_match"] += total_pair_syms
+            return out
+
+        return _LazyHints(self._match_pool.submit(run_estimates))
 
     # below this size the whole new-splitter search runs on the host: a
     # 30 kb genome costs microseconds in numpy vs several device RTTs
@@ -2592,6 +2631,9 @@ class Compressor:
         if self._store_pool is not None:
             with contextlib.suppress(Exception):
                 self._store_pool.shutdown(wait=True, cancel_futures=True)
+        if self._match_pool is not None:
+            with contextlib.suppress(Exception):
+                self._match_pool.shutdown(wait=True, cancel_futures=True)
         with contextlib.suppress(Exception):
             self.writer.close()
         src = getattr(self, "_append_src", None)
@@ -2675,6 +2717,9 @@ class Compressor:
         if self._store_pool is not None:
             self._store_pool.shutdown(wait=True)
             self._store_pool = None
+        if self._match_pool is not None:
+            self._match_pool.shutdown(wait=True)
+            self._match_pool = None
         self.writer.flush_buffers()
         if self.p.verbosity > 0:
             # all parts (incl. async-finished packs and buffered writes)

@@ -1405,7 +1405,7 @@ class Compressor:
             (8 << 20) if self.p.adaptive_compression else (64 << 20)
         )
         _TARGET_SYMS = (
-            0 if self.p.adaptive_compression else (16 << 20)
+            0 if self.p.adaptive_compression else (32 << 20)
         )
         _MIN_DEPTH = 4
 

@@ -551,6 +551,9 @@ def splitter_greedy_kernel(packed, k, table, seg_size: int, cap: int, t0=0):
     )
 
 
+_GREEDY_SPEC = max(1, int(os.environ.get("AGC_TPU_GREEDY_SPEC", "8")))
+
+
 def _greedy_over_canon(canon, n_real, table, seg_size, cap, t0, singleton):
     """Shared greedy chain over a per-position canonical-code array.
 
@@ -566,21 +569,33 @@ def _greedy_over_canon(canon, n_real, table, seg_size, cap, t0, singleton):
     keeps the wide window for sparse-hit tables.
     """
     W = 256 if singleton else _GREEDY_W
+    S = _GREEDY_SPEC  # speculative windows per loop iteration
     n_real = jnp.asarray(n_real, jnp.int64)
     canon_pad = jnp.concatenate([canon, jnp.full(W, SENTINEL, dtype=jnp.uint64)])
     T = max(table.shape[0], 1)
 
-    def probe(off):
-        """Hit mask + codes for window [off, off+W) (off: i64 >= 0)."""
-        w = jax.lax.dynamic_slice(canon_pad, (off,), (W,))
-        ix = jnp.clip(jnp.searchsorted(table, w), 0, T - 1)
-        hit = (table[ix] == w) & (w != SENTINEL)
+    def probe(offs):
+        """Hit masks + codes for S windows [offs[i], offs[i]+W).
+
+        One searchsorted serves all S*W lanes, so the log2(T) serial
+        gather rounds amortize over the whole speculative block.
+        dynamic_slice clamps out-of-range starts; any hit a clamped
+        window produces lies at p >= n_real and is discarded by the
+        commit guard below."""
+        ws = jnp.stack(
+            [
+                jax.lax.dynamic_slice(canon_pad, (offs[i],), (W,))
+                for i in range(S)
+            ]
+        )
+        ix = jnp.clip(jnp.searchsorted(table, ws.reshape(-1)), 0, T - 1)
+        hit = (table[ix] == ws.reshape(-1)) & (ws.reshape(-1) != SENTINEL)
         if singleton:
             # searchsorted('left') => table[ix-1] < w, so only the right
             # neighbor can be a duplicate
             nxt = table[jnp.clip(ix + 1, 0, T - 1)]
-            hit &= (nxt != w) | (ix + 1 >= T)
-        return hit, w
+            hit &= (nxt != ws.reshape(-1)) | (ix + 1 >= T)
+        return hit.reshape(S, W), ws
 
     out_pos = jnp.full(cap, _POS_INF, dtype=jnp.uint64)
     out_kmer = jnp.zeros(cap, dtype=jnp.uint64)
@@ -590,23 +605,59 @@ def _greedy_over_canon(canon, n_real, table, seg_size, cap, t0, singleton):
         return (t < n_real) & (count < cap)
 
     def body(state):
+        """SPECULATIVE chain block: probe S windows at t, t+seg, ...,
+        t+(S-1)*seg in one shot, then commit sequentially in registers.
+        Window i's eligibility floor is the previous commit's in-window
+        offset D (prev emission p = t+(i-1)*seg+D, so the next target
+        p+seg = t+i*seg+D), which always stays < W — the exact walk the
+        one-window-per-iteration loop performed, at 1/S the serial loop
+        iterations and 1/S the searchsorted launch rounds. A window with
+        no eligible hit resumes scanning at its end (t+i*seg+W), exactly
+        like the original no-hit step, and discards the rest of the
+        block (their assumed start positions are stale)."""
         t, count, out_pos, out_kmer = state
-        hit, w = probe(t)
-        found = jnp.any(hit)
-        p_rel = jnp.argmax(hit).astype(jnp.int64)
-        p = t + p_rel
-        found &= p < n_real
-        out_pos = jnp.where(
-            found, out_pos.at[count].set(p.astype(jnp.uint64)), out_pos
-        )
-        out_kmer = jnp.where(found, out_kmer.at[count].set(w[p_rel]), out_kmer)
-        count = count + jnp.where(found, 1, 0)
-        t = jnp.where(found, p + seg_size, t + W)
-        return t, count, out_pos, out_kmer
+        offs = [t + i * seg_size for i in range(S)]
+        hit, ws = probe(offs)
+        iota = jnp.arange(W, dtype=jnp.int64)
+        alive = jnp.bool_(True)
+        t_next = t + W  # overwritten below (S >= 1 always executes)
+        D = jnp.int64(0)
+        for i in range(S):
+            elig = hit[i] & (iota >= D)
+            found = jnp.any(elig)
+            p_rel = jnp.argmax(elig).astype(jnp.int64)
+            p = offs[i] + p_rel
+            ok = alive & found & (p < n_real) & (count < cap)
+            out_pos = jnp.where(
+                ok, out_pos.at[count].set(p.astype(jnp.uint64)), out_pos
+            )
+            out_kmer = jnp.where(
+                ok, out_kmer.at[count].set(ws[i][p_rel]), out_kmer
+            )
+            count = count + jnp.where(ok, 1, 0)
+            D = jnp.where(ok, p_rel, D)
+            t_next = jnp.where(
+                ok,
+                p + seg_size,
+                jnp.where(alive, offs[i] + W, t_next),
+            )
+            alive = alive & ok
+        return t_next, count, out_pos, out_kmer
 
     _, count, out_pos, out_kmer = jax.lax.while_loop(
         cond, body, (jnp.asarray(t0, jnp.int64), jnp.int64(0), out_pos, out_kmer)
     )
+
+    def probe1(off):
+        """Single window [off, off+W) (the tail walk probes backward one
+        window at a time)."""
+        w = jax.lax.dynamic_slice(canon_pad, (off,), (W,))
+        ix = jnp.clip(jnp.searchsorted(table, w), 0, T - 1)
+        hit = (table[ix] == w) & (w != SENTINEL)
+        if singleton:
+            nxt = table[jnp.clip(ix + 1, 0, T - 1)]
+            hit &= (nxt != w) | (ix + 1 >= T)
+        return hit, w
 
     # rightmost hit: backward windows from the end (dense hits -> 1 probe)
     def tail_cond(state):
@@ -616,7 +667,7 @@ def _greedy_over_canon(canon, n_real, table, seg_size, cap, t0, singleton):
     def tail_body(state):
         s, _ = state
         off = jnp.maximum(s, jnp.int64(0))
-        hit, _ = probe(off)
+        hit, _ = probe1(off)
         hit &= (off + jnp.arange(W, dtype=jnp.int64)) < n_real
         found = jnp.any(hit)
         r_rel = jnp.int64(W - 1) - jnp.argmax(hit[::-1]).astype(jnp.int64)

@@ -201,6 +201,14 @@ def get_lib():
         lib.numeric_to_fasta.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint32, u8p,
         ]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmer_scan_members.restype = ctypes.c_int64
+        lib.kmer_scan_members.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32,
+            u64p, ctypes.c_int64,
+            i64p, u64p, u64p, ctypes.c_int64,
+        ]
         lib.rans_compress.restype = ctypes.c_int64
         lib.rans_compress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.rans_decompress.restype = ctypes.c_int64

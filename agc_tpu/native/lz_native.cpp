@@ -1687,4 +1687,107 @@ int64_t rans_decompress(const uint8_t* blob, int64_t blob_len, uint8_t* out,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Host membership scan: rolling canonical k-mer over numeric codes, hit
+// when the canonical code is in the sorted splitter table. This is the
+// host twin of the device scan kernels in ops/kmers.py (the fallback the
+// scan pipeline hedges to when the device link is degraded); the result
+// contract matches _decode_scan_vec exactly: ascending end-of-window
+// positions with both orientations' LEFT-ALIGNED u64 codes.
+// Reference behavior: the rolling CKmer walk of compress_contig
+// (agc_compressor.cpp:1997-2051) with the bloom+hash splitter check
+// replaced by one open-addressing probe per valid window.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint64_t kScanMul1 = 0x9E3779B97F4A7C15ull;  // Fibonacci hashing
+constexpr uint64_t kScanMul2 = 0xC2B2AE3D27D4EB4Full;
+
+struct ScanHit {
+  int64_t pos;
+  uint64_t dir, rc;
+};
+
+}  // namespace
+
+int64_t kmer_scan_members(const uint8_t* codes, int64_t n, uint32_t k,
+                          const uint64_t* table_sorted, int64_t t,
+                          int64_t* out_pos, uint64_t* out_dir,
+                          uint64_t* out_rc, int64_t cap) {
+  if (n < (int64_t)k || t <= 0) return 0;
+  // byte-bloom prefilter over UNALIGNED canonical codes: slot by one
+  // multiply-shift hash, 1-of-8 tag bit by a second. OR-accumulating
+  // bits means colliding table entries can never be missed (no false
+  // negatives); false positives fall through to the exact check.
+  uint32_t bloom_log = 12;
+  while (bloom_log < 20 && (1u << bloom_log) < (uint64_t)t * 16) ++bloom_log;
+  std::vector<uint8_t> bloom(1u << bloom_log, 0);
+  const uint32_t shift_align = 64 - 2 * k;
+  const uint32_t hsh = 64 - bloom_log;
+  for (int64_t i = 0; i < t; ++i) {
+    const uint64_t v = table_sorted[i] >> shift_align;  // unaligned
+    bloom[(v * kScanMul1) >> hsh] |= (uint8_t)(1u << ((v * kScanMul2) >> 61));
+  }
+  // 4 interleaved lanes over contiguous quarters: the rolling dir/rc
+  // chains are serial per position, so one lane is latency-bound; four
+  // independent chains in one fused loop fill the core's ports. Lanes
+  // 1..3 roll a k-1 warmup ramp (no emission) so hits are identical to
+  // the single-chain walk. Quarters are contiguous and in order, so
+  // per-lane hit vectors concatenate already sorted by position.
+  constexpr int kLanes = 4;
+  std::vector<ScanHit> hits[kLanes];
+  int64_t bounds[kLanes + 1];
+  for (int l = 0; l <= kLanes; ++l) bounds[l] = n * l / kLanes;
+  {
+    const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+    const uint32_t rc_top = 2 * (k - 1);
+    uint64_t dirv[kLanes] = {0, 0, 0, 0}, rcv[kLanes] = {0, 0, 0, 0};
+    uint32_t runv[kLanes] = {0, 0, 0, 0};
+    int64_t cur[kLanes], end[kLanes], emit_from[kLanes];
+    int64_t steps = 0;
+    for (int l = 0; l < kLanes; ++l) {
+      emit_from[l] = bounds[l];
+      cur[l] = l == 0 ? 0 : std::max<int64_t>(0, bounds[l] - (k - 1));
+      end[l] = bounds[l + 1];
+      if (end[l] - cur[l] > steps) steps = end[l] - cur[l];
+    }
+    for (int64_t s = 0; s < steps; ++s) {
+      for (int l = 0; l < kLanes; ++l) {
+        const int64_t i = cur[l];
+        if (i >= end[l]) continue;
+        cur[l] = i + 1;
+        const uint8_t c = codes[i];
+        if (c > 3) { runv[l] = 0; continue; }
+        const uint64_t dir = ((dirv[l] << 2) | c) & mask;
+        const uint64_t rc = (rcv[l] >> 2) | ((uint64_t)(3 - c) << rc_top);
+        dirv[l] = dir;
+        rcv[l] = rc;
+        if (++runv[l] < k) continue;
+        const uint64_t canon = dir < rc ? dir : rc;
+        const uint8_t bit = (uint8_t)(1u << ((canon * kScanMul2) >> 61));
+        if (!(bloom[(canon * kScanMul1) >> hsh] & bit)) continue;
+        if (i < emit_from[l]) continue;
+        const uint64_t key = canon << shift_align;
+        const uint64_t* p =
+            std::lower_bound(table_sorted, table_sorted + t, key);
+        if (p == table_sorted + t || *p != key) continue;
+        hits[l].push_back({i, dir << shift_align, rc << shift_align});
+      }
+    }
+  }
+  int64_t cnt = 0;
+  for (int l = 0; l < kLanes; ++l) {
+    for (const ScanHit& h : hits[l]) {
+      if (cnt < cap) {
+        out_pos[cnt] = h.pos;
+        out_dir[cnt] = h.dir;
+        out_rc[cnt] = h.rc;
+      }
+      ++cnt;
+    }
+  }
+  return cnt;
+}
+
 }  // extern "C"

@@ -22,6 +22,7 @@ for window w[0..k-1]. All kernels return *left-aligned* u64 codes.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 
 import jax
@@ -1434,6 +1435,82 @@ def _dl_pool():
 
 _BATCH_ROWS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 
+
+# ---------------------------------------------------------------------------
+# host scan fallback (tunnel-weather insurance): an exact native rolling
+# scan the pipeline hedges to when a device scan result is late. The
+# device link to this chip is a shared remote tunnel whose round-trip and
+# download bandwidth drift 5-15x between sessions (BASELINE.md); with the
+# hedge, end-to-end scan throughput is min(host, device) instead of
+# being pinned to the tunnel's bad days.
+# AGC_TPU_SCAN=device|host|auto (default auto) pins the engine.
+# ---------------------------------------------------------------------------
+
+_SCAN_MODE = os.environ.get("AGC_TPU_SCAN", "auto")
+
+# module-level running stats: EWMA of the host scan's ns/symbol (sets the
+# hedge grace window) + counters for diagnostics/tests
+SCAN_STATS = {"hedges": 0, "host_syms": 0, "host_ns_per_sym": 3.0}
+
+# consecutive hedged collects before a batcher stops dispatching to the
+# device for the rest of its run (each create re-probes)
+_HEDGE_DEMOTE = 3
+
+
+def scan_members_host(codes: np.ndarray, k: int, table):
+    """Exact host membership scan: rolling canonical k-mer + one hash
+    probe per window (native C++; numpy twin without a toolchain).
+    Same result contract as ScanBatcher.collect: (pos, udir, urc) with
+    ascending end-of-window positions and left-aligned u64 codes."""
+    from ..native import get_lib
+
+    n = len(codes)
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.uint64),
+        np.empty(0, dtype=np.uint64),
+    )
+    if table is None or n < k:
+        return empty
+    tbl = table.canon_np
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        c = np.ascontiguousarray(codes)
+        t = np.ascontiguousarray(tbl)
+        cap = max(4096, n // 4096)
+        while True:
+            pos = np.empty(cap, dtype=np.int64)
+            ud = np.empty(cap, dtype=np.uint64)
+            ur = np.empty(cap, dtype=np.uint64)
+            t0 = time.perf_counter()
+            cnt = lib.kmer_scan_members(
+                c.ctypes.data_as(u8p), n, k,
+                t.ctypes.data_as(u64p), len(t),
+                pos.ctypes.data_as(i64p), ud.ctypes.data_as(u64p),
+                ur.ctypes.data_as(u64p), cap,
+            )
+            if cnt <= cap:
+                dt_ns = (time.perf_counter() - t0) * 1e9
+                if n > 1 << 20:  # update the EWMA on meaty scans only
+                    SCAN_STATS["host_ns_per_sym"] = (
+                        0.7 * SCAN_STATS["host_ns_per_sym"] + 0.3 * dt_ns / n
+                    )
+                SCAN_STATS["host_syms"] += n
+                return pos[:cnt], ud[:cnt], ur[:cnt]
+            cap = cnt
+    udir, urc, valid = dir_rc_kmers_np(codes, k)
+    canon = np.minimum(udir, urc)
+    ix = np.searchsorted(tbl, canon)
+    ok = valid & (tbl[np.minimum(ix, tbl.size - 1)] == canon) & (ix < tbl.size)
+    pos = np.nonzero(ok)[0].astype(np.int64)
+    SCAN_STATS["host_syms"] += n
+    return pos, udir[pos], urc[pos]
+
 # eager device->host download of scan results on a dedicated thread
 # (AGC_TPU_SYNC_DL=1 reverts to lazy downloads on the matcher thread)
 _EAGER_DL = os.environ.get("AGC_TPU_SYNC_DL", "0") != "1"
@@ -1488,13 +1565,22 @@ class ScanBatcher:
         self._dl_cache: dict[int, np.ndarray] = {}
         # per-dispatch cache of cap-overflow re-runs (see collect)
         self._retry_cache: dict = {}
+        # hedge state: after _HEDGE_DEMOTE consecutive late device
+        # results, this batcher goes host-only for the rest of its run
+        self._hedge_streak = 0
+        self._host_mode = _SCAN_MODE == "host"
 
     def add(self, codes: np.ndarray):
         """Returns a token dict resolved at flush/collect time."""
         n = len(codes)
-        token = {"kind": "parts", "n": n, "parts": []}
+        token = {"kind": "parts", "n": n, "parts": [], "codes": codes}
         if n < self.k or self.table is None:
             token["kind"] = "empty"
+            return token
+        if self._host_mode:
+            # degraded-link mode: no device dispatch; collect() runs the
+            # exact native host scan over the retained codes
+            token["kind"] = "host"
             return token
         start = 0
         while start < n:
@@ -1666,6 +1752,31 @@ class ScanBatcher:
             cap = min(_PACK_CAP if multi else _SCAN_CAP, width)
             submit([row], width, cap)
 
+    def _device_ready(self, token) -> bool:
+        """True if every part's device result is (or becomes) available
+        within the hedge grace window — ~0.5x the estimated host-scan
+        cost. A healthy pipeline has results downloaded before the
+        matcher needs them (eager DL thread), so it never waits here; a
+        stalled tunnel loses at most ~1.5x the host cost per probe
+        before the batcher switches engines."""
+        parts = token["parts"]
+        if any("out" not in p for p in parts):
+            self.flush()
+            if any("out" not in p for p in parts):
+                return True  # not dispatchable: fall through to device path
+        grace = max(
+            0.02, 0.5e-9 * SCAN_STATS["host_ns_per_sym"] * token["n"]
+        )
+        deadline = time.monotonic() + grace
+        for p in parts:
+            try:
+                p["out"].result(timeout=max(0.0, deadline - time.monotonic()))
+            except Exception:
+                # timeout, or a device-side error: the exact host scan is
+                # the safe engine either way
+                return False
+        return True
+
     def _resolve(self, fut):
         """Wait for a dispatch job, download its result once (cached
         briefly); returns (result_np, is_global, packed_mat).
@@ -1694,6 +1805,18 @@ class ScanBatcher:
                 np.empty(0, dtype=np.uint64),
                 np.empty(0, dtype=np.uint64),
             )
+        if token["kind"] == "host":
+            return scan_members_host(token["codes"], self.k, self.table)
+        if _SCAN_MODE != "device" and not self._device_ready(token):
+            # hedge: device result is late past the grace window — run
+            # the exact host scan instead (the in-flight device result
+            # still serves the dispatch's OTHER tokens when it lands)
+            SCAN_STATS["hedges"] += 1
+            self._hedge_streak += 1
+            if self._hedge_streak >= _HEDGE_DEMOTE:
+                self._host_mode = True
+            return scan_members_host(token["codes"], self.k, self.table)
+        self._hedge_streak = 0
         all_pos, all_dir, all_rc = [], [], []
         for part in token["parts"]:
             if "out" not in part:

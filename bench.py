@@ -1,11 +1,25 @@
 """End-to-end compression benchmark (driver contract: prints ONE JSON line).
 
 Measures create-archive throughput (bases/s) on a deterministic synthetic
-collection: one reference genome + mutated resequenced samples — the same
-shape of workload as the reference tool's headline benchmark (HPP
-haplotype collections; BASELINE.md). Baseline: the reference's published
-aggregate compression throughput of ~400 Mbases/s on a 32-thread
-Threadripper 3990X (reference README.md:12-13).
+collection shaped like the reference tool's headline workload (HPP
+haplotype collections, reference README.md:10-13): one reference genome
+built from REPEAT FAMILIES plus unique backbone (real assemblies'
+duplication structure is what loads the matcher and gives AGC its 200:1
+headline ratio — a uniform-random reference exercises neither), and
+resequenced samples mutated from it (SNPs + indels).
+
+Baseline: the reference's published aggregate compression throughput of
+~400 Mbases/s on a 32-thread Threadripper 3990X (reference README.md:12-13).
+
+Capture protocol (round-4): WARM UNTIL CONVERGED — the remote-tunneled
+chip behind this box drifts 5-15x between sessions, and round-3's capture
+caught a still-warming tail (runs 21.2->3.7 s, monotonically declining).
+Warmup repeats until two consecutive runs agree within 15% (cap 6), then
+5 measured runs are taken; min is reported (the workload is
+deterministic, so all variance is interference). The scan pipeline
+itself hedges device scans to an exact native host scan when the link is
+degraded (ops/kmers.py ScanBatcher), so a bad-tunnel session degrades to
+the host floor instead of the tunnel's floor.
 
 Round-trip correctness is asserted on a sampled contig before reporting.
 """
@@ -32,10 +46,41 @@ N_SAMPLES = int(os.environ.get("AGC_TPU_BENCH_SAMPLES", "7"))
 # its numbers live in tools/ratio_compare.py runs, where archives are
 # compared against the reference binary's.
 PROFILE = os.environ.get("AGC_TPU_BENCH_PROFILE", "tpu-rans")
+# plain: round-1..3's uniform-random reference (kept for comparison runs)
+STRUCTURE = os.environ.get("AGC_TPU_BENCH_STRUCTURE", "repeats")
 
 
 def _make_seq(rng: np.random.Generator, n: int) -> np.ndarray:
     return rng.integers(0, 4, size=n, dtype=np.uint8)
+
+
+def _make_structured_ref(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Reference with repeat families: ~40% of the sequence is copies of
+    a library of repeat units (0.5-8 kb) at ~1% divergence, interleaved
+    with unique backbone. This is the duplication structure of real
+    assemblies (segmental duplications, mobile elements) that loads the
+    matcher's candidate searches — a uniform-random reference has no
+    duplicated k-mers, so splitter discovery sees only singletons."""
+    lib = [
+        _make_seq(rng, int(rng.integers(500, 8000)))
+        for _ in range(48)
+    ]
+    pieces = []
+    total = 0
+    while total < n:
+        if rng.random() < 0.45:
+            unit = lib[int(rng.integers(len(lib)))]
+            copy = unit.copy()
+            n_sub = max(1, len(copy) // 100)  # ~1% divergence per copy
+            pos = rng.integers(0, len(copy), size=n_sub)
+            copy[pos] = (copy[pos] + rng.integers(1, 4, size=n_sub)) % 4
+            pieces.append(copy)
+            total += len(copy)
+        else:
+            m = int(rng.integers(2000, 20000))
+            pieces.append(_make_seq(rng, m))
+            total += m
+    return np.concatenate(pieces)[:n]
 
 
 def _mutate(rng: np.random.Generator, seq: np.ndarray) -> np.ndarray:
@@ -87,7 +132,10 @@ def main() -> None:
     rng = np.random.default_rng(20260816)
     tmp = tempfile.mkdtemp(prefix="agc_tpu_bench_")
 
-    ref = _make_seq(rng, REF_MB << 20)
+    if STRUCTURE == "plain":
+        ref = _make_seq(rng, REF_MB << 20)
+    else:
+        ref = _make_structured_ref(rng, REF_MB << 20)
     files = [os.path.join(tmp, "ref.fa")]
     _write_fasta(files[0], "chr1", ref)
     total_bases = len(ref)
@@ -98,25 +146,43 @@ def main() -> None:
         files.append(p)
         total_bases += len(mut)
 
-    # -- warmup: identical workload, so every kernel shape is compiled
-    #    (and lands in the persistent cache) before the measured run
-    t0 = time.time()
-    create_archive(os.path.join(tmp, "warm.agc"), files, CompressorParams(profile=PROFILE))
-    print(f"# warmup (incl. compiles): {time.time() - t0:.2f}s", file=sys.stderr)
+    def one_run(path: str) -> float:
+        t0 = time.time()
+        create_archive(path, files, CompressorParams(profile=PROFILE))
+        return time.time() - t0
+
+    # -- warmup UNTIL CONVERGED: identical workload, so every kernel
+    #    shape compiles (and lands in the persistent cache) on the first
+    #    pass; further passes warm device/link state. Stop when two
+    #    consecutive runs agree within 15% (cap 6 runs) — round-3's
+    #    capture took its "measured" runs while still on the warming
+    #    slope (21.2 -> 3.7 s declining across all 5).
+    warm = []
+    for i in range(6):
+        warm.append(one_run(os.path.join(tmp, "warm.agc")))
+        print(
+            f"# warmup {i}: {warm[-1]:.2f}s"
+            + (" (incl. compiles)" if i == 0 else ""),
+            file=sys.stderr,
+        )
+        if (
+            len(warm) >= 2
+            and max(warm[-2:]) <= min(warm[-2:]) * 1.15
+        ):
+            break
 
     # -- measured runs: MINIMUM of 5 (timeit's rationale: the workload is
     #    deterministic, so all variance is interference — here the shared
-    #    remote tunnel drifts 2-4x between phases; the fastest run is the
-    #    best estimate of the code's actual speed). All runs printed for
+    #    remote tunnel drifts between phases; the fastest run is the best
+    #    estimate of the code's actual speed). All runs printed for
     #    transparency.
     archive = os.path.join(tmp, "bench.agc")
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        create_archive(archive, files, CompressorParams(profile=PROFILE))
-        times.append(time.time() - t0)
+    times = [one_run(archive) for _ in range(5)]
     dt = min(times)
     print(f"# runs: {['%.2f' % t for t in times]}", file=sys.stderr)
+    print(
+        f"# spread max/min: {max(times) / min(times):.2f}", file=sys.stderr
+    )
 
     # correctness spot check: extract one sample, compare
     d = Decompressor(archive)

@@ -621,3 +621,51 @@ def test_fallback_collection_matches_reference_walk(tmp_path):
     assert got_spl == exp_spl
     assert [(p, c, km, bool(dirn)) for p, c, km, dirn in got_fb] == exp_fb
     assert len(exp_fb) > 20  # the 0.05 filter must actually sample
+
+
+def test_host_scan_matches_device_scan():
+    """The native host membership scan (the tunnel-weather hedge target,
+    kmer_scan_members) must produce exactly the hits of the device scan
+    pipeline: same positions, same dir/rc codes, including invalid-symbol
+    resets and k=32 full-width codes."""
+    from agc_tpu.ops.kmers import (
+        ScanBatcher, collect_kmers, make_scan_table, scan_members_host,
+    )
+
+    rng = np.random.default_rng(77)
+    for k in (17, 31, 32):
+        contigs = [
+            rng.integers(0, 4, size=n, dtype=np.uint8)
+            for n in (50000, 7000, 120000)
+        ]
+        contigs[0][500:540] = 7  # invalid stretch
+        vals = np.sort(np.unique(np.concatenate(
+            [collect_kmers(c, k)[::101] for c in contigs]
+        )))
+        table = make_scan_table(vals, k)
+        b = ScanBatcher(k, table)
+        toks = [b.add(c) for c in contigs]
+        b.flush()
+        for c, t in zip(contigs, toks):
+            dp, dd, dr = b.collect(t)
+            hp, hd, hr = scan_members_host(c, k, table)
+            assert np.array_equal(dp, hp)
+            assert np.array_equal(dd, hd)
+            assert np.array_equal(dr, hr)
+
+
+def test_host_scan_mode_create_is_stream_identical(tmp_path, monkeypatch):
+    """AGC_TPU_SCAN=host (the degraded-link engine) must produce a
+    byte-identical archive to the default engine."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from tests.util import make_collection
+
+    files = [p for _, p in make_collection(tmp_path, n_samples=3)]
+    a1 = tmp_path / "dev.agc"
+    a2 = tmp_path / "host.agc"
+    create_archive(str(a1), files, CompressorParams())
+    monkeypatch.setattr(KM, "_SCAN_MODE", "host")
+    create_archive(str(a2), files, CompressorParams())
+    assert a1.read_bytes() == a2.read_bytes()
+    assert KM.SCAN_STATS["host_syms"] > 0

@@ -144,21 +144,52 @@ class _PendingSeg:
         return len(self.data) if self.data is not None else len(self.raw)
 
 class _LazyHints:
-    """Deferred result of the async device-match prepass: ``get`` blocks
-    on the background estimate job at the FIRST one-splitter segment that
-    actually consumes a hint, so the device dispatch + download overlap
-    the host's walk over the contig's earlier segments."""
+    """Deferred result of the async device-match prepass. ``ordinals``
+    is the set of queried segment ordinals: ``get``/``ref`` for any other
+    ordinal return immediately, and a queried ordinal blocks on the
+    background estimate job only when ITS segment's one-splitter search
+    actually consumes the hint (inside _find_cand_one_splitter) — so the
+    device dispatch + download overlap the host's walk over all earlier
+    segments of the contig, including their RC materialization and
+    missing-middle searches. Every queried ordinal's segment reaches
+    _find_cand_one_splitter before the sample barrier, so the future is
+    always consumed within its contig (barrier-time group mutations
+    never race the job)."""
 
-    __slots__ = ("_fut", "_hints")
+    __slots__ = ("_fut", "_hints", "_ordinals")
 
-    def __init__(self, fut):
+    def __init__(self, fut, ordinals):
         self._fut = fut
         self._hints = None
+        self._ordinals = frozenset(ordinals)
 
     def get(self, seg_ord, default=None):
+        if seg_ord not in self._ordinals:
+            return default
         if self._hints is None:
             self._hints = self._fut.result()
         return self._hints.get(seg_ord, default)
+
+    def ref(self, seg_ord):
+        """A resolve-on-use handle for _find_cand_one_splitter (None when
+        the ordinal has no pending query)."""
+        if seg_ord not in self._ordinals:
+            return None
+        return _LazyHint(self, seg_ord)
+
+
+class _LazyHint:
+    """One segment's deferred device hint; ``resolve`` blocks on the
+    prepass job (first resolver wins, result memoized on the parent)."""
+
+    __slots__ = ("_parent", "_ord")
+
+    def __init__(self, parent, ord_):
+        self._parent = parent
+        self._ord = ord_
+
+    def resolve(self):
+        return self._parent.get(self._ord)
 
 
 def rerank_near_ties(
@@ -839,6 +870,7 @@ class Compressor:
 
     def _determine_splitters_impl(self, reference_file: str) -> None:
         from ..ops.kmers import collect_kmers_device
+        from ..ops.kmers import link_degraded as _link_degraded
 
         if self.p.verbosity > 0:
 
@@ -853,9 +885,20 @@ class Compressor:
         self._ref_codes = named
         contigs = [codes for _, codes in named]
         total = sum(len(c) for c in contigs)
+        # AGC_TPU_DISC=device|host|auto gates the discovery engine; in
+        # auto, a recent scan-pipeline demotion (ops.kmers.link_degraded)
+        # routes discovery to the host twin too — the same tunnel that
+        # stalls scan results stalls the discovery sort/greedy dispatches
+        disc_mode = os.environ.get("AGC_TPU_DISC", "auto")
         if not self.fallback_filter and (
-            (len(contigs) > 8 and total <= self._HOST_DISCOVERY_MAX)
+            disc_mode == "host"
+            or (len(contigs) > 8 and total <= self._HOST_DISCOVERY_MAX)
             or (total > self._POOL_DEVICE_MAX and self.p.adaptive_compression)
+            or (
+                disc_mode == "auto"
+                and total <= self._POOL_DEVICE_MAX
+                and _link_degraded()
+            )
         ):
             # host RAM (this box: >100 GB) holds pools device HBM cannot
             self._determine_splitters_host(contigs)
@@ -1398,7 +1441,7 @@ class Compressor:
         # delta-rescan, so it stays one flush-quantum deep.
         # Non-adaptive runs keep a LOW-water target too: draining all
         # dispatched entries in one burst leaves the device idle while the
-        # host works through barriers; holding ~2 flush quanta in flight
+        # host works through barriers; holding ~4 flush quanta in flight
         # keeps the next dispatch scanning during the drain.
         pipeline_syms = 0
         _MAX_PIPELINE_SYMS = (
@@ -1606,6 +1649,12 @@ class Compressor:
             return False
 
         hints = self._device_match_prepass(codes, cuts, cut_kmers)
+        # dict hints (small-batch fast path) are ready now; _LazyHints
+        # hand out resolve-on-use handles so the prepass job keeps
+        # overlapping the walk until the first real consumer
+        hint_of = (
+            hints.ref if isinstance(hints, _LazyHints) else hints.get
+        )
         seg_part_no = 0
         split_pos = 0
         split_kmer = EMPTY_KMER
@@ -1614,7 +1663,7 @@ class Compressor:
             segment = codes[split_pos : p + 1]
             extra = self._add_segment(
                 sample_name, contig_name, seg_part_no, segment, split_kmer,
-                kmer_here, device_hint=hints.get(seg_ord),
+                kmer_here, device_hint=hint_of(seg_ord),
             )
             seg_part_no += 1 + extra
             split_pos = p + 1 - self.k
@@ -1627,7 +1676,7 @@ class Compressor:
                 codes[split_pos:],
                 split_kmer,
                 EMPTY_KMER,
-                device_hint=hints.get(len(cuts)),
+                device_hint=hint_of(len(cuts)),
             )
         return True
 
@@ -1739,7 +1788,10 @@ class Compressor:
             self.timers.units["device_match"] += total_pair_syms
             return out
 
-        return _LazyHints(self._match_pool.submit(run_estimates))
+        return _LazyHints(
+            self._match_pool.submit(run_estimates),
+            (seg_ord for seg_ord, _, _ in queries),
+        )
 
     # below this size the whole new-splitter search runs on the host: a
     # 30 kb genome costs microseconds in numpy vs several device RTTs
@@ -2012,7 +2064,11 @@ class Compressor:
 
         ``device_hint``: (candidates, allowed-indices) from the batched
         device estimate prepass (ops/match.py) — the host exact-estimates
-        only the device shortlist instead of every candidate."""
+        only the device shortlist instead of every candidate. A _LazyHint
+        handle resolves HERE (the first real consumer), so the async
+        prepass overlaps every earlier segment's host work."""
+        if isinstance(device_hint, _LazyHint):
+            device_hint = device_hint.resolve()
         d = kmer.data()
 
         def one_sided():

@@ -203,6 +203,10 @@ def get_lib():
         ]
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kmer_canon_all.restype = None
+        lib.kmer_canon_all.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, u64p, u8p,
+        ]
         lib.kmer_scan_members.restype = ctypes.c_int64
         lib.kmer_scan_members.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32,

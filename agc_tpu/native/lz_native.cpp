@@ -1711,6 +1711,57 @@ struct ScanHit {
 
 }  // namespace
 
+// Full per-position canonical k-mer materialization: out_canon[i] is the
+// LEFT-ALIGNED canonical code of the window ending at i, out_valid[i]
+// whether the window is in-bounds and ACGT-only. Exact twin of the numpy
+// canon_kmers_np (ops/kmers.py): symbols > 3 roll a 0 into the chain (so
+// values at invalid positions match numpy's garbage bit-for-bit) but
+// reset the validity run. 4 interleaved lanes over contiguous quarters.
+void kmer_canon_all(const uint8_t* codes, int64_t n, uint32_t k,
+                    uint64_t* out_canon, uint8_t* out_valid) {
+  if (n <= 0) return;
+  const uint32_t shift_align = 64 - 2 * k;
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  const uint32_t rc_top = 2 * (k - 1);
+  constexpr int kLanes = 4;
+  int64_t bounds[kLanes + 1];
+  for (int l = 0; l <= kLanes; ++l) bounds[l] = n * l / kLanes;
+  // rc chains start all-ones over the 2k window: numpy's twin treats
+  // phantom (pre-sequence) symbols as A, whose complement is T (0b11) —
+  // with this init the values at i < k-1 match numpy bit-for-bit too.
+  uint64_t dirv[kLanes] = {0, 0, 0, 0};
+  uint64_t rcv[kLanes] = {mask, mask, mask, mask};
+  uint32_t runv[kLanes] = {0, 0, 0, 0};
+  int64_t cur[kLanes], end[kLanes], emit_from[kLanes];
+  int64_t steps = 0;
+  for (int l = 0; l < kLanes; ++l) {
+    emit_from[l] = bounds[l];
+    cur[l] = l == 0 ? 0 : std::max<int64_t>(0, bounds[l] - (k - 1));
+    end[l] = bounds[l + 1];
+    if (end[l] - cur[l] > steps) steps = end[l] - cur[l];
+  }
+  // the warmup ramp (k-1 symbols before each lane's emit range) fully
+  // determines every emitted window's k symbol pairs, so lane seams are
+  // exact.
+  for (int64_t s = 0; s < steps; ++s) {
+    for (int l = 0; l < kLanes; ++l) {
+      const int64_t i = cur[l];
+      if (i >= end[l]) continue;
+      cur[l] = i + 1;
+      const uint8_t craw = codes[i];
+      const uint8_t c = craw > 3 ? 0 : craw;
+      const uint64_t dir = ((dirv[l] << 2) | c) & mask;
+      const uint64_t rc = (rcv[l] >> 2) | ((uint64_t)(3 - c) << rc_top);
+      dirv[l] = dir;
+      rcv[l] = rc;
+      runv[l] = craw > 3 ? 0 : runv[l] + 1;
+      if (i < emit_from[l]) continue;
+      out_canon[i] = (dir < rc ? dir : rc) << shift_align;
+      out_valid[i] = (i >= (int64_t)k - 1) && (runv[l] >= k);
+    }
+  }
+}
+
 int64_t kmer_scan_members(const uint8_t* codes, int64_t n, uint32_t k,
                           const uint64_t* table_sorted, int64_t t,
                           int64_t* out_pos, uint64_t* out_dir,

@@ -189,10 +189,31 @@ def dir_rc_kmers_np(codes: np.ndarray, k: int):
 
 
 def canon_kmers_np(codes: np.ndarray, k: int):
-    """Host (numpy) canonical k-mers: same log-doubling construction as
-    the device kernel, in u64. For small contigs the fixed device
-    round-trip costs more than computing on the host (e.g. adaptive
-    new-splitter discovery on 30 kb genomes). Returns (canon, valid)."""
+    """Host canonical k-mers: (canon, valid), left-aligned u64. Native
+    one-pass rolling kernel when the toolchain is available (the numpy
+    log-doubling twin costs ~15 passes over 8-byte arrays — seconds per
+    16 M positions on a bandwidth-starved core); numpy otherwise. Used
+    by host splitter discovery and adaptive new-splitter discovery."""
+    from ..native import get_lib
+
+    n = len(codes)
+    if n < k:  # numpy twin returns empty arrays below one window
+        z = np.zeros(0, np.uint64)
+        return z, np.zeros(0, bool)
+    lib = get_lib()
+    if lib is not None and n:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        c = np.ascontiguousarray(codes)
+        canon = np.empty(n, dtype=np.uint64)
+        valid = np.empty(n, dtype=np.uint8)
+        lib.kmer_canon_all(
+            c.ctypes.data_as(u8p), n, k,
+            canon.ctypes.data_as(u64p), valid.ctypes.data_as(u8p),
+        )
+        return canon, valid.astype(bool)
     udir, urc, valid = dir_rc_kmers_np(codes, k)
     return np.minimum(udir, urc), valid
 
@@ -1449,8 +1470,28 @@ _BATCH_ROWS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 _SCAN_MODE = os.environ.get("AGC_TPU_SCAN", "auto")
 
 # module-level running stats: EWMA of the host scan's ns/symbol (sets the
-# hedge grace window) + counters for diagnostics/tests
-SCAN_STATS = {"hedges": 0, "host_syms": 0, "host_ns_per_sym": 3.0}
+# hedge grace window) + counters for diagnostics/tests. last_demote_t
+# records when a batcher last gave up on the device (monotonic clock);
+# link_degraded() lets other stages (splitter discovery) pick their host
+# engine while the link is known-bad.
+SCAN_STATS = {
+    "hedges": 0,
+    "host_syms": 0,
+    "host_ns_per_sym": 3.0,
+    "last_demote_t": None,
+}
+
+# how long a scan-demotion event keeps link_degraded() true. Each create
+# re-probes the device (fresh batcher), so a recovered tunnel stops
+# refreshing the timestamp and device engines re-enable within ~2 runs.
+_DEGRADE_HORIZON_S = 120.0
+
+
+def link_degraded() -> bool:
+    """True while the device link was recently bad enough that a scan
+    batcher demoted itself to the host engine."""
+    t = SCAN_STATS["last_demote_t"]
+    return t is not None and (time.monotonic() - t) < _DEGRADE_HORIZON_S
 
 # consecutive hedged collects before a batcher stops dispatching to the
 # device for the rest of its run (each create re-probes)
@@ -1815,6 +1856,7 @@ class ScanBatcher:
             self._hedge_streak += 1
             if self._hedge_streak >= _HEDGE_DEMOTE:
                 self._host_mode = True
+                SCAN_STATS["last_demote_t"] = time.monotonic()
             return scan_members_host(token["codes"], self.k, self.table)
         self._hedge_streak = 0
         all_pos, all_dir, all_rc = [], [], []

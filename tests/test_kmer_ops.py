@@ -669,3 +669,23 @@ def test_host_scan_mode_create_is_stream_identical(tmp_path, monkeypatch):
     create_archive(str(a2), files, CompressorParams())
     assert a1.read_bytes() == a2.read_bytes()
     assert KM.SCAN_STATS["host_syms"] > 0
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_host_discovery_is_stream_identical(tmp_path, monkeypatch, adaptive):
+    """AGC_TPU_DISC=host (degraded-link splitter discovery) must produce
+    byte-identical archives to the device discovery path, plain and
+    adaptive (the adaptive variant also carries cand_singletons/
+    duplicated for new-splitter merges)."""
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from tests.util import make_collection
+
+    files = [p for _, p in make_collection(tmp_path, n_samples=2)]
+    params = CompressorParams(adaptive_compression=adaptive)
+    a1 = tmp_path / "dev.agc"
+    a2 = tmp_path / "host.agc"
+    monkeypatch.setenv("AGC_TPU_DISC", "device")
+    create_archive(str(a1), files, params)
+    monkeypatch.setenv("AGC_TPU_DISC", "host")
+    create_archive(str(a2), files, params)
+    assert a1.read_bytes() == a2.read_bytes()

@@ -38,6 +38,8 @@ def _mutate(rng, seq, snp_rate, n_indels):
     n_sub = max(1, int(len(seq) * snp_rate))
     pos = rng.integers(0, len(seq), size=n_sub)
     out[pos] = (out[pos] + rng.integers(1, 4, size=n_sub)) % 4
+    if n_indels <= 0:  # SNP-only workload: --indels 0
+        return out
     pieces = []
     cur = 0
     for _ in range(n_indels):

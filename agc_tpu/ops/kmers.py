@@ -1607,9 +1607,16 @@ class ScanBatcher:
         # per-dispatch cache of cap-overflow re-runs (see collect)
         self._retry_cache: dict = {}
         # hedge state: after _HEDGE_DEMOTE consecutive late device
-        # results, this batcher goes host-only for the rest of its run
+        # results, this batcher goes host-only for the rest of its run.
+        # Demotion is STICKY across batchers (link_degraded): a new
+        # batcher under a recently-bad link starts in host mode and sends
+        # one passive recovery probe instead of re-paying hedge grace on
+        # production scans every create.
         self._hedge_streak = 0
-        self._host_mode = _SCAN_MODE == "host"
+        self._host_mode = _SCAN_MODE == "host" or (
+            _SCAN_MODE == "auto" and link_degraded()
+        )
+        self._probe_sent = False
 
     def add(self, codes: np.ndarray):
         """Returns a token dict resolved at flush/collect time."""
@@ -1621,6 +1628,13 @@ class ScanBatcher:
         if self._host_mode:
             # degraded-link mode: no device dispatch; collect() runs the
             # exact native host scan over the retained codes
+            if (
+                _SCAN_MODE == "auto"
+                and not self._probe_sent
+                and n >= self.k
+            ):
+                self._probe_sent = True
+                self._send_probe(codes)
             token["kind"] = "host"
             return token
         start = 0
@@ -1792,6 +1806,41 @@ class ScanBatcher:
             multi = len(row) > 1
             cap = min(_PACK_CAP if multi else _SCAN_CAP, width)
             submit([row], width, cap)
+
+    def _send_probe(self, codes: np.ndarray) -> None:
+        """Passive device-recovery probe while demoted: dispatch ONE
+        chunk-sized scan through the normal flush machinery (same
+        compiled shapes as production) and, when it completes within
+        ~2x the host cost of the same work, clear the degraded flag so
+        the NEXT batcher uses the device again. Nothing ever waits on
+        the probe — its result is only a timing signal. Rate-limited
+        module-wide (adaptive-mode delta batchers would otherwise probe
+        at every splitter merge)."""
+        now = time.monotonic()
+        last = SCAN_STATS.get("last_probe_t")
+        if last is not None and now - last < 5.0:
+            return
+        SCAN_STATS["last_probe_t"] = now
+        n = min(len(codes), CHUNK)
+        part = {
+            "start": 0,
+            "lo": 0,
+            "real": n,
+            "codes": np.ascontiguousarray(codes[:n]),
+        }
+        self._buf.append(part)
+        t0 = time.monotonic()
+        self.flush()
+        fut = part.get("out")
+        if fut is None:
+            return
+        thresh = max(0.25, 2e-9 * SCAN_STATS["host_ns_per_sym"] * n)
+
+        def check(f):
+            if time.monotonic() - t0 <= thresh and f.exception() is None:
+                SCAN_STATS["last_demote_t"] = None
+
+        fut.add_done_callback(check)
 
     def _device_ready(self, token) -> bool:
         """True if every part's device result is (or becomes) available

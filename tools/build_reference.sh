@@ -15,10 +15,16 @@ mkdir -p "$OUT/bin" "$OUT/obj" "$OUT/shim/zstd/lib"
 echo '#include <zstd.h>' > "$OUT/shim/zstd/lib/zstd.h"
 FLAGS="-O2 -std=c++20 -DNO_RADULS -I$OUT/shim -I$TP -I$SRC -pthread"
 cd "$OUT/obj"
+# bounded parallelism: an unbounded `&` fan-out (~20 g++ at ~1 GB each)
+# can OOM on small boxes, silently killing compiles and failing the link
+JOBS=${REFBUILD_JOBS:-2}
+n=0
 for f in $SRC/core/*.cpp $SRC/common/*.cpp $SRC/app/*.cpp; do
   o=$(basename "$f" .cpp).o
   if [ ! -f "$o" ] || [ "$f" -nt "$o" ]; then
     g++ $FLAGS -c "$f" -o "$o" &
+    n=$((n + 1))
+    if [ "$n" -ge "$JOBS" ]; then wait -n; n=$((n - 1)); fi
   fi
 done
 wait

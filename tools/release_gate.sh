@@ -20,6 +20,19 @@ set -euo pipefail
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 AGC=${AGC_TPU_BIN:-"python3 -m agc_tpu.cli.main"}
+
+# Self-sufficient cross-tool legs (reference CI parity: main.yml always
+# has the reference binary): when AGC_REF_BIN is unset/absent, build it
+# from /root/reference via build_reference.sh rather than silently
+# downgrading coverage. Failure to build only skips the cross legs.
+if [[ -z "${AGC_REF_BIN:-}" || ! -x "${AGC_REF_BIN:-}" ]]; then
+  DEFAULT_REF_BIN=${REFBUILD_DIR:-/tmp/refbuild}/bin/agc
+  if [[ ! -x "$DEFAULT_REF_BIN" ]]; then
+    echo "-- building reference binary (tools/build_reference.sh)"
+    "$REPO/tools/build_reference.sh" >/dev/null 2>&1 || true
+  fi
+  [[ -x "$DEFAULT_REF_BIN" ]] && export AGC_REF_BIN="$DEFAULT_REF_BIN"
+fi
 TOY_SRC=${AGC_TOY_DIR:-/root/reference/toy_ex}
 WORK=$(mktemp -d /tmp/agc_gate_XXXXXX)
 trap 'rm -rf "$WORK"' EXIT

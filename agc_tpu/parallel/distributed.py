@@ -311,6 +311,10 @@ def create_archive_sharded(
     files = [f for f in input_files if not (f in seen or seen.add(f))]
     sample_files = [(sample_name_from_path(f), f) for f in files]
 
+    import time as _time
+
+    timings = {"t_boot": _time.perf_counter()}
+
     # Phase 1: splitters (and -f fallback records; adaptive candidate
     # tables) from the reference genome, shared by every shard
     boot = Compressor(out_path + ".tmp0", params, reference_file=files[0])
@@ -339,6 +343,7 @@ def create_archive_sharded(
         for sid in range(n_shards)
     ]
 
+    timings["t_shards"] = _time.perf_counter()
     if n_shards > 1 and worker == "process":
         import multiprocessing as mp
 
@@ -352,16 +357,33 @@ def create_archive_sharded(
             results = list(pool.map(_run_shard_task, tasks))
     else:
         results = [_run_shard_task(tasks[0])]
+    timings["t_merge"] = _time.perf_counter()
 
     # Phase 3: deterministic merge on the writer host. On failure remove
     # the partial output — a footerless .agc at the user's path reads as
     # a finished archive (same policy as Compressor.abort)
     try:
-        _merge_shards(out_path, params, sample_files, splitter_set, results)
+        merge_split = _merge_shards(
+            out_path, params, sample_files, splitter_set, results
+        )
     except BaseException:
         with __import__("contextlib").suppress(OSError):
             os.unlink(out_path)
         raise
+    timings["t_end"] = _time.perf_counter()
+    if os.environ.get("AGC_TPU_SHARD_TIMINGS"):
+        import json as _json
+        import sys as _sys
+
+        out = {
+            "n_shards": n_shards,
+            "worker": worker,
+            "boot_s": round(timings["t_shards"] - timings["t_boot"], 2),
+            "shards_s": round(timings["t_merge"] - timings["t_shards"], 2),
+            "merge_s": round(timings["t_end"] - timings["t_merge"], 2),
+            **{k: round(v, 2) for k, v in merge_split.items()},
+        }
+        print("AGC_TPU_SHARD_TIMINGS " + _json.dumps(out), file=_sys.stderr)
 
 
 def _merge_shards(out_path, params, sample_files, splitter_set, results):
@@ -469,11 +491,15 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
             fb_per_sample.setdefault(sample, []).extend(recs)
         contig_names.update(res.contig_names)
 
+    import time as _time
+
+    split = {"merge_match_s": 0.0, "merge_store_s": 0.0, "merge_close_s": 0.0}
     for sample_name, path in sample_files:
         merged.collection.reset_prev_sample_name()
         for cid in contig_names.get(sample_name, []):
             merged.collection.register_sample_contig(sample_name, cid)
         part_no: dict[str, int] = {}
+        t0 = _time.perf_counter()
         for contig, _ord, data, kf, kb in per_sample.get(sample_name, []):
             pn = part_no.get(contig, 0)
             extra = merged._add_segment(
@@ -485,6 +511,8 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
                 Kmer(*kb),
             )
             part_no[contig] = pn + 1 + extra
+        t1 = _time.perf_counter()
+        split["merge_match_s"] += t1 - t0
         merged._register_segments()
         merged._store_segments()
         merged._pending_fallback.extend(fb_per_sample.get(sample_name, []))
@@ -497,5 +525,9 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
                 merged.processed_samples,
             )
         merged.writer.flush_buffers()
+        split["merge_store_s"] += _time.perf_counter() - t1
 
+    t2 = _time.perf_counter()
     merged.close()
+    split["merge_close_s"] = _time.perf_counter() - t2
+    return split

@@ -1595,8 +1595,13 @@ class ScanBatcher:
 
     # auto-flush threshold: dispatch as soon as this many symbols are
     # buffered, so device compute overlaps host-side matching of earlier
-    # contigs instead of accumulating into one barrier-sized dispatch
-    _FLUSH_SYMBOLS = 8 << 20
+    # contigs instead of accumulating into one barrier-sized dispatch.
+    # AGC_TPU_SCAN_FLUSH_MB tunes the quantum: bigger quanta cut the
+    # per-dispatch tunnel overhead (~25 ms each; DESIGN.md §9 arithmetic)
+    # at the cost of pipeline-fill latency and buffered memory.
+    _FLUSH_SYMBOLS = int(
+        float(os.environ.get("AGC_TPU_SCAN_FLUSH_MB", "8")) * (1 << 20)
+    )
 
     def __init__(self, k: int, table):
         self.k = k

@@ -129,6 +129,21 @@ def _pow2(n: int, lo: int) -> int:
     return b
 
 
+def _pow4(n: int, lo: int) -> int:
+    """4x shape ladder (compile-surface control): every static dimension
+    of the estimate path quantizes to a 4x step, not 2x — the round-3
+    A/B of the wide-candidate regime was killed by >30 min of fresh
+    first-touch compiles from the pow2 x pow2 x pow2 product of (segment
+    bucket, pair count, bank-row capacity) shapes (BASELINE.md). A 4x
+    ladder squares down the number of reachable shapes at a bounded
+    (<4x, typically ~1.6x) padding-compute cost that the device absorbs;
+    compiles through a remote tunnel it does not."""
+    b = lo
+    while b < n:
+        b <<= 2
+    return b
+
+
 # ---------------------------------------------------------------------------
 # key construction (device)
 # ---------------------------------------------------------------------------
@@ -503,7 +518,7 @@ def build_slot_tables_np(ref_codes: np.ndarray, key_len: int):
     over seed keys sampled every HASHING_STEP positions, with the SAME
     bucket geometry as the device bank (ref padded to its pow2 bucket,
     H = 2 x sampled count)."""
-    b = _pow2(len(ref_codes), _MIN_REF_KEY_BUCKET * 2)
+    b = _pow4(len(ref_codes), _MIN_REF_KEY_BUCKET * 2)
     log2_h = (b // HASHING_STEP * 2).bit_length() - 1
     h = 1 << log2_h
     ta = np.full(h, _SLOT_SENT, dtype=np.int64)
@@ -666,7 +681,7 @@ class RefBank:
         ):
             return None
         arr = np.frombuffer(bytes(codes), dtype=np.uint8)
-        b = _pow2(len(arr), _MIN_REF_KEY_BUCKET * 2)
+        b = _pow4(len(arr), _MIN_REF_KEY_BUCKET * 2)
         padded = np.full(b, 255, dtype=np.uint8)
         padded[: len(arr)] = arr
         packed = jnp.asarray(pack4_np(padded))
@@ -723,7 +738,7 @@ class RefBank:
             ):
                 continue
             arr = np.frombuffer(bytes(codes), dtype=np.uint8)
-            b = _pow2(len(arr), _MIN_REF_KEY_BUCKET * 2)
+            b = _pow4(len(arr), _MIN_REF_KEY_BUCKET * 2)
             by_b.setdefault(b, []).append((g, arr))
         for b, items in sorted(by_b.items()):
             log2_h = (b // HASHING_STEP * 2).bit_length() - 1
@@ -765,7 +780,7 @@ class RefBank:
                 base = len(blt[2]) if blt is not None else 0
                 need = base + len(missing)
                 if blt is None:
-                    cap = _pow2(need, 4)
+                    cap = _pow4(need, 64)
                     blt = [
                         jnp.full((cap, m), _SLOT_SENT, dtype=jnp.int64),
                         jnp.full((cap, m), -1, dtype=jnp.int64),
@@ -778,7 +793,7 @@ class RefBank:
                     # (R, m) shape — and its compiled variant — is
                     # stable across appends
                     old_cap = blt[0].shape[0]
-                    cap = _pow2(need, old_cap * 2)
+                    cap = _pow4(need, old_cap * 4)
                     pad = cap - old_cap
                     blt[0] = jnp.concatenate(
                         [blt[0], jnp.full((pad, m), _SLOT_SENT, jnp.int64)]
@@ -841,23 +856,34 @@ def estimate_batch(queries: list[MatchQuery], bank: RefBank, ref_codes_of):
     same zero the host path reports for packed groups
     (reference: CSegment::estimate, segment.cpp:83-85).
 
-    Queries are bucketed by pow2 segment length so one outlier segment
-    does not pad the whole batch to its size."""
+    Queries are bucketed by a 4x segment-length ladder, and each bucket
+    runs in FIXED-shape chunks (one row count and one pair count per
+    ladder class, ~4 M query symbols and ~16 M probe-grid pairs per
+    dispatch) — the estimate path's entire reachable shape set per
+    workload is then a handful of executables instead of the pow2 x
+    pow2 x pow2 product that cost >30 min of first-touch compiles in
+    round 3 (see _pow4)."""
     live = [q for q in queries if q.cands]
     if not live:
         return
     by_len: dict[int, list[MatchQuery]] = {}
     for q in live:
-        by_len.setdefault(_pow2(len(q.codes), _MIN_SEG_BUCKET), []).append(q)
+        by_len.setdefault(_pow4(len(q.codes), _MIN_SEG_BUCKET), []).append(q)
     for seg_b, qs in by_len.items():
-        _estimate_bucket(qs, bank, ref_codes_of, seg_b)
+        rows_fixed = max(1, (4 << 20) // seg_b)
+        for lo in range(0, len(qs), rows_fixed):
+            _estimate_bucket(
+                qs[lo : lo + rows_fixed], bank, ref_codes_of, seg_b,
+                rows_fixed,
+            )
 
 
 def _estimate_bucket(
-    live: list[MatchQuery], bank: RefBank, ref_codes_of, seg_b: int
+    live: list[MatchQuery], bank: RefBank, ref_codes_of, seg_b: int,
+    rows_fixed: int | None = None,
 ):
     key_len = bank.key_len
-    s_bucket = _pow2(len(live), 1)
+    s_bucket = rows_fixed or _pow2(len(live), 1)
     mat = np.full((s_bucket, seg_b), 255, dtype=np.uint8)
     lens = np.zeros(s_bucket, dtype=np.int32)
     for i, q in enumerate(live):
@@ -887,22 +913,25 @@ def _estimate_bucket(
                 (qi * 2 + (1 if use_rc else 0), gid, entry, q, ci)
             )
     results = []  # (device ests, items) — one blocking download at the end
-    for m, items in by_bucket.items():
+    # fixed pair count per seg class: ~16M probe-grid elements/dispatch
+    p_fixed = max(64, (64 << 20) // seg_b)
+    for m, all_items in by_bucket.items():
         crows, bsk, bsp = bank.rows_for(
-            [(gid, e) for _row, gid, e, _q, _ci in items]
+            [(gid, e) for _row, gid, e, _q, _ci in all_items]
         )
-        p_bucket = _pow2(len(items), 1)
-        rows = np.zeros(p_bucket, dtype=np.int32)
-        cands = np.zeros(p_bucket, dtype=np.int32)
-        for j, (row, _gid, _e, _q, _ci) in enumerate(items):
-            rows[j] = row
-            cands[j] = crows[j]
-        ests = _estimate_kernel(
-            keys_s, a_lo, a_hi, nrun_tot,
-            jnp.asarray(rows), jnp.asarray(cands), bsk, bsp,
-            key_len, stride,
-        )
-        results.append((ests, items))
+        for lo in range(0, len(all_items), p_fixed):
+            items = all_items[lo : lo + p_fixed]
+            rows = np.zeros(p_fixed, dtype=np.int32)
+            cands = np.zeros(p_fixed, dtype=np.int32)
+            for j, (row, _gid, _e, _q, _ci) in enumerate(items):
+                rows[j] = row
+                cands[j] = crows[lo + j]
+            ests = _estimate_kernel(
+                keys_s, a_lo, a_hi, nrun_tot,
+                jnp.asarray(rows), jnp.asarray(cands), bsk, bsp,
+                key_len, stride,
+            )
+            results.append((ests, items))
     for ests, items in results:
         ests = np.asarray(ests)
         for j, (_row, _gid, _e, q, ci) in enumerate(items):
@@ -1027,7 +1056,7 @@ class AnchorCodeBank:
                 refused.append(g)
                 continue
             arr = np.frombuffer(bytes(codes), dtype=np.uint8)
-            by_b.setdefault(_pow2(len(arr), _MIN_SEG_BUCKET), []).append(
+            by_b.setdefault(_pow4(len(arr), _MIN_SEG_BUCKET), []).append(
                 (g, arr)
             )
         for b, items in sorted(by_b.items()):
@@ -1139,7 +1168,7 @@ def anchor_diag_sets(texts: list, gids: list, bank: AnchorCodeBank,
         loc = bank.lookup(gid)
         if loc is None:
             continue
-        by.setdefault((_pow2(n, _MIN_SEG_BUCKET), loc[0]), []).append(
+        by.setdefault((_pow4(n, _MIN_SEG_BUCKET), loc[0]), []).append(
             (i, txt, loc[1])
         )
     for (seg_b, ref_b), items in sorted(by.items()):
@@ -1176,7 +1205,7 @@ def split_point_device(
     if e1 is None or e2 is None:
         return None
     key_len = bank.key_len
-    b = _pow2(len(codes), _MIN_SEG_BUCKET)
+    b = _pow4(len(codes), _MIN_SEG_BUCKET)
     mat = np.full((1, b), 255, dtype=np.uint8)
     mat[0, : len(codes)] = codes
     packed = jnp.asarray(pack4_np(mat.reshape(-1)).reshape(1, b // 2))

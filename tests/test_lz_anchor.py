@@ -156,7 +156,12 @@ def test_anchor_create_device_on_off_byte_identical(tmp_path, monkeypatch):
     monkeypatch.setenv("AGC_TPU_DEVICE_LZ", "0")
     a_host = str(tmp_path / "host.agc")
     create_archive(a_host, files, CompressorParams(lz_mode="anchor"))
-    assert open(a_dev, "rb").read() == open(a_host, "rb").read()
+    # logical stream equality: the async writer's PHYSICAL part order is
+    # scheduler-dependent (as is the reference's), so raw-byte equality
+    # across two creates is flaky by construction
+    from tests.test_kmer_ops import _stream_contents
+
+    assert _stream_contents(a_dev) == _stream_contents(a_host)
 
     d = Decompressor(a_dev)
     for f in files:

@@ -25,7 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import resource
+
 import subprocess
 import sys
 import tempfile
@@ -95,16 +95,27 @@ def gen_collection(tmp: str, total_bases: int, n_samples: int,
 
 
 def run_child(cmd: list[str], env=None) -> tuple[float, int, int]:
-    """Run cmd; returns (wall_s, peak_rss_mb_of_children, returncode)."""
-    before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    """Run cmd; returns (wall_s, peak_rss_mb, returncode). Peak RSS is
+    THIS child's own VmHWM (polled from /proc — getrusage(CHILDREN) is a
+    monotone high-water over every previous child, which would let the
+    first big create mask all later legs)."""
     t0 = time.time()
-    p = subprocess.run(cmd, env=env, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
+    p = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    peak_kb = 0
+    status = f"/proc/{p.pid}/status"
+    while p.poll() is None:
+        try:
+            with open(status) as f:
+                for line in f:
+                    if line.startswith("VmHWM:"):
+                        peak_kb = max(peak_kb, int(line.split()[1]))
+                        break
+        except OSError:
+            pass
+        time.sleep(0.2)
     wall = time.time() - t0
-    after = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    # ru_maxrss is a high-water mark over ALL children; report it (the
-    # interesting creates dominate), noting it is monotone per process
-    return wall, max(after, before) // 1024, p.returncode
+    return wall, peak_kb // 1024, p.returncode
 
 
 def main():

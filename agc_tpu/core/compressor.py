@@ -676,25 +676,47 @@ class Compressor:
     # ==================================================================
 
     def _determine_splitters_host(self, contigs: list) -> None:
-        """Host (numpy) splitter discovery: same singleton + greedy +
-        tail semantics as the device path, for many-small-contig
-        references."""
+        """Host splitter discovery: same singleton + greedy + tail
+        semantics as the device path. Memory-shaped like the reference's
+        (agc_compressor.cpp:441-490: ONE flat pool, sorted in place):
+        pass 1 fills a single preallocated u64 pool chunk-by-chunk (the
+        per-contig canon arrays are transient) and ndarray.sort()s it in
+        place; singleton membership is answered by neighbor checks in
+        the sorted pool, so no uniq/counts copies exist. The old
+        all-contigs-retained + np.unique version peaked ~3x the pool
+        size — ~12 GB extra at a 500 Mbase reference (round-4 5 Gbase
+        run: 27 GB RSS vs the reference binary's 4.3)."""
         from ..ops.kmers import canon_kmers_np
 
-        canons = [canon_kmers_np(c, self.k) for c in contigs]
-        pools = [c[v] for c, v in canons]
-        pool = (
-            np.concatenate(pools) if pools else np.empty(0, dtype=np.uint64)
-        )
-        if len(pool):
-            uniqs, counts = np.unique(pool, return_counts=True)
-        else:
-            uniqs = np.empty(0, np.uint64)
-            counts = np.empty(0, np.int64)
-        singles = uniqs[counts == 1]
+        total = sum(len(c) for c in contigs)
+        pool = np.empty(total, dtype=np.uint64)
+        fill = 0
+        for c in contigs:
+            canon, valid = canon_kmers_np(c, self.k)
+            nv = canon[valid]
+            pool[fill : fill + len(nv)] = nv
+            fill += len(nv)
+            del canon, valid, nv
+        pool = pool[:fill]
+        pool.sort()  # in place
+
         if self.p.adaptive_compression:
-            self.cand_singletons = singles
-            self.cand_duplicated = uniqs[counts > 1]
+            # adaptive mode needs the materialized tables for later host
+            # set operations (new-splitter merges)
+            if fill:
+                first = np.empty(fill, dtype=bool)
+                first[0] = True
+                np.not_equal(pool[1:], pool[:-1], out=first[1:])
+                run_end = np.append(np.nonzero(first)[0][1:], fill)
+                single_mask = first.copy()
+                single_mask[first] = (
+                    run_end - np.nonzero(first)[0]
+                ) == 1
+                self.cand_singletons = pool[single_mask]
+                self.cand_duplicated = np.unique(pool[~first])
+            else:
+                self.cand_singletons = np.empty(0, dtype=np.uint64)
+                self.cand_duplicated = np.empty(0, dtype=np.uint64)
         else:
             self.cand_singletons = np.empty(0, dtype=np.uint64)
             self.cand_duplicated = np.empty(0, dtype=np.uint64)
@@ -708,18 +730,19 @@ class Compressor:
         splitters: list[int] = []
 
         def probe(canon, valid, start, end):
+            """Singleton-of-pool membership: value present exactly once
+            (left/right searchsorted span == 1)."""
             w = canon[start:end]
-            ix = np.searchsorted(singles, w)
-            return (
-                valid[start:end]
-                & (singles[np.minimum(ix, max(singles.size - 1, 0))] == w)
-            )
+            lo = np.searchsorted(pool, w, side="left")
+            hi = np.searchsorted(pool, w, side="right")
+            return valid[start:end] & ((hi - lo) == 1)
 
         cache = []
-        for contig_codes, (canon, valid) in zip(contigs, canons):
+        for contig_codes in contigs:
+            canon, valid = canon_kmers_np(contig_codes, self.k)
             n = len(canon)
             emitted: list[int] = []
-            if not n or not singles.size:
+            if not n or not fill:
                 cache.append({"n": len(contig_codes), "hits": None})
                 continue
             last = None

@@ -490,4 +490,15 @@ def _dispatch(args) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    import os
+
+    rc = main()
+    # hard exit: a device transfer wedged on a dead tunnel can leave a
+    # daemon worker stuck inside the runtime's C++ — normal interpreter
+    # teardown then either hangs (non-daemon joins) or aborts
+    # ("FATAL: exception not rethrown"). The archive is closed by now;
+    # skip teardown. In-process callers (tests, library use) still go
+    # through main() and are unaffected.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

@@ -1786,9 +1786,11 @@ class Compressor:
         if self._match_bank is None:
             self._match_bank = _match.RefBank(self.p.min_match_len - 3)
         if self._match_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
+            # daemon workers: a device estimate stuck on a wedged tunnel
+            # must not block interpreter exit (ops.kmers.DaemonPool)
+            from ..ops.kmers import DaemonPool
 
-            self._match_pool = ThreadPoolExecutor(max_workers=1)
+            self._match_pool = DaemonPool(1, "agc-match")
 
         def run_estimates():
             # background thread: device dispatch + result download overlap

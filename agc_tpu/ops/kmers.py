@@ -485,16 +485,36 @@ class ScanTable:
     kind 'join': (hi, lo) half pairs of both orientations for the
     sort-merge join kernel (large splitter sets), power-of-two padded.
     canon_np: the original host canonical array, for exact verification.
+
+    Device arrays (.tlo/.thi) upload LAZILY on first access: a
+    host-engine create (degraded link) must never touch the device — on
+    a fully wedged tunnel even a small jnp.asarray upload can block for
+    minutes.
     """
 
-    __slots__ = ("kind", "k", "canon_np", "tlo", "thi")
+    __slots__ = ("kind", "k", "canon_np", "_tlo_np", "_thi_np",
+                 "_tlo", "_thi")
 
     def __init__(self, kind, k, canon_np, tlo=None, thi=None):
         self.kind = kind
         self.k = k
         self.canon_np = canon_np
-        self.tlo = tlo
-        self.thi = thi
+        self._tlo_np = tlo
+        self._thi_np = thi
+        self._tlo = None
+        self._thi = None
+
+    @property
+    def tlo(self):
+        if self._tlo is None and self._tlo_np is not None:
+            self._tlo = jnp.asarray(self._tlo_np)
+        return self._tlo
+
+    @property
+    def thi(self):
+        if self._thi is None and self._thi_np is not None:
+            self._thi = jnp.asarray(self._thi_np)
+        return self._thi
 
 
 def make_scan_table(sorted_u64, k: int):
@@ -521,7 +541,7 @@ def make_scan_table(sorted_u64, k: int):
         # prefilter false positive, removed by host verification
         tmix = np.full(b, 0xDEADBEEF, dtype=np.uint32)
         tmix[: mixes.size] = mixes
-        return ScanTable("cmp", k, arr, tlo=jnp.asarray(tmix))
+        return ScanTable("cmp", k, arr, tlo=tmix)
     both = np.unique(np.concatenate([u, rc]))
     b = 1 << 14
     while b < both.size:
@@ -534,7 +554,7 @@ def make_scan_table(sorted_u64, k: int):
     tlo = np.zeros(b, dtype=np.uint32)
     thi[: both.size] = (both >> np.uint64(32)).astype(np.uint32)
     tlo[: both.size] = (both & low).astype(np.uint32)
-    return ScanTable("join", k, arr, tlo=jnp.asarray(tlo), thi=jnp.asarray(thi))
+    return ScanTable("join", k, arr, tlo=tlo, thi=thi)
 
 
 _POS_INF = np.uint64(0x7FFFFFFFFFFFFFFF)
@@ -1429,28 +1449,123 @@ def _dispatch_scan_chunk(packed_dev, table: "ScanTable", cap: int):
 _XFER_POOL = None
 _DL_POOL = None
 
+# every DaemonPool registers here; an atexit hook stops them (bounded)
+# so workers leave their loops before interpreter finalization
+_ALL_POOLS: list = []
+
+
+def _stop_all_pools():
+    for p in list(_ALL_POOLS):
+        try:
+            p.stop(timeout=10.0)
+        except Exception:
+            pass
+
+
+import atexit  # noqa: E402
+
+atexit.register(_stop_all_pools)
+
+
+class DaemonPool:
+    """Minimal executor over DAEMON threads (submit -> Future).
+
+    ThreadPoolExecutor's workers are non-daemon and joined at
+    interpreter exit — a device transfer stuck on a WEDGED tunnel (a
+    recovery probe's download, an abandoned dispatch) then hangs the
+    whole process at shutdown (observed: a finished create never
+    exiting, blocked in threading._shutdown). Daemon workers let the
+    interpreter leave; the orphaned transfer dies with the process."""
+
+    def __init__(self, n: int, name: str):
+        import queue
+        import threading as _th
+
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._n = n
+        self._threads = []
+        for i in range(n):
+            t = _th.Thread(
+                target=self._run, daemon=True, name=f"{name}-{i}"
+            )
+            t.start()
+            self._threads.append(t)
+        _ALL_POOLS.append(self)
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:  # atexit stop sentinel
+                return
+            fut, fn, args, kw = item
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args, **kw))
+            except BaseException as e:  # noqa: BLE001 - mirrored to Future
+                fut.set_exception(e)
+
+    def stop(self, timeout: float = 10.0) -> None:
+        """Send stop sentinels and join (BOUNDED): workers exit their
+        loop before interpreter finalization, so no daemon thread is
+        killed while inside runtime C++ ("FATAL: exception not
+        rethrown"). A worker stuck on a wedged transfer times out and
+        is abandoned (the CLI hard-exits; see cli/main.py)."""
+        for _ in self._threads:
+            self._q.put(None)
+        deadline = time.monotonic() + timeout
+        for t in self._threads:
+            t.join(max(0.0, deadline - time.monotonic()))
+
+    def submit(self, fn, *args, **kw):
+        from concurrent.futures import Future
+
+        fut = Future()
+        self._q.put((fut, fn, args, kw))
+        return fut
+
+    def shutdown(self, wait=True, cancel_futures=False, timeout=5.0):
+        """ThreadPoolExecutor-compatible drain: cancel queued jobs and/
+        or wait (BOUNDED — a job stuck on a wedged device transfer must
+        not hang teardown; the daemon worker dies with the process).
+        The pool stays usable afterwards (workers are not torn down):
+        callers use shutdown as a drain barrier, and module-level pools
+        are process-lived anyway."""
+        if cancel_futures:
+            import queue
+
+            try:
+                while True:
+                    fut, *_ = self._q.get_nowait()
+                    fut.cancel()
+            except queue.Empty:
+                pass
+        if wait:
+            barriers = [self.submit(lambda: None) for _ in range(self._n)]
+            for f in barriers:
+                try:
+                    f.result(timeout=timeout)
+                except Exception:
+                    break
+
 
 def _xfer_pool():
-    """Single background thread for mat assembly + pack + upload +
+    """Background daemon threads for mat assembly + pack + upload +
     dispatch: keeps the main thread matching while transfers stage."""
     global _XFER_POOL
     if _XFER_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
         # 2 threads: pack+upload of the next batch overlaps device execute
-        _XFER_POOL = ThreadPoolExecutor(2, thread_name_prefix="agc-xfer")
+        _XFER_POOL = DaemonPool(2, "agc-xfer")
     return _XFER_POOL
 
 
 def _dl_pool():
-    """Dedicated download thread: result matrices are pulled to host
-    memory as soon as the device finishes, off the matcher thread and
-    without blocking the upload/dispatch threads."""
+    """Dedicated daemon download thread: result matrices are pulled to
+    host memory as soon as the device finishes, off the matcher thread
+    and without blocking the upload/dispatch threads."""
     global _DL_POOL
     if _DL_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _DL_POOL = ThreadPoolExecutor(1, thread_name_prefix="agc-dl")
+        _DL_POOL = DaemonPool(1, "agc-dl")
     return _DL_POOL
 
 
@@ -1487,9 +1602,57 @@ SCAN_STATS = {
 _DEGRADE_HORIZON_S = 120.0
 
 
+_STARTUP_PROBED = False
+# startup download completion event: while unset the tunnel is WEDGED
+# (not merely slow) — recovery probes are suppressed so no further
+# threads get stuck inside the runtime's C++ transfer path
+_STARTUP_DONE = None
+
+
+def _startup_link_probe() -> None:
+    """One-time cheap link probe at first use: time a 256 KB download.
+    On a healthy link this costs a few ms; on a degraded one (~1 MB/s
+    or worse) it marks the link degraded immediately, so the FIRST
+    create of a process starts on the host engines instead of learning
+    by hedging through a full run (cold starts measured 147 s
+    device-first vs ~5 s host-first under a dead tunnel)."""
+    global _STARTUP_PROBED, _STARTUP_DONE
+    if _STARTUP_PROBED or _SCAN_MODE != "auto":
+        return
+    _STARTUP_PROBED = True
+    try:
+        import threading
+
+        import jax
+
+        d = jax.device_put(np.zeros(256 << 10, np.uint8))
+        d.block_until_ready()
+        done = threading.Event()
+        _STARTUP_DONE = done
+
+        def pull():
+            try:
+                np.asarray(d)
+            finally:
+                done.set()
+
+        # the download runs on a helper thread with a hard wait bound: a
+        # WEDGED tunnel can block np.asarray for minutes, and a probe
+        # that exists to protect against a bad link must not itself
+        # hang on one (the orphaned thread finishes whenever the
+        # transfer does; nothing waits on it)
+        threading.Thread(target=pull, daemon=True).start()
+        if not done.wait(0.25):  # < ~1 MB/s download, or wedged
+            SCAN_STATS["last_demote_t"] = time.monotonic()
+    except Exception:
+        pass
+
+
 def link_degraded() -> bool:
     """True while the device link was recently bad enough that a scan
-    batcher demoted itself to the host engine."""
+    batcher demoted itself to the host engine (or the one-time startup
+    probe found it degraded)."""
+    _startup_link_probe()
     t = SCAN_STATS["last_demote_t"]
     return t is not None and (time.monotonic() - t) < _DEGRADE_HORIZON_S
 
@@ -1622,6 +1785,14 @@ class ScanBatcher:
             _SCAN_MODE == "auto" and link_degraded()
         )
         self._probe_sent = False
+        # cumulative accounting for the slow-but-inside-grace regime: a
+        # device path that delivers each collect JUST within the grace
+        # window never trips the per-collect hedge yet can run the whole
+        # create 2-4x slower than the host engine. Track total blocked
+        # time vs the host-equivalent cost of the symbols collected and
+        # demote when the ratio exceeds ~1.2.
+        self._wait_s = 0.0
+        self._collected_syms = 0
 
     def add(self, codes: np.ndarray):
         """Returns a token dict resolved at flush/collect time."""
@@ -1821,6 +1992,8 @@ class ScanBatcher:
         the probe — its result is only a timing signal. Rate-limited
         module-wide (adaptive-mode delta batchers would otherwise probe
         at every splitter merge)."""
+        if _STARTUP_DONE is not None and not _STARTUP_DONE.is_set():
+            return  # startup download still wedged: no more device calls
         now = time.monotonic()
         last = SCAN_STATS.get("last_probe_t")
         if last is not None and now - last < 5.0:
@@ -1839,11 +2012,28 @@ class ScanBatcher:
         fut = part.get("out")
         if fut is None:
             return
-        thresh = max(0.25, 2e-9 * SCAN_STATS["host_ns_per_sym"] * n)
+        # absolute healthy-link signature: a full chunk probe (pack +
+        # upload + execute + download) lands < ~150 ms on a healthy
+        # tunnel and 0.2-3 s on a degraded one. A host-relative
+        # threshold is the wrong ruler here — the device earns its keep
+        # by PIPELINING quanta, not by per-chunk latency, so one chunk's
+        # turnaround can only answer "is the link healthy", not "is the
+        # device faster".
+        thresh = 0.15
 
         def check(f):
+            # hysteresis: TWO consecutive good probes re-promote — a
+            # single lucky quantum on a wobbling link caused engine
+            # flip-flops (runs alternating 1.8 s / 3.4 s)
             if time.monotonic() - t0 <= thresh and f.exception() is None:
-                SCAN_STATS["last_demote_t"] = None
+                SCAN_STATS["good_probes"] = SCAN_STATS.get(
+                    "good_probes", 0
+                ) + 1
+                if SCAN_STATS["good_probes"] >= 2:
+                    SCAN_STATS["last_demote_t"] = None
+                    SCAN_STATS["good_probes"] = 0
+            else:
+                SCAN_STATS["good_probes"] = 0
 
         fut.add_done_callback(check)
 
@@ -1862,15 +2052,32 @@ class ScanBatcher:
         grace = max(
             0.02, 0.5e-9 * SCAN_STATS["host_ns_per_sym"] * token["n"]
         )
-        deadline = time.monotonic() + grace
+        t0 = time.monotonic()
+        deadline = t0 + grace
+        ok = True
         for p in parts:
             try:
                 p["out"].result(timeout=max(0.0, deadline - time.monotonic()))
             except Exception:
                 # timeout, or a device-side error: the exact host scan is
                 # the safe engine either way
+                ok = False
+                break
+        self._wait_s += time.monotonic() - t0
+        self._collected_syms += token["n"]
+        if ok and self._collected_syms > (8 << 20):
+            host_equiv = (
+                1e-9 * SCAN_STATS["host_ns_per_sym"] * self._collected_syms
+            )
+            if self._wait_s > max(0.25, 1.2 * host_equiv):
+                # chronically slow device: demote even though every
+                # individual collect squeaked inside its grace window
+                self._host_mode = True
+                SCAN_STATS["last_demote_t"] = time.monotonic()
+                SCAN_STATS["good_probes"] = 0
+                SCAN_STATS["hedges"] += 1
                 return False
-        return True
+        return ok
 
     def _resolve(self, fut):
         """Wait for a dispatch job, download its result once (cached
@@ -1911,6 +2118,7 @@ class ScanBatcher:
             if self._hedge_streak >= _HEDGE_DEMOTE:
                 self._host_mode = True
                 SCAN_STATS["last_demote_t"] = time.monotonic()
+                SCAN_STATS["good_probes"] = 0
             return scan_members_host(token["codes"], self.k, self.table)
         self._hedge_streak = 0
         all_pos, all_dir, all_rc = [], [], []

@@ -209,3 +209,10 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # hard exit: on a wedged tunnel a daemon transfer thread can be
+    # stuck inside runtime C++; normal interpreter teardown then aborts
+    # ("FATAL: exception not rethrown") AFTER the result line - and the
+    # driver records the exit code. Everything is printed and flushed.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -1623,26 +1623,31 @@ def _startup_link_probe() -> None:
     try:
         import threading
 
-        import jax
-
-        d = jax.device_put(np.zeros(256 << 10, np.uint8))
-        d.block_until_ready()
         done = threading.Event()
         _STARTUP_DONE = done
 
-        def pull():
+        def probe():
+            # the ENTIRE probe (upload + download) runs on a helper
+            # thread with a hard wait bound: a WEDGED tunnel can block
+            # device_put or np.asarray for minutes, and a probe that
+            # exists to protect against a bad link must not itself hang
+            # on one (the orphan finishes whenever the transfer does;
+            # nothing waits on it)
             try:
+                import jax
+
+                d = jax.device_put(np.zeros(256 << 10, np.uint8))
+                d.block_until_ready()
                 np.asarray(d)
             finally:
                 done.set()
 
-        # the download runs on a helper thread with a hard wait bound: a
-        # WEDGED tunnel can block np.asarray for minutes, and a probe
-        # that exists to protect against a bad link must not itself
-        # hang on one (the orphaned thread finishes whenever the
-        # transfer does; nothing waits on it)
-        threading.Thread(target=pull, daemon=True).start()
-        if not done.wait(0.25):  # < ~1 MB/s download, or wedged
+        threading.Thread(target=probe, daemon=True).start()
+        # 5 s bound: covers first-touch backend init (~1-3 s healthy) +
+        # the 256 KB roundtrip; a WEDGED tunnel blocks for minutes. A
+        # merely-slow link that passes here is caught mid-run by the
+        # cumulative scan-wait demotion.
+        if not done.wait(5.0):
             SCAN_STATS["last_demote_t"] = time.monotonic()
     except Exception:
         pass

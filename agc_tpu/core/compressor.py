@@ -1345,7 +1345,12 @@ class Compressor:
                 print(f"Cannot open file: {path}", file=sys.stderr)
                 return []
 
-        window = 3  # samples read ahead (bounds memory)
+        window = 3  # samples read ahead
+        # byte bound: at assembly-scale samples (500 MB+) a 3-sample
+        # window alone held 1.5 GB of codes (round-4 5 Gbase run: 9.6 GB
+        # peak vs the reference's 4.3). FASTA file size ≈ bases, so cap
+        # the prefetch by on-disk bytes too (always ≥ 1 ahead).
+        _WINDOW_BYTES = 512 << 20
         producer_pool = ThreadPoolExecutor(max_workers=window)
         pending: deque = deque()
         next_file = 0
@@ -1354,8 +1359,19 @@ class Compressor:
             nonlocal next_file
             while next_file < len(sample_files) and len(pending) < window:
                 sname, path = sample_files[next_file]
+                if pending:
+                    try:
+                        ahead = sum(
+                            os.path.getsize(p2)
+                            for _, _, _, p2 in pending
+                        )
+                    except OSError:
+                        ahead = 0
+                    if ahead >= _WINDOW_BYTES:
+                        break
                 pending.append(
-                    (next_file, sname, producer_pool.submit(load_file, path))
+                    (next_file, sname,
+                     producer_pool.submit(load_file, path), path)
                 )
                 next_file += 1
 
@@ -1367,7 +1383,7 @@ class Compressor:
         def gen():
             try:
                 while pending:
-                    si, sample_name, fut = pending.popleft()
+                    si, sample_name, fut, _path = pending.popleft()
                     contigs = fut.result()
                     top_up()
                     # collection registration stays on the consumer thread

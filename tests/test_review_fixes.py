@@ -399,3 +399,26 @@ def test_check_subcommand(tmp_path, capsys):
             failures += 1
     err = capsys.readouterr().err
     assert failures > 0 and "FAIL" in err
+
+
+def test_daemon_pool_contract():
+    """DaemonPool (the wedge-safe executor behind the scan transfer
+    pools): futures resolve, exceptions mirror, shutdown drains as a
+    barrier and the pool stays usable, stop() ends workers."""
+    from agc_tpu.ops.kmers import DaemonPool
+
+    p = DaemonPool(2, "t-pool")
+    assert p.submit(lambda: 41 + 1).result(timeout=5) == 42
+
+    def boom():
+        raise ValueError("x")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        p.submit(boom).result(timeout=5)
+    p.shutdown(wait=True)  # drain barrier, pool still usable
+    assert p.submit(lambda: "ok").result(timeout=5) == "ok"
+    p.stop(timeout=5)
+    for t in p._threads:
+        assert not t.is_alive()

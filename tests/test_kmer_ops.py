@@ -705,3 +705,47 @@ def test_host_discovery_is_stream_identical(tmp_path, monkeypatch, adaptive):
     monkeypatch.setenv("AGC_TPU_DISC", "host")
     create_archive(str(a2), files, params)
     assert _stream_contents(a1) == _stream_contents(a2)
+
+
+def test_cumulative_wait_demotes_batcher(monkeypatch):
+    """A device path that delivers every collect JUST inside its grace
+    window but chronically slower than the host must demote via the
+    cumulative wait accounting (per-collect hedges never fire)."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import ScanBatcher, collect_kmers, make_scan_table
+
+    rng = np.random.default_rng(9)
+    k = 21
+    codes = rng.integers(0, 4, 1 << 20, dtype=np.uint8)
+    vals = np.sort(np.unique(collect_kmers(codes, k)[::301]))
+    table = make_scan_table(vals, k)
+    monkeypatch.setattr(KM, "_SCAN_MODE", "auto")
+    KM.SCAN_STATS["last_demote_t"] = None
+    b = ScanBatcher(k, table)
+    assert not b._host_mode
+
+    class SlowFut:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def result(self, timeout=None):
+            import time as _t
+
+            # just inside any plausible grace window, chronically slow
+            _t.sleep(0.05)
+            return self._inner.result()
+
+    tok = b.add(codes)
+    b.flush()
+    for p in tok["parts"]:
+        p["out"] = SlowFut(p["out"])
+    # accumulate waits over repeated ready-checks (simulates many
+    # collects); n is large so collected_syms crosses the 8M floor
+    demoted = False
+    for _ in range(40):
+        ok = b._device_ready(tok)
+        if not ok and b._host_mode:
+            demoted = True
+            break
+    assert demoted, (b._wait_s, b._collected_syms)
+    KM.SCAN_STATS["last_demote_t"] = None  # don't leak into other tests

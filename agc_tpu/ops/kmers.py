@@ -1608,6 +1608,39 @@ _STARTUP_PROBED = False
 # threads get stuck inside the runtime's C++ transfer path
 _STARTUP_DONE = None
 
+# cross-process link-state marker: short-lived CLI processes (release
+# gate, sharded/jaxdist children) each paid the 5 s startup probe
+# against a dead tunnel; a marker file shares the verdict for the
+# demotion horizon instead (best-effort, never fatal)
+_LINK_MARKER = os.path.join(
+    os.path.expanduser("~/.cache"), "agc_tpu_link_down"
+)
+
+
+def _marker_recent() -> bool:
+    try:
+        return (time.time() - os.path.getmtime(_LINK_MARKER)) < (
+            _DEGRADE_HORIZON_S
+        )
+    except OSError:
+        return False
+
+
+def _marker_set() -> None:
+    try:
+        os.makedirs(os.path.dirname(_LINK_MARKER), exist_ok=True)
+        with open(_LINK_MARKER, "w") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
+
+
+def _marker_clear() -> None:
+    try:
+        os.unlink(_LINK_MARKER)
+    except OSError:
+        pass
+
 
 def _startup_link_probe() -> None:
     """One-time cheap link probe at first use: time a 256 KB download.
@@ -1620,6 +1653,11 @@ def _startup_link_probe() -> None:
     if _STARTUP_PROBED or _SCAN_MODE != "auto":
         return
     _STARTUP_PROBED = True
+    if _marker_recent():
+        # another process recently found the link down: inherit the
+        # verdict (recovery probes will re-test and clear the marker)
+        SCAN_STATS["last_demote_t"] = time.monotonic()
+        return
     try:
         import threading
 
@@ -1649,6 +1687,7 @@ def _startup_link_probe() -> None:
         # cumulative scan-wait demotion.
         if not done.wait(5.0):
             SCAN_STATS["last_demote_t"] = time.monotonic()
+            _marker_set()
     except Exception:
         pass
 
@@ -2037,6 +2076,7 @@ class ScanBatcher:
                 if SCAN_STATS["good_probes"] >= 2:
                     SCAN_STATS["last_demote_t"] = None
                     SCAN_STATS["good_probes"] = 0
+                    _marker_clear()
             else:
                 SCAN_STATS["good_probes"] = 0
 
@@ -2080,6 +2120,7 @@ class ScanBatcher:
                 self._host_mode = True
                 SCAN_STATS["last_demote_t"] = time.monotonic()
                 SCAN_STATS["good_probes"] = 0
+                _marker_set()
                 SCAN_STATS["hedges"] += 1
                 return False
         return ok
@@ -2124,6 +2165,7 @@ class ScanBatcher:
                 self._host_mode = True
                 SCAN_STATS["last_demote_t"] = time.monotonic()
                 SCAN_STATS["good_probes"] = 0
+                _marker_set()
             return scan_members_host(token["codes"], self.k, self.table)
         self._hedge_streak = 0
         all_pos, all_dir, all_rc = [], [], []

@@ -707,7 +707,7 @@ def test_host_discovery_is_stream_identical(tmp_path, monkeypatch, adaptive):
     assert _stream_contents(a1) == _stream_contents(a2)
 
 
-def test_cumulative_wait_demotes_batcher(monkeypatch):
+def test_cumulative_wait_demotes_batcher(monkeypatch, tmp_path):
     """A device path that delivers every collect JUST inside its grace
     window but chronically slower than the host must demote via the
     cumulative wait accounting (per-collect hedges never fire)."""
@@ -720,6 +720,8 @@ def test_cumulative_wait_demotes_batcher(monkeypatch):
     vals = np.sort(np.unique(collect_kmers(codes, k)[::301]))
     table = make_scan_table(vals, k)
     monkeypatch.setattr(KM, "_SCAN_MODE", "auto")
+    # don't write the real cross-process link marker from a test
+    monkeypatch.setattr(KM, "_LINK_MARKER", str(tmp_path / "marker"))
     KM.SCAN_STATS["last_demote_t"] = None
     b = ScanBatcher(k, table)
     assert not b._host_mode

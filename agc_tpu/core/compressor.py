@@ -893,7 +893,7 @@ class Compressor:
 
     def _determine_splitters_impl(self, reference_file: str) -> None:
         from ..ops.kmers import collect_kmers_device
-        from ..ops.kmers import link_degraded as _link_degraded
+        from ..ops.kmers import discovery_prefers_host as _link_degraded
 
         if self.p.verbosity > 0:
 

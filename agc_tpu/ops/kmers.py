@@ -1594,6 +1594,12 @@ SCAN_STATS = {
     "host_syms": 0,
     "host_ns_per_sym": 3.0,
     "last_demote_t": None,
+    # flap damping: consecutive good probes required to re-promote.
+    # Doubles (up to 16) every time a demotion follows a re-promotion
+    # within 60 s — a borderline tunnel that passes a couple of probes
+    # and then fails in production otherwise flips engines every run.
+    "probe_bar": 2,
+    "last_promote_t": None,
 }
 
 # how long a scan-demotion event keeps link_degraded() true. Each create
@@ -1699,6 +1705,16 @@ def link_degraded() -> bool:
     _startup_link_probe()
     t = SCAN_STATS["last_demote_t"]
     return t is not None and (time.monotonic() - t) < _DEGRADE_HORIZON_S
+
+
+def discovery_prefers_host() -> bool:
+    """Splitter discovery's engine gate: host while the link is
+    degraded, AND through a promotion trial (scans re-test the device
+    first; discovery's big one-shot dispatches follow only once 64 M
+    symbols of device scans have succeeded)."""
+    if link_degraded():
+        return True
+    return bool(SCAN_STATS.get("promote_trial"))
 
 # consecutive hedged collects before a batcher stops dispatching to the
 # device for the rest of its run (each create re-probes)
@@ -1834,7 +1850,10 @@ class ScanBatcher:
         # window never trips the per-collect hedge yet can run the whole
         # create 2-4x slower than the host engine. Track total blocked
         # time vs the host-equivalent cost of the symbols collected and
-        # demote when the ratio exceeds ~1.2.
+        # demote when the ratio exceeds ~0.6 (a healthy pipeline's
+        # collect waits are ~zero - eager downloads land results before
+        # the matcher needs them - so waiting even 0.6x of the host's
+        # own scan cost means the device is at best marginal).
         self._wait_s = 0.0
         self._collected_syms = 0
 
@@ -2073,9 +2092,19 @@ class ScanBatcher:
                 SCAN_STATS["good_probes"] = SCAN_STATS.get(
                     "good_probes", 0
                 ) + 1
-                if SCAN_STATS["good_probes"] >= 2:
+                if SCAN_STATS["good_probes"] >= SCAN_STATS.get(
+                    "probe_bar", 2
+                ):
                     SCAN_STATS["last_demote_t"] = None
                     SCAN_STATS["good_probes"] = 0
+                    SCAN_STATS["last_promote_t"] = time.monotonic()
+                    # promotion TRIAL: scans go device, but discovery
+                    # stays host until 64 M symbols of device scans
+                    # succeed - a bad promotion otherwise runs a full
+                    # un-hedged device discovery (measured 10-15 s
+                    # stalls on a borderline link)
+                    SCAN_STATS["promote_trial"] = True
+                    SCAN_STATS["device_syms_ok"] = 0
                     _marker_clear()
             else:
                 SCAN_STATS["good_probes"] = 0
@@ -2110,16 +2139,27 @@ class ScanBatcher:
                 break
         self._wait_s += time.monotonic() - t0
         self._collected_syms += token["n"]
+        if ok and SCAN_STATS.get("promote_trial"):
+            SCAN_STATS["device_syms_ok"] = (
+                SCAN_STATS.get("device_syms_ok", 0) + token["n"]
+            )
+            if SCAN_STATS["device_syms_ok"] > (64 << 20):
+                SCAN_STATS["promote_trial"] = False
         if ok and self._collected_syms > (8 << 20):
             host_equiv = (
                 1e-9 * SCAN_STATS["host_ns_per_sym"] * self._collected_syms
             )
-            if self._wait_s > max(0.25, 1.2 * host_equiv):
+            if self._wait_s > max(0.25, 0.6 * host_equiv):
                 # chronically slow device: demote even though every
                 # individual collect squeaked inside its grace window
                 self._host_mode = True
                 SCAN_STATS["last_demote_t"] = time.monotonic()
                 SCAN_STATS["good_probes"] = 0
+                lp = SCAN_STATS.get("last_promote_t")
+                if lp is not None and time.monotonic() - lp < 60.0:
+                    SCAN_STATS["probe_bar"] = min(
+                        16, SCAN_STATS.get("probe_bar", 2) * 2
+                    )
                 _marker_set()
                 SCAN_STATS["hedges"] += 1
                 return False
@@ -2165,6 +2205,11 @@ class ScanBatcher:
                 self._host_mode = True
                 SCAN_STATS["last_demote_t"] = time.monotonic()
                 SCAN_STATS["good_probes"] = 0
+                lp = SCAN_STATS.get("last_promote_t")
+                if lp is not None and time.monotonic() - lp < 60.0:
+                    SCAN_STATS["probe_bar"] = min(
+                        16, SCAN_STATS.get("probe_bar", 2) * 2
+                    )
                 _marker_set()
             return scan_members_host(token["codes"], self.k, self.table)
         self._hedge_streak = 0

@@ -65,7 +65,14 @@ struct LZContext {
   bool v1_grammar = false;
   std::vector<uint8_t> ref;  // padded with key_len invalid symbols
   uint64_t ref_len = 0;      // unpadded length
-  std::vector<int64_t> ht;   // position table, -1 empty
+  std::vector<int64_t> ht;   // position table, -1 empty (large refs)
+  // small-ref variant: (pos << 8) | tag fits uint32 whenever the padded
+  // reference is <= 0xFFFFFF bytes (virtually every segment group - the
+  // standard group reference is ~60 kb). Halves the per-group index
+  // memory, the same ht16/ht32 split the reference tool uses
+  // (lz_diff.cpp:146). 0xFFFFFFFF = empty (unreachable: pos <= 0xFFFFF6).
+  std::vector<uint32_t> ht32;
+  bool ht_use32 = false;
   uint64_t ht_mask = 0;
   std::atomic<bool> index_ready = false;
   // anchor-mode occurrence map (key -> min/max dense ref positions),
@@ -143,7 +150,16 @@ struct LZContext {
     ht_size <<= 1;
     if (ht_size < 8) ht_size = 8;
     ht_mask = ht_size - 1;
-    ht.assign(ht_size, -1);
+    ht_use32 = ref.size() <= 0xFFFFFF;
+    if (ht_use32) {
+      ht32.assign(ht_size, 0xFFFFFFFFu);
+      ht.clear();
+      ht.shrink_to_fit();
+    } else {
+      ht.assign(ht_size, -1);
+      ht32.clear();
+      ht32.shrink_to_fit();
+    }
 
     for (const auto& [i, code] : poscode) {
       uint64_t h = murmur64(code);
@@ -152,12 +168,16 @@ struct LZContext {
       // entries whose key cannot match without touching the reference
       // bytes (equal first key_len symbols <=> equal codes, so tag
       // filtering never changes which matches are found).
-      int64_t entry =
-          static_cast<int64_t>((i << 8) | (h >> 56));
+      uint64_t entry = (i << 8) | (h >> 56);
       for (uint32_t t = 0; t < kMaxTries; ++t) {
         uint64_t p = (pos + t) & ht_mask;
-        if (ht[p] < 0) {
-          ht[p] = entry;
+        if (ht_use32) {
+          if (ht32[p] == 0xFFFFFFFFu) {
+            ht32[p] = static_cast<uint32_t>(entry);
+            break;
+          }
+        } else if (ht[p] < 0) {
+          ht[p] = static_cast<int64_t>(entry);
           break;
         }
       }
@@ -205,8 +225,15 @@ struct LZContext {
     const uint32_t max_len = static_cast<uint32_t>(text_len - i);
     bool found = false;
     for (uint32_t t = 0; t < kMaxTries; ++t) {
-      int64_t e = ht[(pos + t) & ht_mask];
-      if (e < 0) break;
+      int64_t e;
+      if (ht_use32) {
+        const uint32_t e32 = ht32[(pos + t) & ht_mask];
+        if (e32 == 0xFFFFFFFFu) break;
+        e = static_cast<int64_t>(e32);
+      } else {
+        e = ht[(pos + t) & ht_mask];
+        if (e < 0) break;
+      }
       if (static_cast<uint8_t>(e) != tag) continue;
       int64_t h = e >> 8;
       const uint8_t* p = ref.data() + h;

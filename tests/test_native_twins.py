@@ -76,3 +76,25 @@ def test_preprocess_matches_numpy_and_validates():
         preprocess_raw_contig(
             np.frombuffer(b"ACGT\nACZT\n", dtype=np.uint8), "c1"
         )
+
+
+def test_lz_large_reference_int64_index_roundtrip():
+    """References past the u32-entry bound (padded > 0xFFFFFF bytes)
+    take the int64 index branch (the dual table mirrors the reference's
+    ht16/ht32 split, lz_diff.cpp:146); encode/decode must round-trip
+    and estimate must track encode on both sides of the threshold."""
+    from agc_tpu.core.lz import LZDiff, decode_v2
+
+    rng = np.random.default_rng(12)
+    for n in (0xFFFF00, 0x1100000):  # just under / over the u32 bound
+        ref = rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+        text = bytearray(ref)
+        for p in range(0, n, 97_001):  # sprinkle SNPs
+            text[p] = (text[p] + 1) % 4
+        text = bytes(text[: n - 1234])  # structural tail change
+        lz = LZDiff(20)
+        lz.prepare(ref)
+        enc = lz.encode(text)
+        assert decode_v2(ref, enc, 20) == text
+        est = lz.estimate(text, 1 << 60)
+        assert est == len(enc)

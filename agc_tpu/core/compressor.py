@@ -2731,6 +2731,8 @@ class Compressor:
         if self._match_pool is not None:
             with contextlib.suppress(Exception):
                 self._match_pool.shutdown(wait=True, cancel_futures=True)
+                self._match_pool.stop(timeout=5.0)
+            self._match_pool = None
         with contextlib.suppress(Exception):
             self.writer.close()
         src = getattr(self, "_append_src", None)
@@ -2815,7 +2817,10 @@ class Compressor:
             self._store_pool.shutdown(wait=True)
             self._store_pool = None
         if self._match_pool is not None:
-            self._match_pool.shutdown(wait=True)
+            # stop (not just drain): releases the worker thread and the
+            # module _ALL_POOLS entry — a library process creating many
+            # Compressors otherwise leaks one daemon thread per instance
+            self._match_pool.stop(timeout=10.0)
             self._match_pool = None
         self.writer.flush_buffers()
         if self.p.verbosity > 0:

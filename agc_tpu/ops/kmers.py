@@ -1516,6 +1516,13 @@ class DaemonPool:
         deadline = time.monotonic() + timeout
         for t in self._threads:
             t.join(max(0.0, deadline - time.monotonic()))
+        # deregister: long-lived library processes creating many
+        # Compressors (one match pool each) otherwise leak a list entry
+        # + daemon thread per instance
+        try:
+            _ALL_POOLS.remove(self)
+        except ValueError:
+            pass
 
     def submit(self, fn, *args, **kw):
         from concurrent.futures import Future
@@ -1598,8 +1605,17 @@ SCAN_STATS = {
     # Doubles (up to 16) every time a demotion follows a re-promotion
     # within 60 s — a borderline tunnel that passes a couple of probes
     # and then fails in production otherwise flips engines every run.
+    # Decays back to 2 when a promotion SURVIVES (the promotion trial
+    # completes 64 M device symbols without a demotion): a link that
+    # flapped an hour ago shouldn't need 16 good probes forever.
     "probe_bar": 2,
     "last_promote_t": None,
+    # measured link round-trip (the startup probe's 256 KB up+down, s):
+    # feeds the ADAPTIVE flush quantum (DESIGN.md §8b) — dispatch-count
+    # overhead is n_dispatches x rtt, so the quantum scales with rtt.
+    "link_rtt_s": None,
+    # device scan symbols collected without a hedge (device_util basis)
+    "device_syms": 0,
 }
 
 # how long a scan-demotion event keeps link_degraded() true. Each create
@@ -1667,31 +1683,40 @@ def _startup_link_probe() -> None:
     try:
         import threading
 
+        inited = threading.Event()
         done = threading.Event()
         _STARTUP_DONE = done
 
         def probe():
-            # the ENTIRE probe (upload + download) runs on a helper
-            # thread with a hard wait bound: a WEDGED tunnel can block
-            # device_put or np.asarray for minutes, and a probe that
-            # exists to protect against a bad link must not itself hang
-            # on one (the orphan finishes whenever the transfer does;
-            # nothing waits on it)
+            # the ENTIRE probe (backend init + upload + download) runs
+            # on a helper thread with hard wait bounds: a WEDGED tunnel
+            # can block device_put or np.asarray for minutes, and a
+            # probe that exists to protect against a bad link must not
+            # itself hang on one (the orphan finishes whenever the
+            # transfer does; nothing waits on it)
             try:
                 import jax
 
+                jax.devices()  # backend init, NOT part of the timed leg
+                inited.set()
+                t0 = time.monotonic()
                 d = jax.device_put(np.zeros(256 << 10, np.uint8))
                 d.block_until_ready()
                 np.asarray(d)
+                # the 256 KB roundtrip ~= the per-dispatch fixed
+                # overhead on this link; the adaptive flush quantum
+                # (ScanBatcher.__init__) scales from it
+                SCAN_STATS["link_rtt_s"] = time.monotonic() - t0
             finally:
                 done.set()
 
         threading.Thread(target=probe, daemon=True).start()
-        # 5 s bound: covers first-touch backend init (~1-3 s healthy) +
-        # the 256 KB roundtrip; a WEDGED tunnel blocks for minutes. A
-        # merely-slow link that passes here is caught mid-run by the
-        # cumulative scan-wait demotion.
-        if not done.wait(5.0):
+        # two-phase bound so a healthy device with slow BACKEND INIT is
+        # not misclassified (init is untimed): up to 10 s for init, then
+        # 5 s for the 256 KB roundtrip itself; a WEDGED tunnel blocks
+        # for minutes either way. A merely-slow link that passes here is
+        # caught mid-run by the cumulative scan-wait demotion.
+        if not inited.wait(10.0) or not done.wait(5.0):
             SCAN_STATS["last_demote_t"] = time.monotonic()
             _marker_set()
     except Exception:
@@ -1816,19 +1841,34 @@ class ScanBatcher:
     ``table`` is a make_scan_table() tuple (or None for no splitters).
     """
 
-    # auto-flush threshold: dispatch as soon as this many symbols are
-    # buffered, so device compute overlaps host-side matching of earlier
-    # contigs instead of accumulating into one barrier-sized dispatch.
-    # AGC_TPU_SCAN_FLUSH_MB tunes the quantum: bigger quanta cut the
-    # per-dispatch tunnel overhead (~25 ms each; DESIGN.md §9 arithmetic)
-    # at the cost of pipeline-fill latency and buffered memory.
-    _FLUSH_SYMBOLS = int(
-        float(os.environ.get("AGC_TPU_SCAN_FLUSH_MB", "8")) * (1 << 20)
-    )
+    # measured end-to-end device scan rate (pack+upload+execute over the
+    # pipeline; DESIGN.md §8b): sets the ADAPTIVE flush quantum below
+    _DEVICE_SCAN_SYMS_PER_S = 290e6
+
+    @staticmethod
+    def _auto_flush_symbols() -> int:
+        """Adaptive flush quantum (DESIGN.md §8b): the scan wall is
+        n_dispatches x link_rtt + total_execute, so the quantum scales
+        with the MEASURED link rtt (startup probe's 256 KB roundtrip)
+        to keep per-dispatch overhead <= ~20% of per-dispatch execute:
+        Q = rtt x device_rate x 4, clamped to [8, 32] Mbase (32 is one
+        full dispatch — _BATCH_SYMBOL_BUDGET). A 25 ms tunnel lands at
+        ~28 Mbase (~4 dispatches per 134 Mbase instead of 17); a local
+        chip stays at the 8 Mbase floor for pipeline granularity.
+        AGC_TPU_SCAN_FLUSH_MB still pins it manually."""
+        env = os.environ.get("AGC_TPU_SCAN_FLUSH_MB")
+        if env is not None:
+            return int(float(env) * (1 << 20))
+        rtt = SCAN_STATS.get("link_rtt_s")
+        if rtt is None:
+            return 8 << 20
+        q = int(rtt * ScanBatcher._DEVICE_SCAN_SYMS_PER_S * 4)
+        return max(8 << 20, min(_BATCH_SYMBOL_BUDGET, q))
 
     def __init__(self, k: int, table):
         self.k = k
         self.table = table
+        self._flush_symbols = self._auto_flush_symbols()
         self._buf: list[dict] = []
         self._pending_syms = 0
         self._dl_cache: dict[int, np.ndarray] = {}
@@ -1890,7 +1930,7 @@ class ScanBatcher:
             self._buf.append(part)
             self._pending_syms += end - lo
             start = end
-        if self._pending_syms >= self._FLUSH_SYMBOLS:
+        if self._pending_syms >= self._flush_symbols:
             self.flush()
         return token
 
@@ -2139,12 +2179,20 @@ class ScanBatcher:
                 break
         self._wait_s += time.monotonic() - t0
         self._collected_syms += token["n"]
+        if ok:
+            SCAN_STATS["device_syms"] = (
+                SCAN_STATS.get("device_syms", 0) + token["n"]
+            )
         if ok and SCAN_STATS.get("promote_trial"):
             SCAN_STATS["device_syms_ok"] = (
                 SCAN_STATS.get("device_syms_ok", 0) + token["n"]
             )
             if SCAN_STATS["device_syms_ok"] > (64 << 20):
                 SCAN_STATS["promote_trial"] = False
+                # the promotion SURVIVED 64 M symbols: decay the flap
+                # bar back to its base so a long-recovered link isn't
+                # held to 16 consecutive good probes forever
+                SCAN_STATS["probe_bar"] = 2
         if ok and self._collected_syms > (8 << 20):
             host_equiv = (
                 1e-9 * SCAN_STATS["host_ns_per_sym"] * self._collected_syms
@@ -2161,7 +2209,10 @@ class ScanBatcher:
                         16, SCAN_STATS.get("probe_bar", 2) * 2
                     )
                 _marker_set()
-                SCAN_STATS["hedges"] += 1
+                # NOTE: collect()'s hedge branch counts this event in
+                # SCAN_STATS["hedges"] when it sees the False return —
+                # do not also count it here (double-counting inflated
+                # the diagnostic counter)
                 return False
         return ok
 

@@ -751,3 +751,92 @@ def test_cumulative_wait_demotes_batcher(monkeypatch, tmp_path):
             break
     assert demoted, (b._wait_s, b._collected_syms)
     KM.SCAN_STATS["last_demote_t"] = None  # don't leak into other tests
+
+
+def test_adaptive_flush_quantum(monkeypatch):
+    """The scan flush quantum auto-scales from the measured link rtt
+    (DESIGN.md §8b): Q = rtt x device_rate x 4, clamped to [8, 32]
+    Mbase; AGC_TPU_SCAN_FLUSH_MB still pins it manually."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import ScanBatcher
+
+    monkeypatch.delenv("AGC_TPU_SCAN_FLUSH_MB", raising=False)
+    monkeypatch.setitem(KM.SCAN_STATS, "link_rtt_s", None)
+    assert ScanBatcher._auto_flush_symbols() == 8 << 20  # unprobed
+    monkeypatch.setitem(KM.SCAN_STATS, "link_rtt_s", 0.025)
+    q = ScanBatcher._auto_flush_symbols()
+    assert q == int(0.025 * ScanBatcher._DEVICE_SCAN_SYMS_PER_S * 4)
+    assert (8 << 20) < q < (32 << 20)  # a 25 ms tunnel: ~28 Mbase
+    monkeypatch.setitem(KM.SCAN_STATS, "link_rtt_s", 1.0)
+    assert ScanBatcher._auto_flush_symbols() == KM._BATCH_SYMBOL_BUDGET
+    monkeypatch.setitem(KM.SCAN_STATS, "link_rtt_s", 0.001)
+    assert ScanBatcher._auto_flush_symbols() == 8 << 20  # local-chip floor
+    monkeypatch.setenv("AGC_TPU_SCAN_FLUSH_MB", "16")
+    assert ScanBatcher._auto_flush_symbols() == 16 << 20  # manual pin wins
+    # the constructor uses the adaptive value
+    monkeypatch.delenv("AGC_TPU_SCAN_FLUSH_MB", raising=False)
+    monkeypatch.setitem(KM.SCAN_STATS, "link_rtt_s", 0.025)
+    assert ScanBatcher(31, None)._flush_symbols == q
+
+
+def test_probe_bar_decays_after_surviving_promotion(monkeypatch, tmp_path):
+    """A promotion that survives its 64 M-symbol trial resets the flap
+    probe_bar to its base (2): a link that flapped long ago must not be
+    held to 16 consecutive good probes forever (ADVICE r4)."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import ScanBatcher
+
+    monkeypatch.setattr(KM, "_SCAN_MODE", "auto")
+    monkeypatch.setattr(KM, "_LINK_MARKER", str(tmp_path / "marker"))
+    monkeypatch.setitem(KM.SCAN_STATS, "last_demote_t", None)
+    monkeypatch.setitem(KM.SCAN_STATS, "probe_bar", 16)
+    monkeypatch.setitem(KM.SCAN_STATS, "promote_trial", True)
+    monkeypatch.setitem(KM.SCAN_STATS, "device_syms_ok", 0)
+    b = ScanBatcher(31, None)
+    # a trivially-ready token (no parts) worth 65 M symbols: the trial
+    # completes and the bar decays
+    assert b._device_ready({"kind": "parts", "n": 65 << 20, "parts": []})
+    assert KM.SCAN_STATS["promote_trial"] is False
+    assert KM.SCAN_STATS["probe_bar"] == 2
+
+
+def test_cumulative_demote_counts_one_hedge(monkeypatch, tmp_path):
+    """The cumulative-wait demotion is counted ONCE in
+    SCAN_STATS['hedges'] (by collect's hedge branch), not twice
+    (ADVICE r4: _device_ready also incremented it)."""
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import ScanBatcher, collect_kmers, make_scan_table
+
+    rng = np.random.default_rng(11)
+    k = 21
+    codes = rng.integers(0, 4, (9 << 20) + 100, dtype=np.uint8)
+    vals = np.sort(np.unique(collect_kmers(codes[: 1 << 16], k)[::301]))
+    table = make_scan_table(vals, k)
+    monkeypatch.setattr(KM, "_SCAN_MODE", "auto")
+    monkeypatch.setattr(KM, "_LINK_MARKER", str(tmp_path / "marker"))
+    KM.SCAN_STATS["last_demote_t"] = None
+    b = ScanBatcher(k, table)
+    assert not b._host_mode
+    tok = b.add(codes)
+    b.flush()
+
+    class SlowFut:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def result(self, timeout=None):
+            import time as _t
+
+            _t.sleep(0.3)
+            return self._inner.result()
+
+    for p in tok["parts"]:
+        p["out"] = SlowFut(p["out"])
+    before = KM.SCAN_STATS["hedges"]
+    pos, ud, ur = b.collect(tok)  # slow futures force the hedge path
+    assert b._host_mode  # demoted (per-collect or cumulative)
+    assert KM.SCAN_STATS["hedges"] == before + 1
+    # the hedge result is still the exact host scan
+    hp, hd, hr = KM.scan_members_host(codes, k, table)
+    assert np.array_equal(pos, hp)
+    KM.SCAN_STATS["last_demote_t"] = None  # don't leak into other tests

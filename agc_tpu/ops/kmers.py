@@ -1745,6 +1745,9 @@ def discovery_prefers_host() -> bool:
 # device for the rest of its run (each create re-probes)
 _HEDGE_DEMOTE = 3
 
+# recovery-probe turnaround (s) under which the link counts as healthy
+_PROBE_GOOD_S = 0.15
+
 
 def scan_members_host(codes: np.ndarray, k: int, table):
     """Exact host membership scan: rolling canonical k-mer + one hash
@@ -2121,13 +2124,16 @@ class ScanBatcher:
         # threshold is the wrong ruler here — the device earns its keep
         # by PIPELINING quanta, not by per-chunk latency, so one chunk's
         # turnaround can only answer "is the link healthy", not "is the
-        # device faster".
-        thresh = 0.15
+        # device faster". (Module constant so the flapping-link test can
+        # relax it for CPU-backend simulation, where a real dispatch
+        # takes ~0.5 s.)
+        thresh = _PROBE_GOOD_S
 
         def check(f):
             # hysteresis: TWO consecutive good probes re-promote — a
             # single lucky quantum on a wobbling link caused engine
             # flip-flops (runs alternating 1.8 s / 3.4 s)
+            SCAN_STATS["last_probe_s"] = time.monotonic() - t0
             if time.monotonic() - t0 <= thresh and f.exception() is None:
                 SCAN_STATS["good_probes"] = SCAN_STATS.get(
                     "good_probes", 0

@@ -840,3 +840,150 @@ def test_cumulative_demote_counts_one_hedge(monkeypatch, tmp_path):
     hp, hd, hr = KM.scan_members_host(codes, k, table)
     assert np.array_equal(pos, hp)
     KM.SCAN_STATS["last_demote_t"] = None  # don't leak into other tests
+
+
+def test_flapping_link_end_to_end_bounded(monkeypatch, tmp_path):
+    """Adversarial link profile driven through the REAL engine state
+    machine: alternating good/bad link phases must produce repeated
+    promote/demote cycles with every simulated create staying within a
+    bounded wall (hedge grace, not un-hedged device waits), and the
+    flap damper (probe_bar) must escalate across cycles.
+
+    A 'run' = one fresh ScanBatcher (one create) adding + collecting 8
+    contigs. Bad phases delay every dispatch by 2.5 s via wrapped
+    transfer pools: un-hedged waits would cost many seconds/run; the
+    hedge machinery must keep each run under 1 s. The probe's
+    healthy-link bar is relaxed to 2.0 s because a real CPU-backend
+    dispatch takes ~0.5 s (production bar: 0.15 s on the tunnel)."""
+    import time as _t
+
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.ops.kmers import (
+        DaemonPool, ScanBatcher, collect_kmers, make_scan_table,
+        scan_members_host,
+    )
+
+    LINK = {"bad": False}
+
+    class LaggyPool:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def submit(self, fn, *a, **kw):
+            def wrapped():
+                if LINK["bad"]:
+                    _t.sleep(2.5)
+                return fn(*a, **kw)
+
+            return self._inner.submit(wrapped)
+
+        def drain(self):
+            self._inner.shutdown(wait=True, timeout=60.0)
+
+    xfer = DaemonPool(2, "flap-xfer")
+    dl = DaemonPool(1, "flap-dl")
+    lx, ld = LaggyPool(xfer), LaggyPool(dl)
+    monkeypatch.setattr(KM, "_XFER_POOL", lx)
+    monkeypatch.setattr(KM, "_DL_POOL", ld)
+    monkeypatch.setattr(KM, "_SCAN_MODE", "auto")
+    monkeypatch.setattr(KM, "_LINK_MARKER", str(tmp_path / "marker"))
+    monkeypatch.setattr(KM, "_STARTUP_PROBED", True)
+    monkeypatch.setattr(KM, "_STARTUP_DONE", None)
+    monkeypatch.setattr(KM, "_PROBE_GOOD_S", 2.0)
+    for key, val in (
+        ("last_demote_t", None), ("probe_bar", 2), ("good_probes", 0),
+        ("last_promote_t", None), ("promote_trial", False),
+        ("last_probe_t", None),
+    ):
+        monkeypatch.setitem(KM.SCAN_STATS, key, val)
+
+    rng = np.random.default_rng(23)
+    k = 21
+    # sizes chosen for the CPU backend: the compare-all scan kernel is
+    # VPU-shaped (O(width x table)), so keep the table ~300 entries and
+    # the packed tail width <= 1M symbols or a single dispatch costs
+    # minutes on one CPU core (measured: 5320-entry table at 2M width
+    # >480 s; 300-entry at 1M ~2 s)
+    contigs = [
+        rng.integers(0, 4, 100_000, dtype=np.uint8) for _ in range(8)
+    ]
+    vals = np.sort(np.unique(collect_kmers(contigs[0], k)[::301]))
+    table = make_scan_table(vals, k)
+    host_exp = [scan_members_host(c, k, table) for c in contigs]
+
+    # warm the two dispatch shapes (single-contig probe tail + packed
+    # 8-contig row) with the engine PINNED to device: XLA-CPU compiles
+    # take ~5 s and would otherwise swamp every probe timing below
+    monkeypatch.setattr(KM, "_SCAN_MODE", "device")
+    bw = ScanBatcher(k, table)
+    tw = bw.add(contigs[0])
+    bw.flush()
+    bw.collect(tw)
+    toksw = [bw.add(c) for c in contigs]
+    bw.flush()
+    for t_ in toksw:
+        bw.collect(t_)
+    monkeypatch.setattr(KM, "_SCAN_MODE", "auto")
+
+    def one_run():
+        """One simulated create; returns wall seconds."""
+        KM.SCAN_STATS["last_probe_t"] = None  # un-rate-limit probes
+        b = ScanBatcher(k, table)
+        t0 = _t.monotonic()
+        toks = [b.add(c) for c in contigs]
+        b.flush()
+        for tok, (hp, hd, hr) in zip(toks, host_exp):
+            pos, ud, ur = b.collect(tok)
+            assert np.array_equal(pos, hp)  # engines agree, always
+        return _t.monotonic() - t0
+
+    walls = []
+    cycles = 0
+    bars = [KM.SCAN_STATS["probe_bar"]]
+    for cycle in range(3):
+        # -- bad phase: creates must demote within a few runs, each
+        #    bounded by hedge grace (never the 2.5 s dispatch delay)
+        LINK["bad"] = True
+        for _ in range(6):
+            walls.append(one_run())
+            if KM.link_degraded():
+                break
+        assert KM.link_degraded(), "bad link never demoted the engine"
+        # drain the backlog of delayed dispatches so good-phase probes
+        # don't queue behind bad-phase jobs
+        lx.drain()
+        ld.drain()
+        # -- good phase: probes (one per fresh batcher) re-promote after
+        #    probe_bar consecutive good turnarounds
+        LINK["bad"] = False
+        for _ in range(KM.SCAN_STATS["probe_bar"] + 26):
+            walls.append(one_run())
+            # pace runs so probes don't backlog on the transfer workers
+            # (a queued probe's turnaround would exceed the bar), and
+            # let the done-callback land
+            _t.sleep(0.7)
+            if not KM.link_degraded():
+                break
+        assert not KM.link_degraded(), (
+            "good link never re-promoted (probe path broken); "
+            f"probe_s={KM.SCAN_STATS.get('last_probe_s')}"
+        )
+        cycles += 1
+        bars.append(KM.SCAN_STATS["probe_bar"])
+
+    assert cycles == 3
+    # every simulated create stays bounded: hedged waits are grace-
+    # window sized (~20 ms/collect), never the 2.5 s/dispatch un-hedged
+    # device wait
+    worst = max(walls)
+    assert worst < 1.0, [round(w, 3) for w in walls]
+    # the flap damper escalated at some point across the cycles
+    # (demotions followed promotions within 60 s)
+    assert max(bars) > 2, bars
+    # cleanup: don't leak engine state into other tests
+    KM.SCAN_STATS["last_demote_t"] = None
+    KM.SCAN_STATS["probe_bar"] = 2
+    KM.SCAN_STATS["good_probes"] = 0
+    KM.SCAN_STATS["promote_trial"] = False
+    xfer.stop(timeout=2.0)
+    dl.stop(timeout=2.0)

@@ -779,6 +779,54 @@ class Compressor:
         if self.p.verbosity > 1:
             print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
 
+    def _hedged_discovery(self, leg, total_syms: int, disc_mode: str):
+        """Run the device discovery leg with a BOUNDED wait (auto mode):
+        the leg executes on a one-shot daemon worker and the main thread
+        waits at most ~the host twin's cost (measured ~110 ns/sym, floor
+        2.5 s; AGC_TPU_DISC_GRACE_S overrides). On timeout or device
+        error the leg is abandoned (the daemon thread dies with the
+        process if wedged), the demotion is recorded for the adaptive
+        machinery, and None is returned so the caller falls back to the
+        exact host twin — worst case ~2x the host floor instead of the
+        10-25 s un-hedged stalls a mid-session link collapse caused in
+        round 4. Pinned modes (AGC_TPU_DISC=device) run inline so forced
+        engine tests stay deterministic."""
+        if disc_mode != "auto":
+            return leg()
+        import concurrent.futures as _cf
+
+        from ..ops.kmers import DaemonPool, record_demotion
+
+        grace = max(2.5, 1.1e-7 * total_syms)
+        grace = float(os.environ.get("AGC_TPU_DISC_GRACE_S", grace))
+        pool = DaemonPool(1, "agc-disc")
+        fut = pool.submit(leg)
+        try:
+            return fut.result(timeout=grace)
+        except _cf.TimeoutError:
+            record_demotion()
+            if self.p.verbosity > 0:
+                print(
+                    f"discovery hedge: device leg late (> {grace:.1f} s)"
+                    " - falling back to the host twin",
+                    file=sys.stderr,
+                )
+            return None
+        except Exception as e:  # device-side error: host twin is safe
+            record_demotion()
+            if self.p.verbosity > 0:
+                print(
+                    f"discovery hedge: device leg failed ({e!r}) -"
+                    " falling back to the host twin",
+                    file=sys.stderr,
+                )
+            return None
+        finally:
+            # bounded: releases the worker when the leg finished; a
+            # wedged worker is abandoned (daemon) and the pool is
+            # deregistered either way
+            pool.stop(timeout=0.1)
+
     def _emission_hits(self, codes: np.ndarray, pos_list) -> dict:
         """Materialize (pos, udir, urc) scan hits for splitter emission
         positions of one discovery-reference contig (same layout as
@@ -936,6 +984,92 @@ class Compressor:
         from ..ops import kmers as _km
         from ..ops.kmers import CHUNK, collect_kmers_device_packed
 
+        if not self.fallback_filter and not self.p.adaptive_compression:
+            # fast path: one pool sort; the greedy probes singletons
+            # directly in the sorted pool over the ALREADY-resident
+            # canonical chunks, with all single-chunk contigs batched
+            # into vmapped dispatches (no singleton-table sorts, no
+            # re-upload, no per-contig round-trips). The whole leg is
+            # SELF-STATE-FREE and runs on a daemon worker so the main
+            # thread can hedge it with a bounded wait: un-hedged device
+            # discovery after a mid-session link collapse measured
+            # 10-25 s stalls (the one engine gamble round 4 left open).
+
+            def _device_leg():
+                from ..ops.kmers import (
+                    find_splitter_emissions_batched,
+                    find_splitter_emissions_packed,
+                )
+
+                packed = None  # (canon_flat, placements), all-small refs
+                contig_recs = []
+                dev_chunks = []
+                with self.timers.stage("disc_collect"):
+                    if _km._PACK_DISCOVERY and len(contigs) > 1 and all(
+                        len(c) <= CHUNK for c in contigs
+                    ):
+                        # many small contigs: pack into CHUNK rows,
+                        # canonize in one dispatch per ~32 Mbase
+                        packed = collect_kmers_device_packed(
+                            contigs, self.k
+                        )
+                        dev_chunks = [packed[0]]
+                    else:
+                        for codes in contigs:
+                            recs = collect_kmers_device(codes, self.k)
+                            contig_recs.append(recs)
+                            dev_chunks.extend(r[0] for r in recs)
+                if not dev_chunks:
+                    return [], [
+                        self._emission_hits(c, []) for c in contigs
+                    ]
+                with self.timers.stage("disc_sort"):
+                    pool = self._sorted_pool(dev_chunks)
+                with self.timers.stage("disc_greedy"):
+                    if packed is not None:
+                        emissions = find_splitter_emissions_packed(
+                            packed[0], packed[1], self.k, pool,
+                            self.p.segment_size, singleton=True,
+                        )
+                    else:
+                        emissions = find_splitter_emissions_batched(
+                            contig_recs, [len(c) for c in contigs],
+                            self.k, pool, self.p.segment_size,
+                            singleton=True,
+                        )
+                splitters: list[int] = []
+                cache = []
+                for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
+                    contigs, emissions
+                ):
+                    splitters.extend(int(x) for x in kmers)
+                    emitted = [int(x) for x in pos]
+                    last = int(pos[-1]) if len(pos) else None
+                    if tail_pos is not None and (
+                        last is None or tail_pos >= last + self.k
+                    ):
+                        splitters.append(int(tail_kmer))
+                        emitted.append(int(tail_pos))
+                    cache.append(self._emission_hits(codes, emitted))
+                return splitters, cache
+
+            res = self._hedged_discovery(_device_leg, total, disc_mode)
+            if res is None:
+                # hedge fired (auto mode only): the exact host twin is
+                # the safe engine — identical splitters by contract
+                self._determine_splitters_host(contigs)
+                return
+            splitters, cache = res
+            self.cand_singletons = np.empty(0, dtype=np.uint64)
+            self.cand_duplicated = np.empty(0, dtype=np.uint64)
+            self._cand_singletons_dev = None
+            self._ref_scan_cache = cache
+            self._splitter_set = set(splitters)
+            self._refresh_splitter_table()
+            if self.p.verbosity > 1:
+                print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
+            return
+
         packed = None  # (canon_flat, placements) for all-small references
         contig_recs = []
         dev_chunks = []
@@ -954,56 +1088,6 @@ class Compressor:
                     dev_chunks.extend(r[0] for r in recs)
 
         splitters: list[int] = []
-        if (
-            not self.fallback_filter
-            and not self.p.adaptive_compression
-            and dev_chunks
-        ):
-            # fast path: one pool sort; the greedy probes singletons
-            # directly in the sorted pool over the ALREADY-resident
-            # canonical chunks, with all single-chunk contigs batched into
-            # vmapped dispatches (no singleton-table sorts, no re-upload,
-            # no per-contig round-trips)
-            from ..ops.kmers import (
-                find_splitter_emissions_batched,
-                find_splitter_emissions_packed,
-            )
-
-            with self.timers.stage("disc_sort"):
-                pool = self._sorted_pool(dev_chunks)
-            self.cand_singletons = np.empty(0, dtype=np.uint64)
-            self.cand_duplicated = np.empty(0, dtype=np.uint64)
-            self._cand_singletons_dev = None
-            cache = []
-            with self.timers.stage("disc_greedy"):
-                if packed is not None:
-                    emissions = find_splitter_emissions_packed(
-                        packed[0], packed[1], self.k, pool,
-                        self.p.segment_size, singleton=True,
-                    )
-                else:
-                    emissions = find_splitter_emissions_batched(
-                        contig_recs, [len(c) for c in contigs], self.k, pool,
-                        self.p.segment_size, singleton=True,
-                    )
-            for codes, (pos, kmers, tail_pos, tail_kmer) in zip(
-                contigs, emissions
-            ):
-                splitters.extend(int(x) for x in kmers)
-                emitted = [int(x) for x in pos]
-                last = int(pos[-1]) if len(pos) else None
-                if tail_pos is not None and (
-                    last is None or tail_pos >= last + self.k
-                ):
-                    splitters.append(int(tail_kmer))
-                    emitted.append(int(tail_pos))
-                cache.append(self._emission_hits(codes, emitted))
-            self._ref_scan_cache = cache
-            self._splitter_set = set(splitters)
-            self._refresh_splitter_table()
-            if self.p.verbosity > 1:
-                print(f"No. of splitters: {len(self._splitter_set)}", file=sys.stderr)
-            return
 
         self._set_candidates(dev_chunks)
         table = self._cand_singletons_dev
@@ -2837,6 +2921,20 @@ class Compressor:
                 _time.perf_counter() - _t_close
             )
             print(self.timers.report(), file=sys.stderr)
+            # device-utilization line (the MFU analogue): achieved scan
+            # syms/s vs the measured ~40 Gsym/s chip ceiling
+            from ..ops import kmers as _km
+
+            wall = sum(self.timers.times.values()) or 1.0
+            du = _km.device_util(wall)
+            print(
+                f"device_util: scan {du['achieved_syms_per_s'] / 1e6:.1f}"
+                f" Msym/s = {du['util_frac'] * 100:.3f}% of"
+                f" {du['ceiling_syms_per_s'] / 1e9:.0f} Gsym/s ceiling;"
+                f" device share {du['device_share'] * 100:.1f}% of"
+                f" symbols (cumulative)",
+                file=sys.stderr,
+            )
         return True
 
     def _store_metadata(self) -> None:

@@ -1723,6 +1723,34 @@ def _startup_link_probe() -> None:
         pass
 
 
+# measured chip ceiling for the scan chain (salted-scalar experiment,
+# BASELINE.md round 4: ~0.1 ms per 4 M-symbol chunk when the jit returns
+# a scalar, i.e. compute alone with the output sync removed)
+_DEVICE_SCAN_CEILING_SYMS_PER_S = 40e9
+
+
+def device_util(window_s: float) -> dict:
+    """Device-utilization snapshot — the MFU analogue for the scan
+    stage. Achieved device scan symbols/s over ``window_s`` expressed
+    as a fraction of the measured chip ceiling (~40 Gsym/s), plus the
+    device/host engine split, so 'TPU-native' performance is a tracked
+    number instead of an anecdote. Callers snapshot SCAN_STATS deltas
+    across a region: pass the region wall and the symbol deltas via
+    reset=... or just call twice and subtract."""
+    dev = SCAN_STATS.get("device_syms", 0)
+    host = SCAN_STATS.get("host_syms", 0)
+    ach = dev / window_s if window_s > 0 else 0.0
+    return {
+        "device_syms": int(dev),
+        "host_syms": int(host),
+        "device_share": dev / max(1, dev + host),
+        "achieved_syms_per_s": ach,
+        "ceiling_syms_per_s": _DEVICE_SCAN_CEILING_SYMS_PER_S,
+        "util_frac": ach / _DEVICE_SCAN_CEILING_SYMS_PER_S,
+        "link_rtt_s": SCAN_STATS.get("link_rtt_s"),
+    }
+
+
 def link_degraded() -> bool:
     """True while the device link was recently bad enough that a scan
     batcher demoted itself to the host engine (or the one-time startup
@@ -1730,6 +1758,23 @@ def link_degraded() -> bool:
     _startup_link_probe()
     t = SCAN_STATS["last_demote_t"]
     return t is not None and (time.monotonic() - t) < _DEGRADE_HORIZON_S
+
+
+def record_demotion() -> None:
+    """Record a device-engine demotion event: timestamp the degraded
+    horizon, reset probe hysteresis, escalate the flap bar when the
+    demotion follows a recent promotion (a borderline link that keeps
+    passing probes and failing in production), and share the verdict
+    cross-process via the marker file. Central bookkeeping for the
+    scan hedge, the cumulative-wait demotion, and the discovery hedge."""
+    SCAN_STATS["last_demote_t"] = time.monotonic()
+    SCAN_STATS["good_probes"] = 0
+    lp = SCAN_STATS.get("last_promote_t")
+    if lp is not None and time.monotonic() - lp < 60.0:
+        SCAN_STATS["probe_bar"] = min(
+            16, SCAN_STATS.get("probe_bar", 2) * 2
+        )
+    _marker_set()
 
 
 def discovery_prefers_host() -> bool:
@@ -2205,20 +2250,13 @@ class ScanBatcher:
             )
             if self._wait_s > max(0.25, 0.6 * host_equiv):
                 # chronically slow device: demote even though every
-                # individual collect squeaked inside its grace window
-                self._host_mode = True
-                SCAN_STATS["last_demote_t"] = time.monotonic()
-                SCAN_STATS["good_probes"] = 0
-                lp = SCAN_STATS.get("last_promote_t")
-                if lp is not None and time.monotonic() - lp < 60.0:
-                    SCAN_STATS["probe_bar"] = min(
-                        16, SCAN_STATS.get("probe_bar", 2) * 2
-                    )
-                _marker_set()
+                # individual collect squeaked inside its grace window.
                 # NOTE: collect()'s hedge branch counts this event in
                 # SCAN_STATS["hedges"] when it sees the False return —
                 # do not also count it here (double-counting inflated
                 # the diagnostic counter)
+                self._host_mode = True
+                record_demotion()
                 return False
         return ok
 
@@ -2260,14 +2298,7 @@ class ScanBatcher:
             self._hedge_streak += 1
             if self._hedge_streak >= _HEDGE_DEMOTE:
                 self._host_mode = True
-                SCAN_STATS["last_demote_t"] = time.monotonic()
-                SCAN_STATS["good_probes"] = 0
-                lp = SCAN_STATS.get("last_promote_t")
-                if lp is not None and time.monotonic() - lp < 60.0:
-                    SCAN_STATS["probe_bar"] = min(
-                        16, SCAN_STATS.get("probe_bar", 2) * 2
-                    )
-                _marker_set()
+                record_demotion()
             return scan_members_host(token["codes"], self.k, self.table)
         self._hedge_streak = 0
         all_pos, all_dir, all_rc = [], [], []

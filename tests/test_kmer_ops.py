@@ -987,3 +987,43 @@ def test_flapping_link_end_to_end_bounded(monkeypatch, tmp_path):
     KM.SCAN_STATS["promote_trial"] = False
     xfer.stop(timeout=2.0)
     dl.stop(timeout=2.0)
+
+
+def test_discovery_hedge_falls_back_to_host_twin(tmp_path, monkeypatch):
+    """A device discovery leg that stalls past its grace window must be
+    abandoned: the create falls back to the exact host twin (stream-
+    identical archive) within a bounded wall, and the demotion is
+    recorded for the adaptive machinery (round-4 VERDICT: un-hedged
+    device discovery after a mid-session link recovery cost 10-25 s)."""
+    import time as _t
+
+    import agc_tpu.ops.kmers as KM
+    from agc_tpu.core.compressor import CompressorParams, create_archive
+    from tests.util import make_collection
+
+    files = [p for _, p in make_collection(tmp_path, n_samples=2)]
+
+    monkeypatch.setattr(KM, "_LINK_MARKER", str(tmp_path / "marker"))
+    monkeypatch.setitem(KM.SCAN_STATS, "last_demote_t", None)
+    monkeypatch.setenv("AGC_TPU_DISC", "host")
+    a_host = tmp_path / "host.agc"
+    create_archive(str(a_host), files, CompressorParams())
+
+    # device discovery leg wedges: every collect path sleeps forever
+    def wedged(*a, **kw):
+        _t.sleep(60.0)
+        raise AssertionError("unreachable")
+
+    monkeypatch.setattr(KM, "collect_kmers_device_packed", wedged)
+    monkeypatch.setattr(KM, "collect_kmers_device", wedged)
+    monkeypatch.setenv("AGC_TPU_DISC", "auto")
+    monkeypatch.setenv("AGC_TPU_DISC_GRACE_S", "0.5")
+    monkeypatch.setitem(KM.SCAN_STATS, "last_demote_t", None)
+    a_hedge = tmp_path / "hedge.agc"
+    t0 = _t.monotonic()
+    create_archive(str(a_hedge), files, CompressorParams())
+    wall = _t.monotonic() - t0
+    assert wall < 30.0  # bounded: grace + host twin, not the 60 s wedge
+    assert KM.SCAN_STATS["last_demote_t"] is not None  # demotion recorded
+    assert _stream_contents(a_host) == _stream_contents(a_hedge)
+    KM.SCAN_STATS["last_demote_t"] = None  # don't leak into other tests

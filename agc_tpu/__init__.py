@@ -10,6 +10,12 @@ Public API (parity with reference src/lib-cxx/agc-api.h):
     AGCFile  -- random access decompression of .agc archives.
 """
 
+# allocator tuning first: large-buffer arena retention (see
+# utils/allocator.py for the measured why; AGC_TPU_MALLOC_TUNE=0 opts out)
+from .utils.allocator import tune_allocator as _tune_allocator
+
+_tune_allocator()
+
 from .version import (
     AGC_FILE_MAJOR,
     AGC_FILE_MINOR,

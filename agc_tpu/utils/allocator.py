@@ -1,0 +1,61 @@
+"""glibc allocator tuning for the compression pipeline.
+
+Every create allocates hundreds of MB of large transient numpy buffers
+(code arrays, k-mer pools, pending segment buffers). glibc's default
+M_MMAP_THRESHOLD (dynamic, capped at 32 MB) routes them through mmap and
+free() munmaps immediately — so every run re-pays first-touch page
+faults + kernel page zeroing for its whole working set, gigabytes per
+create, with THP/compaction adding jitter. Measured on the bench box
+(1 core): host-pinned 134 Mbase creates drifted 2.3–10 s under default
+thresholds and sit at 2.3–3.2 s with arena retention; the native canon
+kernel (16.7 M positions) measures 0.085 s hot vs 0.6–5 s when paying
+faults. Much of what round 4 recorded as "the box's own CPU drift"
+(BASELINE.md) was this.
+
+Raising M_MMAP_THRESHOLD keeps big blocks in the main arena, and a large
+M_TRIM_THRESHOLD keeps freed arena memory mapped for reuse. Peak RSS is
+unchanged (live bytes are identical); the RSS floor between phases rises
+toward the high-water mark — the standard allocator-cache tradeoff (the
+reference links mimalloc on MSVC builds for the same class of reason,
+reference makefile:17).
+
+AGC_TPU_MALLOC_TUNE=0 disables; non-glibc platforms are a silent no-op.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+# glibc mallopt parameter numbers (malloc.h)
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+_done: bool | None = None
+
+
+def tune_allocator() -> bool:
+    """Apply the arena-retention thresholds once per process. Returns
+    True when glibc accepted both knobs (idempotent)."""
+    global _done
+    if _done is not None:
+        return _done
+    if os.environ.get("AGC_TPU_MALLOC_TUNE", "1") == "0":
+        _done = False
+        return False
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        mallopt = libc.mallopt
+        mallopt.argtypes = (ctypes.c_int, ctypes.c_int)
+        mallopt.restype = ctypes.c_int
+    except (OSError, AttributeError, TypeError):
+        _done = False
+        return False
+    try:
+        ok = bool(mallopt(_M_MMAP_THRESHOLD, 1 << 30)) and bool(
+            mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+        )
+    except Exception:
+        ok = False
+    _done = ok
+    return ok

@@ -213,6 +213,12 @@ def get_lib():
             u64p, ctypes.c_int64,
             i64p, u64p, u64p, ctypes.c_int64,
         ]
+        lib.kmer_discover_splitters.restype = ctypes.c_int64
+        lib.kmer_discover_splitters.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32,
+            u64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, u64p, ctypes.c_int64,
+        ]
         lib.rans_compress.restype = ctypes.c_int64
         lib.rans_compress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.rans_decompress.restype = ctypes.c_int64

@@ -1789,15 +1789,98 @@ void kmer_canon_all(const uint8_t* codes, int64_t n, uint32_t k,
   }
 }
 
+// Host splitter-discovery greedy: exact twin of the Python probe walk
+// in Compressor._determine_splitters_host (reference semantics:
+// find_splitters_in_contig, agc_compressor.cpp:762-825). pool_sorted is
+// the reference's full canonical k-mer pool (left-aligned, duplicates
+// retained, ascending); a window is a SPLITTER candidate when its
+// canonical code occurs exactly once in the pool. Walk: emit the first
+// singleton at/after t, then jump t = pos + seg; afterwards emit the
+// rightmost singleton anywhere iff it is >= last_emission + k (the
+// reference's rightmost-candidate tail). Rolling-chain semantics match
+// kmer_scan_members (symbols > 3 reset the validity run). Returns the
+// emission count; positions ascending (the tail, when emitted, is
+// strictly greatest). out arrays must hold >= cap entries; the return
+// value can exceed cap only if cap < 2 + n/seg (callers size for that).
+int64_t kmer_discover_splitters(const uint8_t* codes, int64_t n,
+                                uint32_t k, const uint64_t* pool_sorted,
+                                int64_t t, int64_t seg, int64_t* out_pos,
+                                uint64_t* out_kmer, int64_t cap) {
+  if (n < (int64_t)k || t <= 0) return 0;
+  const uint32_t shift_align = 64 - 2 * k;
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  const uint32_t rc_top = 2 * (k - 1);
+  // singleton test: exactly one pool entry equals the key
+  auto singleton = [&](uint64_t key) {
+    const uint64_t* p = std::lower_bound(pool_sorted, pool_sorted + t, key);
+    if (p == pool_sorted + t || *p != key) return false;
+    return (p + 1 == pool_sorted + t) || (p[1] != key);
+  };
+  // scan [from, until): first (dir=+1) or last (dir=-1 caller loops
+  // blocks) singleton position; chain warms up k-1 symbols before
+  // `from`. Returns -1 when none; else fills canon.
+  auto first_singleton = [&](int64_t from, int64_t until, bool want_last,
+                             uint64_t* canon_out) -> int64_t {
+    uint64_t dirv = 0, rcv = 0;
+    uint32_t run = 0;
+    int64_t found = -1;
+    for (int64_t i = std::max<int64_t>(0, from - ((int64_t)k - 1));
+         i < until; ++i) {
+      const uint8_t c = codes[i];
+      if (c > 3) { run = 0; continue; }
+      dirv = ((dirv << 2) | c) & mask;
+      rcv = (rcv >> 2) | ((uint64_t)(3 - c) << rc_top);
+      if (++run < k || i < from) continue;
+      const uint64_t canon = (dirv < rcv ? dirv : rcv) << shift_align;
+      if (!singleton(canon)) continue;
+      if (!want_last) { *canon_out = canon; return i; }
+      found = i;
+      *canon_out = canon;
+    }
+    return found;
+  };
+  int64_t cnt = 0;
+  int64_t last = -1;
+  int64_t pos = 0;
+  uint64_t canon;
+  while (pos < n) {
+    const int64_t p = first_singleton(pos, n, false, &canon);
+    if (p < 0) break;
+    if (cnt < cap) { out_pos[cnt] = p; out_kmer[cnt] = canon; }
+    ++cnt;
+    last = p;
+    pos = p + seg;
+  }
+  // rightmost-candidate tail: first non-empty block scanning backward
+  // holds the overall rightmost singleton; emit iff >= last + k
+  const int64_t floor_pos = last >= 0 ? last + (int64_t)k : 0;
+  const int64_t kBlock = 1 << 16;
+  for (int64_t be = n; be > 0; be -= kBlock) {
+    const int64_t bs = std::max<int64_t>(0, be - kBlock);
+    const int64_t p = first_singleton(bs, be, true, &canon);
+    if (p >= 0) {
+      if (p >= floor_pos && p != last) {
+        if (cnt < cap) { out_pos[cnt] = p; out_kmer[cnt] = canon; }
+        ++cnt;
+      }
+      break;
+    }
+    if (bs == 0) break;
+  }
+  return cnt;
+}
+
 int64_t kmer_scan_members(const uint8_t* codes, int64_t n, uint32_t k,
                           const uint64_t* table_sorted, int64_t t,
                           int64_t* out_pos, uint64_t* out_dir,
                           uint64_t* out_rc, int64_t cap) {
   if (n < (int64_t)k || t <= 0) return 0;
-  // byte-bloom prefilter over UNALIGNED canonical codes: slot by one
-  // multiply-shift hash, 1-of-8 tag bit by a second. OR-accumulating
-  // bits means colliding table entries can never be missed (no false
-  // negatives); false positives fall through to the exact check.
+  // byte-bloom prefilter over UNALIGNED canonical codes: slot from the
+  // top bits of ONE multiply-shift hash, 1-of-8 tag bit from the 3 bits
+  // just below the slot (a second multiply measured ~25% of the whole
+  // scan's wall on the bench core). OR-accumulating bits means
+  // colliding table entries can never be missed (no false negatives);
+  // false positives fall through to the exact check.
   uint32_t bloom_log = 12;
   while (bloom_log < 20 && (1u << bloom_log) < (uint64_t)t * 16) ++bloom_log;
   std::vector<uint8_t> bloom(1u << bloom_log, 0);
@@ -1805,52 +1888,104 @@ int64_t kmer_scan_members(const uint8_t* codes, int64_t n, uint32_t k,
   const uint32_t hsh = 64 - bloom_log;
   for (int64_t i = 0; i < t; ++i) {
     const uint64_t v = table_sorted[i] >> shift_align;  // unaligned
-    bloom[(v * kScanMul1) >> hsh] |= (uint8_t)(1u << ((v * kScanMul2) >> 61));
+    const uint64_t h = v * kScanMul1;
+    bloom[h >> hsh] |= (uint8_t)(1u << ((h >> (hsh - 3)) & 7));
   }
-  // 4 interleaved lanes over contiguous quarters: the rolling dir/rc
-  // chains are serial per position, so one lane is latency-bound; four
-  // independent chains in one fused loop fill the core's ports. Lanes
-  // 1..3 roll a k-1 warmup ramp (no emission) so hits are identical to
-  // the single-chain walk. Quarters are contiguous and in order, so
-  // per-lane hit vectors concatenate already sorted by position.
-  constexpr int kLanes = 4;
+  // 8 interleaved lanes over contiguous eighths: the rolling dir/rc
+  // chains are serial per position, so one lane is latency-bound;
+  // eight independent chains in one fused loop fill the core's ports
+  // (lane sweep on the bench core: 4 lanes 217, 6 375, 8 464, 12+
+  // spill — Msym/s). Lanes 1..7 roll a k-1 warmup ramp (no emission)
+  // so hits are identical to the single-chain walk. Eighths are
+  // contiguous and in order, so per-lane hit vectors concatenate
+  // already sorted by position. The steady-state loop keeps all lane
+  // state in named locals and carries NO per-step bounds/emit
+  // bookkeeping (the warmup ramp and lane tails run separately).
+  constexpr int kLanes = 8;
   std::vector<ScanHit> hits[kLanes];
   int64_t bounds[kLanes + 1];
   for (int l = 0; l <= kLanes; ++l) bounds[l] = n * l / kLanes;
   {
     const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
     const uint32_t rc_top = 2 * (k - 1);
-    uint64_t dirv[kLanes] = {0, 0, 0, 0}, rcv[kLanes] = {0, 0, 0, 0};
-    uint32_t runv[kLanes] = {0, 0, 0, 0};
-    int64_t cur[kLanes], end[kLanes], emit_from[kLanes];
-    int64_t steps = 0;
-    for (int l = 0; l < kLanes; ++l) {
-      emit_from[l] = bounds[l];
-      cur[l] = l == 0 ? 0 : std::max<int64_t>(0, bounds[l] - (k - 1));
-      end[l] = bounds[l + 1];
-      if (end[l] - cur[l] > steps) steps = end[l] - cur[l];
-    }
-    for (int64_t s = 0; s < steps; ++s) {
-      for (int l = 0; l < kLanes; ++l) {
-        const int64_t i = cur[l];
-        if (i >= end[l]) continue;
-        cur[l] = i + 1;
+    uint64_t d[kLanes] = {}, r[kLanes] = {};
+    uint32_t q[kLanes] = {};
+    // warmup ramp: lanes 1.. roll k-1 symbols before their block
+    for (int l = 1; l < kLanes; ++l) {
+      const int64_t from = std::max<int64_t>(0, bounds[l] - ((int64_t)k - 1));
+      for (int64_t i = from; i < bounds[l]; ++i) {
         const uint8_t c = codes[i];
-        if (c > 3) { runv[l] = 0; continue; }
-        const uint64_t dir = ((dirv[l] << 2) | c) & mask;
-        const uint64_t rc = (rcv[l] >> 2) | ((uint64_t)(3 - c) << rc_top);
-        dirv[l] = dir;
-        rcv[l] = rc;
-        if (++runv[l] < k) continue;
-        const uint64_t canon = dir < rc ? dir : rc;
-        const uint8_t bit = (uint8_t)(1u << ((canon * kScanMul2) >> 61));
-        if (!(bloom[(canon * kScanMul1) >> hsh] & bit)) continue;
-        if (i < emit_from[l]) continue;
+        if (c > 3) { q[l] = 0; continue; }
+        d[l] = ((d[l] << 2) | c) & mask;
+        r[l] = (r[l] >> 2) | ((uint64_t)(3 - c) << rc_top);
+        ++q[l];
+      }
+    }
+    int64_t len[kLanes];
+    const uint8_t* base[kLanes];
+    for (int l = 0; l < kLanes; ++l) {
+      len[l] = bounds[l + 1] - bounds[l];
+      base[l] = codes + bounds[l];
+    }
+    int64_t steady = len[0];
+    for (int l = 1; l < kLanes; ++l) steady = std::min(steady, len[l]);
+    const uint8_t* bl = bloom.data();
+    // validity as a last-invalid POSITION register instead of a
+    // per-symbol run counter: li[J] is set only on the rare invalid
+    // symbol (predicted-not-taken branch), and a window ending at i is
+    // valid iff i - li[J] >= k (li starts at -1 - warmup_run so the
+    // warmup ramp's run carries over). Invalid symbols roll their low
+    // 2 bits into the chain — emitted values are unaffected because a
+    // hit requires k valid symbols, which fully determine both masked
+    // chains. Complement via XOR (3-c == c^3 for 2-bit codes). Two
+    // rare branches (invalid; bloom-hit) per symbol, nothing else.
+    int64_t li[kLanes];
+    for (int l = 0; l < kLanes; ++l) li[l] = -1 - (int64_t)q[l];
+    for (int64_t i = 0; i < steady; ++i) {
+#pragma GCC unroll 8
+      for (int J = 0; J < kLanes; ++J) {
+        const uint8_t craw = base[J][i];
+        if (__builtin_expect(craw > 3, 0)) li[J] = i;
+        const uint64_t c = craw & 3u;
+        d[J] = ((d[J] << 2) | c) & mask;
+        r[J] = (r[J] >> 2) | ((c ^ 3ull) << rc_top);
+        const uint64_t canon = d[J] < r[J] ? d[J] : r[J];
+        const uint64_t h = canon * kScanMul1;
+        const bool hit =
+            (bl[h >> hsh] & (uint8_t)(1u << ((h >> (hsh - 3)) & 7))) &&
+            i - li[J] >= (int64_t)k;
+        if (__builtin_expect(hit, 0)) {
+          const uint64_t key = canon << shift_align;
+          const uint64_t* p =
+              std::lower_bound(table_sorted, table_sorted + t, key);
+          if (p != table_sorted + t && *p == key)
+            hits[J].push_back({bounds[J] + i, d[J] << shift_align,
+                               r[J] << shift_align});
+        }
+      }
+    }
+    for (int l = 0; l < kLanes; ++l) {
+      const int64_t run = steady - 1 - li[l];
+      q[l] = run < 0 ? 0u : (uint32_t)std::min<int64_t>(run, 1 << 30);
+    }
+    // lane tails (block lengths differ by at most 1)
+    for (int l = 0; l < kLanes; ++l) {
+      for (int64_t i = steady; i < len[l]; ++i) {
+        const uint8_t c = base[l][i];
+        if (c > 3) { q[l] = 0; continue; }
+        d[l] = ((d[l] << 2) | c) & mask;
+        r[l] = (r[l] >> 2) | ((uint64_t)(3 - c) << rc_top);
+        if (++q[l] < k) continue;
+        const uint64_t canon = d[l] < r[l] ? d[l] : r[l];
+        const uint64_t h = canon * kScanMul1;
+        if (!(bloom[h >> hsh] & (uint8_t)(1u << ((h >> (hsh - 3)) & 7))))
+          continue;
         const uint64_t key = canon << shift_align;
         const uint64_t* p =
             std::lower_bound(table_sorted, table_sorted + t, key);
         if (p == table_sorted + t || *p != key) continue;
-        hits[l].push_back({i, dir << shift_align, rc << shift_align});
+        hits[l].push_back({bounds[l] + i, d[l] << shift_align,
+                           r[l] << shift_align});
       }
     }
   }

@@ -997,11 +997,7 @@ class Compressor:
             disc_mode == "host"
             or (len(contigs) > 8 and total <= self._HOST_DISCOVERY_MAX)
             or (total > self._POOL_DEVICE_MAX and self.p.adaptive_compression)
-            or (
-                disc_mode == "auto"
-                and total <= self._POOL_DEVICE_MAX
-                and _link_degraded()
-            )
+            or (disc_mode == "auto" and _link_degraded())
         ):
             # host RAM (this box: >100 GB) holds pools device HBM cannot
             self._determine_splitters_host(contigs)
@@ -1010,7 +1006,25 @@ class Compressor:
             if self.fallback_filter:
                 self._determine_splitters_host_candidates(contigs)
                 return
-            self._determine_splitters_sampled(contigs)
+            try:
+                self._determine_splitters_sampled(contigs)
+            except Exception as e:
+                # device-side failure (e.g. RESOURCE_EXHAUSTED when the
+                # chip is shared, or a tunnel collapse mid-leg): the
+                # host pool discovery is exact and host RAM holds what
+                # HBM cannot — demote so the rest of the run prefers
+                # host engines too, then redo discovery on the host
+                from ..ops.kmers import record_demotion
+
+                record_demotion()
+                if self.p.verbosity > 0:
+                    print(
+                        f"sampled device discovery failed ({e!r}) -"
+                        " falling back to host pool discovery",
+                        file=sys.stderr,
+                    )
+                self._pending_fallback.clear()
+                self._determine_splitters_host(contigs)
             return
 
         from ..ops import kmers as _km

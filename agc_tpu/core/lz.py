@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 
 import numpy as np
 
@@ -39,6 +40,20 @@ MAX_LOAD_FACTOR = 0.7
 INVALID_SYMBOL = 31
 
 _U64 = np.uint64
+
+# Per-THREAD native encode scratch, shared across every LZDiff instance:
+# a per-context buffer (>=64 KB each) multiplied across thousands of
+# group writers cost ~0.5 GB at 5 Gbase scale (round-4 memory anatomy).
+# The buffer's content is copied out (tobytes) before the thread touches
+# another context, so sharing is safe.
+_ENC_TLS = threading.local()
+
+
+def _enc_buffer(cap: int) -> np.ndarray:
+    buf = getattr(_ENC_TLS, "buf", None)
+    if buf is None or len(buf) < cap:
+        buf = _ENC_TLS.buf = np.empty(max(cap, 1 << 16), np.uint8)
+    return buf
 
 
 def _murmur64_np(h):
@@ -295,12 +310,32 @@ class LZDiff:
 
         self._lib = get_lib()
         self._ctx = None
-        self._enc_buf = None
 
     def __del__(self):
         if getattr(self, "_ctx", None) is not None and self._lib is not None:
             self._lib.lz_destroy(self._ctx)
             self._ctx = None
+
+    def _ref_cptr(self):
+        """(c_char_p, len) view of the prepared reference held by the
+        native context (stable until the next prepare)."""
+        ptr = self._lib.lz_ref_ptr(self._ctx)
+        return (
+            ctypes.cast(ctypes.c_void_p(ptr), ctypes.c_char_p),
+            self.ref_len,
+        )
+
+    def ref_bytes(self) -> bytes | None:
+        """Materialize the prepared reference (device match bank etc.);
+        None when nothing is prepared."""
+        if self._ctx is not None:
+            if self.ref_len == 0:
+                return b""
+            ptr = self._lib.lz_ref_ptr(self._ctx)
+            return ctypes.string_at(ptr, self.ref_len)
+        if self.reference is not None:
+            return self.reference[: self.ref_len].tobytes()
+        return None
 
     def prepare(self, reference: bytes) -> None:
         if self._lib is not None:
@@ -308,9 +343,12 @@ class LZDiff:
                 self._ctx = self._lib.lz_create(self.min_match_len)
                 if self.v1_grammar:
                     self._lib.lz_set_v1(self._ctx, 1)
-            self._ref_bytes = bytes(reference)
-            self._lib.lz_prepare(self._ctx, self._ref_bytes, len(self._ref_bytes))
-            self.ref_len = len(reference)
+            ref_b = bytes(reference)
+            # the native context's copy is the ONLY resident copy: a
+            # retained Python duplicate cost ~60 KB x thousands of
+            # groups at multi-Gbase scale (round-4 memory anatomy)
+            self._lib.lz_prepare(self._ctx, ref_b, len(ref_b))
+            self.ref_len = len(ref_b)
             return
         ref = np.frombuffer(reference, dtype=np.uint8)
         padded = np.full(len(ref) + self.key_len, INVALID_SYMBOL, dtype=np.uint8)
@@ -437,12 +475,9 @@ class LZDiff:
         text = text_b if isinstance(text_b, bytes) else bytes(text_b)
         if not self.anchor_applies(len(text)):
             return None
-        ref = self._ref_bytes
+        ref, ref_n = self._ref_cptr()
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        cap = max(len(text) + 64, 1 << 12)
-        buf = self._enc_buf
-        if buf is None or len(buf) < cap:
-            buf = self._enc_buf = np.empty(max(cap, 1 << 16), np.uint8)
+        buf = _enc_buffer(max(len(text) + 64, 1 << 12))
         if tables is None:
             # ctx variant: the reference occurrence map is built once
             # per prepared reference and cached in the native context
@@ -453,7 +488,7 @@ class LZDiff:
             if n == -(1 << 63):
                 return None
             if n < 0:
-                buf = self._enc_buf = np.empty(-n + 64, np.uint8)
+                buf = _enc_buffer(-n + 64)
                 n = self._lib.lz_encode_anchor_ctx(
                     self._ctx, text, len(text),
                     buf.ctypes.data_as(u8p), len(buf),
@@ -463,14 +498,14 @@ class LZDiff:
             ndiag = int(np.sum(diags != np.int32(-(1 << 31))))
             i32p = ctypes.POINTER(ctypes.c_int32)
             n = self._lib.lz_encode_anchored(
-                text, len(text), ref, len(ref), self.min_match_len,
+                text, len(text), ref, ref_n, self.min_match_len,
                 diags.ctypes.data_as(i32p), ndiag,
                 buf.ctypes.data_as(u8p), len(buf),
             )
             if n < 0:
-                buf = self._enc_buf = np.empty(-n + 64, np.uint8)
+                buf = _enc_buffer(-n + 64)
                 n = self._lib.lz_encode_anchored(
-                    text, len(text), ref, len(ref), self.min_match_len,
+                    text, len(text), ref, ref_n, self.min_match_len,
                     diags.ctypes.data_as(i32p), ndiag,
                     buf.ctypes.data_as(u8p), len(buf),
                 )
@@ -481,11 +516,11 @@ class LZDiff:
         against the device kernel): -> int32[32], INT32_MIN-padded; None
         when the rule does not apply."""
         text = bytes(text_b)
-        ref = self._ref_bytes
+        ref, ref_n = self._ref_cptr()
         diags = np.empty(32, dtype=np.int32)
         i32p = ctypes.POINTER(ctypes.c_int32)
         r = self._lib.lz_anchor_diags(
-            text, len(text), ref, len(ref), self.min_match_len,
+            text, len(text), ref, ref_n, self.min_match_len,
             diags.ctypes.data_as(i32p),
         )
         if r < 0:
@@ -496,16 +531,13 @@ class LZDiff:
         """Encode ``text_b``; returns b"" when identical to the reference."""
         if self._ctx is not None:
             text = text_b if isinstance(text_b, bytes) else bytes(text_b)
-            cap = max(len(text) + 64, 1 << 12)
-            buf = self._enc_buf
-            if buf is None or len(buf) < cap:
-                buf = self._enc_buf = np.empty(max(cap, 1 << 16), np.uint8)
+            buf = _enc_buffer(max(len(text) + 64, 1 << 12))
             u8p = ctypes.POINTER(ctypes.c_uint8)
             n = self._lib.lz_encode(
                 self._ctx, text, len(text), buf.ctypes.data_as(u8p), len(buf)
             )
             if n < 0:
-                buf = self._enc_buf = np.empty(-n + 64, np.uint8)
+                buf = _enc_buffer(-n + 64)
                 n = self._lib.lz_encode(
                     self._ctx, text, len(text),
                     buf.ctypes.data_as(u8p), len(buf),

@@ -426,13 +426,7 @@ class SegmentWriter:
         p = self._ref_pending
         if p is not None:
             return p.materialize()
-        lz = self.lz
-        rb = getattr(lz, "_ref_bytes", None)
-        if rb is not None:
-            return rb
-        if lz.reference is not None:
-            return lz.reference[: lz.ref_len].tobytes()
-        return None
+        return self.lz.ref_bytes()
 
     def add(self, seq: bytes, anchor_tab=None) -> int:
         """LZ-encode vs the group reference (reference: segment.cpp:34-80).

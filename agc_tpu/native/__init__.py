@@ -130,6 +130,10 @@ def get_lib():
         lib.lz_destroy.argtypes = [ctypes.c_void_p]
         lib.lz_prepare.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
         lib.lz_assure_index.argtypes = [ctypes.c_void_p]
+        lib.lz_ref_ptr.restype = ctypes.c_void_p
+        lib.lz_ref_ptr.argtypes = [ctypes.c_void_p]
+        lib.lz_ref_len.restype = ctypes.c_uint64
+        lib.lz_ref_len.argtypes = [ctypes.c_void_p]
         lib.lz_set_v1.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.lz_encode.restype = ctypes.c_int64
         lib.lz_encode.argtypes = [

@@ -304,6 +304,19 @@ void lz_assure_index(void* vctx) {
   static_cast<LZContext*>(vctx)->assure_index();
 }
 
+// Prepared-reference accessors: the context's own copy is the single
+// resident copy of every group reference (the Python layer used to
+// retain a duplicate bytes object per group — ~60 KB x thousands of
+// groups at multi-Gbase scale). The pointer is stable until the next
+// lz_prepare on the same context.
+const uint8_t* lz_ref_ptr(void* vctx) {
+  return static_cast<LZContext*>(vctx)->ref.data();
+}
+
+uint64_t lz_ref_len(void* vctx) {
+  return static_cast<LZContext*>(vctx)->ref_len;
+}
+
 void lz_set_v1(void* vctx, int flag) {
   static_cast<LZContext*>(vctx)->v1_grammar = flag != 0;
 }

@@ -686,19 +686,42 @@ class Compressor:
         all-contigs-retained + np.unique version peaked ~3x the pool
         size — ~12 GB extra at a 500 Mbase reference (round-4 5 Gbase
         run: 27 GB RSS vs the reference binary's 4.3)."""
+        from ..native import get_lib
         from ..ops.kmers import canon_kmers_np
 
+        lib = get_lib()
         total = sum(len(c) for c in contigs)
         pool = np.empty(total, dtype=np.uint64)
         fill = 0
-        for c in contigs:
-            canon, valid = canon_kmers_np(c, self.k)
-            nv = canon[valid]
-            pool[fill : fill + len(nv)] = nv
-            fill += len(nv)
-            del canon, valid, nv
-        pool = pool[:fill]
-        pool.sort()  # in place
+        if lib is not None:
+            # native single-pass compacted fill: no per-contig
+            # canon/valid temporaries (gigabytes of transient
+            # first-touch at a 500 Mbase reference)
+            import ctypes as _ct
+
+            u8p = _ct.POINTER(_ct.c_uint8)
+            u64p = _ct.POINTER(_ct.c_uint64)
+            for c in contigs:
+                cc = np.ascontiguousarray(c)
+                fill += lib.kmer_canon_fill(
+                    cc.ctypes.data_as(u8p), len(cc), self.k,
+                    pool[fill:].ctypes.data_as(u64p),
+                )
+            pool = pool[:fill]
+            with self.timers.stage("disc_sort"):
+                # introsort beats an American-flag MSD radix ~4x here
+                # (random-scatter misses over a multi-GB span; measured
+                # 66 vs 16 M/s warm on this core), so np.sort stays
+                pool.sort()
+        else:
+            for c in contigs:
+                canon, valid = canon_kmers_np(c, self.k)
+                nv = canon[valid]
+                pool[fill : fill + len(nv)] = nv
+                fill += len(nv)
+                del canon, valid, nv
+            pool = pool[:fill]
+            pool.sort()  # in place
 
         if self.p.adaptive_compression:
             # adaptive mode needs the materialized tables for later host

@@ -211,6 +211,10 @@ def get_lib():
         lib.kmer_canon_all.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32, u64p, u8p,
         ]
+        lib.kmer_canon_fill.restype = ctypes.c_int64
+        lib.kmer_canon_fill.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_uint32, u64p,
+        ]
         lib.kmer_scan_members.restype = ctypes.c_int64
         lib.kmer_scan_members.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_uint32,

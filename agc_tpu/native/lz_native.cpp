@@ -1883,6 +1883,64 @@ int64_t kmer_discover_splitters(const uint8_t* codes, int64_t n,
   return cnt;
 }
 
+// Compacted pool fill: write the LEFT-ALIGNED canonical code of every
+// valid window (in-bounds, ACGT-only) of `codes` into out[0..ret), in
+// position order. Single pass, no per-position valid array, no numpy
+// temporaries — the discovery pool fill used to materialize canon
+// (8 B/pos) + valid (1 B/pos) + the boolean-mask gather per contig,
+// which at a 500 Mbase reference cost gigabytes of transient
+// allocations on a box whose first-touch fault cost swings 0.1-9 GB/s
+// (the round-4 "box CPU drift"). Four interleaved lanes over
+// contiguous quarters, each compacting into its own out region
+// (a lane's valid count never exceeds its quarter length), stitched
+// contiguous with memmove at the end.
+int64_t kmer_canon_fill(const uint8_t* codes, int64_t n, uint32_t k,
+                        uint64_t* out) {
+  if (n < (int64_t)k) return 0;
+  const uint32_t shift_align = 64 - 2 * k;
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  const uint32_t rc_top = 2 * (k - 1);
+  constexpr int kLanes = 4;
+  int64_t bounds[kLanes + 1];
+  for (int l = 0; l <= kLanes; ++l) bounds[l] = n * l / kLanes;
+  uint64_t dirv[kLanes] = {0, 0, 0, 0};
+  uint64_t rcv[kLanes] = {0, 0, 0, 0};
+  uint32_t runv[kLanes] = {0, 0, 0, 0};
+  int64_t cur[kLanes], end[kLanes], emit_from[kLanes], w[kLanes];
+  int64_t steps = 0;
+  for (int l = 0; l < kLanes; ++l) {
+    emit_from[l] = bounds[l];
+    cur[l] = l == 0 ? 0 : std::max<int64_t>(0, bounds[l] - (k - 1));
+    end[l] = bounds[l + 1];
+    w[l] = bounds[l];
+    if (end[l] - cur[l] > steps) steps = end[l] - cur[l];
+  }
+  for (int64_t s = 0; s < steps; ++s) {
+    for (int l = 0; l < kLanes; ++l) {
+      const int64_t i = cur[l];
+      if (i >= end[l]) continue;
+      cur[l] = i + 1;
+      const uint8_t craw = codes[i];
+      const uint8_t c = craw > 3 ? 0 : craw;
+      dirv[l] = ((dirv[l] << 2) | c) & mask;
+      rcv[l] = (rcv[l] >> 2) | ((uint64_t)(3 - c) << rc_top);
+      runv[l] = craw > 3 ? 0 : runv[l] + 1;
+      if (i < emit_from[l] || i < (int64_t)k - 1 || runv[l] < k) continue;
+      out[w[l]++] =
+          (dirv[l] < rcv[l] ? dirv[l] : rcv[l]) << shift_align;
+    }
+  }
+  // stitch lanes contiguous
+  int64_t total = w[0] - bounds[0];
+  for (int l = 1; l < kLanes; ++l) {
+    const int64_t cnt = w[l] - bounds[l];
+    if (cnt && total != bounds[l])
+      std::memmove(out + total, out + bounds[l], cnt * sizeof(uint64_t));
+    total += cnt;
+  }
+  return total;
+}
+
 int64_t kmer_scan_members(const uint8_t* codes, int64_t n, uint32_t k,
                           const uint64_t* table_sorted, int64_t t,
                           int64_t* out_pos, uint64_t* out_dir,

@@ -34,12 +34,45 @@ _M_MMAP_THRESHOLD = -3
 _done: bool | None = None
 
 
+def disable_numpy_hugepage_madvise() -> None:
+    """Stop numpy from madvise(MADV_HUGEPAGE)-ing large allocations.
+
+    Measured on the bench box (THP enabled=[madvise], defrag=[madvise]):
+    first-touch of a fresh 2 GB numpy buffer runs at 0.10-0.14 GB/s with
+    the madvise (each 2 MB fault does direct compaction on a fragmented
+    host) vs 1.9-2.3 GB/s without — a 15-20x penalty that dominated the
+    discovery-pool fill (~40 s of the 2 Gbase create) and most of what
+    rounds 3-4 recorded as unexplained "box CPU drift" (the penalty
+    appears only once the host's free memory fragments, so it comes and
+    goes by the hour). AGC_TPU_NUMPY_HUGEPAGE=1 opts back in for hosts
+    where compaction is cheap."""
+    if os.environ.get("AGC_TPU_NUMPY_HUGEPAGE", "0") == "1":
+        return
+    # for numpy imported after us (the env var is read at import time)
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    import sys
+
+    if "numpy" in sys.modules:  # already imported: flip the live policy
+        try:
+            from numpy._core import multiarray as _ma  # numpy >= 2
+        except ImportError:
+            try:
+                from numpy.core import multiarray as _ma  # numpy 1.x
+            except ImportError:
+                return
+        try:
+            _ma._set_madvise_hugepage(False)
+        except Exception:
+            pass
+
+
 def tune_allocator() -> bool:
     """Apply the arena-retention thresholds once per process. Returns
     True when glibc accepted both knobs (idempotent)."""
     global _done
     if _done is not None:
         return _done
+    disable_numpy_hugepage_madvise()
     if os.environ.get("AGC_TPU_MALLOC_TUNE", "1") == "0":
         _done = False
         return False

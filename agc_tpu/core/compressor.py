@@ -57,6 +57,11 @@ from ..version import (
 EMPTY = (1 << 64) - 1
 PK_EMPTY = (EMPTY, EMPTY)
 NO_RAW_GROUPS = 16
+# async store backlog bound in BYTES (in addition to the barrier-count
+# bound): each in-flight job pins its whole barrier's segment bytes
+_STORE_BACKLOG_BYTES = int(
+    os.environ.get("AGC_TPU_STORE_BACKLOG_MB", "640")
+) << 20
 
 _FALLBACK_RND = 0xD73F8BF11046C40E
 
@@ -1416,6 +1421,14 @@ class Compressor:
             with self.timers.stage("match_contig", len(codes)):
                 self._process_contig(sname, cid, codes, hits=hits)
 
+    def _concat_file_begin(self, fname: str) -> None:
+        """Hook: a -c create is about to ingest ``fname``'s contigs.
+        No-op here; the sharded capture keys its records by file so the
+        merge can replay the global -c contig stream (distributed.py)."""
+
+    def _concat_contig_registered(self, fname: str, cid: str) -> None:
+        """Hook: a -c create registered contig ``cid`` of ``fname``."""
+
     def add_sample_files(self, sample_files: list[tuple[str, str]]) -> bool:
         """reference: CAGCCompressor::AddSampleFiles (agc_compressor.cpp:2118).
 
@@ -1429,8 +1442,12 @@ class Compressor:
             batch: list[tuple[str, str, np.ndarray]] = []
             n_in_batch = self.processed_samples % self.p.pack_cardinality
             any_batch = False
-            for _, path in sample_files:
+            for fname, path in sample_files:
                 self.collection.reset_prev_sample_name()
+                # capture hook (sharded -c): key captured segments by the
+                # input file so the merge can replay the global contig
+                # stream in file order (parallel/distributed.py)
+                self._concat_file_begin(fname)
                 try:
                     contig_iter = list(read_contigs_raw(path))
                 except OSError:
@@ -1445,6 +1462,7 @@ class Compressor:
                             file=sys.stderr,
                         )
                         continue
+                    self._concat_contig_registered(fname, cid)
                     batch.append(("", cid, preprocess_raw_contig(raw, cid)))
                     any_batch = True
                     n_in_batch += 1
@@ -1503,7 +1521,9 @@ class Compressor:
         # window alone held 1.5 GB of codes (round-4 5 Gbase run: 9.6 GB
         # peak vs the reference's 4.3). FASTA file size ≈ bases, so cap
         # the prefetch by on-disk bytes too (always ≥ 1 ahead).
-        _WINDOW_BYTES = 512 << 20
+        _WINDOW_BYTES = int(
+            os.environ.get("AGC_TPU_PREFETCH_MB", "256")
+        ) << 20
         producer_pool = ThreadPoolExecutor(max_workers=window)
         pending: deque = deque()
         next_file = 0
@@ -2843,9 +2863,24 @@ class Compressor:
 
             if self._pending_store is None:
                 self._pending_store = []
-            self._pending_store.append(self._store_pool.submit(store_all))
+            fut = self._store_pool.submit(store_all)
+            # the job closure holds every buffered segment's bytes until
+            # stored; record the volume so the backlog can be bounded by
+            # BYTES, not barrier count (8 barriers of 500 MB assemblies
+            # held up to 4 GB — part of the round-4 5 Gbase RSS gap)
+            fut._agc_bytes = sum(
+                it.size() for g in groups for it in buf[g]
+            )
+            self._pending_store.append(fut)
             # bound the in-flight queue (memory + placement lag)
-            while len(self._pending_store) > 8:
+            while len(self._pending_store) > 8 or (
+                len(self._pending_store) > 1
+                and sum(
+                    getattr(f, "_agc_bytes", 0)
+                    for f in self._pending_store
+                )
+                > _STORE_BACKLOG_BYTES
+            ):
                 self._join_oldest_store()
             return
         anchor_prepass()

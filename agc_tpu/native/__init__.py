@@ -134,6 +134,8 @@ def get_lib():
         lib.lz_ref_ptr.argtypes = [ctypes.c_void_p]
         lib.lz_ref_len.restype = ctypes.c_uint64
         lib.lz_ref_len.argtypes = [ctypes.c_void_p]
+        lib.lz_ctx_bytes.restype = ctypes.c_uint64
+        lib.lz_ctx_bytes.argtypes = [ctypes.c_void_p]
         lib.lz_set_v1.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.lz_encode.restype = ctypes.c_int64
         lib.lz_encode.argtypes = [

@@ -73,6 +73,19 @@ struct LZContext {
   // (lz_diff.cpp:146). 0xFFFFFFFF = empty (unreachable: pos <= 0xFFFFF6).
   std::vector<uint32_t> ht32;
   bool ht_use32 = false;
+  // smallest-ref variant (the ht16 half of the reference's split):
+  // sampled positions are multiples of kHashingStep, so pos/step fits
+  // uint16 for refs up to ~256 KB - i.e. every standard segment group.
+  // Entries drop the key tag; tag filtering only skips slots whose
+  // first key_len symbols cannot match (equal symbols <=> equal codes
+  // <=> equal tags), and such slots are rejected by the f_len >=
+  // key_len check anyway, so match choices (and archives) are
+  // IDENTICAL - the probes just touch the reference bytes instead.
+  // Quarters the per-group index memory vs ht32: the LZ contexts were
+  // the largest single block of the create-at-scale RSS anatomy
+  // (~2 GB of the 7.5 GB peak at 5 Gbase).
+  std::vector<uint16_t> ht16;
+  bool ht_use16 = false;
   uint64_t ht_mask = 0;
   std::atomic<bool> index_ready = false;
   // anchor-mode occurrence map (key -> min/max dense ref positions),
@@ -150,16 +163,20 @@ struct LZContext {
     ht_size <<= 1;
     if (ht_size < 8) ht_size = 8;
     ht_mask = ht_size - 1;
-    ht_use32 = ref.size() <= 0xFFFFFF;
-    if (ht_use32) {
+    ht_use16 = ref.size() / kHashingStep < 0xFFFF;
+    ht_use32 = !ht_use16 && ref.size() <= 0xFFFFFF;
+    ht.clear();
+    ht.shrink_to_fit();
+    ht32.clear();
+    ht32.shrink_to_fit();
+    ht16.clear();
+    ht16.shrink_to_fit();
+    if (ht_use16)
+      ht16.assign(ht_size, 0xFFFFu);
+    else if (ht_use32)
       ht32.assign(ht_size, 0xFFFFFFFFu);
-      ht.clear();
-      ht.shrink_to_fit();
-    } else {
+    else
       ht.assign(ht_size, -1);
-      ht32.clear();
-      ht32.shrink_to_fit();
-    }
 
     for (const auto& [i, code] : poscode) {
       uint64_t h = murmur64(code);
@@ -171,7 +188,12 @@ struct LZContext {
       uint64_t entry = (i << 8) | (h >> 56);
       for (uint32_t t = 0; t < kMaxTries; ++t) {
         uint64_t p = (pos + t) & ht_mask;
-        if (ht_use32) {
+        if (ht_use16) {
+          if (ht16[p] == 0xFFFFu) {
+            ht16[p] = static_cast<uint16_t>(i / kHashingStep);
+            break;
+          }
+        } else if (ht_use32) {
           if (ht32[p] == 0xFFFFFFFFu) {
             ht32[p] = static_cast<uint32_t>(entry);
             break;
@@ -225,17 +247,23 @@ struct LZContext {
     const uint32_t max_len = static_cast<uint32_t>(text_len - i);
     bool found = false;
     for (uint32_t t = 0; t < kMaxTries; ++t) {
-      int64_t e;
-      if (ht_use32) {
+      int64_t h;
+      if (ht_use16) {
+        const uint16_t e16 = ht16[(pos + t) & ht_mask];
+        if (e16 == 0xFFFFu) break;
+        h = static_cast<int64_t>(e16) * kHashingStep;
+      } else if (ht_use32) {
         const uint32_t e32 = ht32[(pos + t) & ht_mask];
         if (e32 == 0xFFFFFFFFu) break;
-        e = static_cast<int64_t>(e32);
+        const int64_t e = static_cast<int64_t>(e32);
+        if (static_cast<uint8_t>(e) != tag) continue;
+        h = e >> 8;
       } else {
-        e = ht[(pos + t) & ht_mask];
+        const int64_t e = ht[(pos + t) & ht_mask];
         if (e < 0) break;
+        if (static_cast<uint8_t>(e) != tag) continue;
+        h = e >> 8;
       }
-      if (static_cast<uint8_t>(e) != tag) continue;
-      int64_t h = e >> 8;
       const uint8_t* p = ref.data() + h;
       uint32_t limit = max_len;
       // padded reference guarantees in-bounds reads; padding mismatches text
@@ -315,6 +343,24 @@ const uint8_t* lz_ref_ptr(void* vctx) {
 
 uint64_t lz_ref_len(void* vctx) {
   return static_cast<LZContext*>(vctx)->ref_len;
+}
+
+// Resident bytes of one LZ context (ref copy + hash index + anchor
+// occurrence map) — memory accounting for the create-at-scale RSS
+// anatomy (tools/mem_anatomy.py; round-4 verdict: 7.8 GB vs the
+// reference binary's 4.3 at 5 Gbase).
+uint64_t lz_ctx_bytes(void* vctx) {
+  LZContext& c = *static_cast<LZContext*>(vctx);
+  uint64_t b = c.ref.capacity();
+  b += c.ht.capacity() * sizeof(int64_t);
+  b += c.ht32.capacity() * sizeof(uint32_t);
+  b += c.ht16.capacity() * sizeof(uint16_t);
+  // unordered_map: buckets + one heap node per entry (approximate)
+  b += c.anchor_occ.bucket_count() * sizeof(void*);
+  b += c.anchor_occ.size() *
+       (sizeof(std::pair<const uint64_t, std::pair<uint32_t, uint32_t>>) +
+        2 * sizeof(void*));
+  return b;
 }
 
 void lz_set_v1(void* vctx, int flag) {

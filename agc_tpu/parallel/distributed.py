@@ -170,6 +170,15 @@ class _CapturingCompressor(Compressor):
         self.captured_segments: dict[str, list] = {}
         self.fallback_by_sample: dict[str, list] = {}
         self._current_sample = None
+        # -c mode: capture keys + per-file contig order (the merge
+        # replays the GLOBAL contig stream in file order). Keys come
+        # from the contig->file map, NOT the file currently being
+        # ingested: -c batches hold pack_cardinality contigs and SPAN
+        # file boundaries, so by the time a batch's segments are cut
+        # the ingestion cursor may already be on a later file.
+        self._cur_cfile: str | None = None
+        self._cfile_contigs: dict[str, list[str]] = {}
+        self._ccontig_file: dict[str, str] = {}
         # shard-local segment writers exist only to hold LZ contexts for
         # estimates; they never touch an archive
         for gid in range(NO_RAW_GROUPS):
@@ -224,8 +233,9 @@ class _CapturingCompressor(Compressor):
         the real matcher against the global inventory (see _ShardResult).
         Always returns 0: splits are the merge's decision, so shard-side
         part numbers are per-segment ordinals."""
-        self._current_sample = sample
-        self.captured_segments.setdefault(sample, []).append(
+        key = sample or self._ccontig_file.get(contig) or self._cur_cfile or ""
+        self._current_sample = key
+        self.captured_segments.setdefault(key, []).append(
             (
                 contig,
                 part_no,
@@ -247,14 +257,33 @@ class _CapturingCompressor(Compressor):
         belong to (merge replays them at that sample's barrier)."""
         self._current_sample = name
 
+    # -c capture hooks (base: no-ops). Segments and contig order are
+    # keyed by input FILE so the merge can replay the global contig
+    # stream with the plain -c barrier schedule.
+    def _concat_file_begin(self, fname: str) -> None:
+        self._cur_cfile = fname
+        self._cfile_contigs.setdefault(fname, [])
+
+    def _concat_contig_registered(self, fname: str, cid: str) -> None:
+        self._cfile_contigs[fname].append(cid)
+        self._ccontig_file[cid] = fname
+
     def result(self) -> _ShardResult:
         res = _ShardResult(self.shard_id, [s.name for s in self.collection.samples])
         res.segments = self.captured_segments
         res.fallback_by_sample = self.fallback_by_sample
         res.splitter_set = self._splitter_set
-        res.contig_names = {
-            s.name: [c.name for c in s.contigs] for s in self.collection.samples
-        }
+        if self.p.concatenated_genomes:
+            # -c: contigs keyed per input file, in ingestion order
+            res.sample_names = list(self._cfile_contigs)
+            res.contig_names = {
+                f: list(c) for f, c in self._cfile_contigs.items()
+            }
+        else:
+            res.contig_names = {
+                s.name: [c.name for c in s.contigs]
+                for s in self.collection.samples
+            }
         return res
 
 
@@ -302,10 +331,18 @@ def create_archive_sharded(
     the writer by value); ``"thread"`` shares this process's device.
     """
     params = params or CompressorParams()
-    if params.concatenated_genomes:
+    if params.concatenated_genomes and (
+        params.adaptive_compression or params.fallback_frac > 0
+    ):
+        # -c sharding replays the global contig stream at the writer
+        # (byte-identical to 1-shard), but adaptive/-f grow state at the
+        # plain schedule's CONTIG-BLOCK barriers, which shard-local
+        # ingestion cannot reproduce (blocks span file boundaries);
+        # these combinations stay single-host (DESIGN.md section 6)
         raise NotImplementedError(
-            "sharded create does not support concatenated mode (-c): its "
-            "grouping is defined by a single global contig stream"
+            "sharded -c supports neither adaptive mode nor -f: their "
+            "barrier state follows the plain create's contig-block "
+            "schedule, which is not reproducible shard-side"
         )
     seen = set()
     files = [f for f in input_files if not (f in seen or seen.add(f))]
@@ -494,6 +531,59 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
     import time as _time
 
     split = {"merge_match_s": 0.0, "merge_store_s": 0.0, "merge_close_s": 0.0}
+
+    if params.concatenated_genomes:
+        # -c replay: the global contig stream in input-file order with
+        # the plain create's schedule (one barrier per pack_cardinality
+        # contigs, blocks spanning file boundaries — add_sample_files'
+        # concatenated branch), so the archive is byte-identical to a
+        # 1-shard -c create. Each contig registers as its own
+        # collection sample (collection.register_sample_contig("", cid)).
+        n_in_batch = 0
+        for sample_name, path in sample_files:
+            merged.collection.reset_prev_sample_name()
+            segs_by_contig: dict[str, list] = {}
+            for rec in per_sample.get(sample_name, []):
+                segs_by_contig.setdefault(rec[0], []).append(rec)
+            for cid in contig_names.get(sample_name, []):
+                if not merged.collection.register_sample_contig("", cid):
+                    import sys as _sys
+
+                    print(
+                        f"Error: Pair sample_name:contig_name {cid}:{cid}"
+                        " is already in the archive!",
+                        file=_sys.stderr,
+                    )
+                    continue
+                t0 = _time.perf_counter()
+                part_no = 0
+                for contig, _ord, data, kf, kb in segs_by_contig.get(
+                    cid, []
+                ):
+                    extra = merged._add_segment(
+                        "",
+                        contig,
+                        part_no,
+                        np.frombuffer(data, dtype=np.uint8),
+                        Kmer(*kf),
+                        Kmer(*kb),
+                    )
+                    part_no += 1 + extra
+                split["merge_match_s"] += _time.perf_counter() - t0
+                n_in_batch += 1
+                if n_in_batch >= params.pack_cardinality:
+                    t1 = _time.perf_counter()
+                    merged._synchronize()
+                    split["merge_store_s"] += _time.perf_counter() - t1
+                    n_in_batch = 0
+        t1 = _time.perf_counter()
+        merged._synchronize()
+        split["merge_store_s"] += _time.perf_counter() - t1
+        t2 = _time.perf_counter()
+        merged.close()
+        split["merge_close_s"] = _time.perf_counter() - t2
+        return split
+
     for sample_name, path in sample_files:
         merged.collection.reset_prev_sample_name()
         for cid in contig_names.get(sample_name, []):

@@ -137,19 +137,17 @@ def test_sharded_fallback_records_reach_shards(tmp_path):
 
 
 def test_jaxdist_rejects_concatenated_mode(tmp_path):
-    """Concatenated mode's grouping is defined by one global contig
-    stream; the distributed paths must reject it explicitly, not diverge
-    silently."""
+    """The pod path's in-band barriers follow the plain -c contig-block
+    schedule, which lockstep workers cannot reproduce — jaxdist must
+    reject -c explicitly, not diverge silently. (create_archive_sharded
+    DOES support plain -c via global-stream replay at the writer:
+    test_sharded_concatenated_byte_identical.)"""
     from agc_tpu.parallel.jaxdist import run_worker
 
     params = CompressorParams(concatenated_genomes=True)
     with pytest.raises(NotImplementedError):
         run_worker(0, 1, "127.0.0.1:1", str(tmp_path / "x.agc"),
                    ["nope.fa"], params)
-    with pytest.raises(NotImplementedError):
-        create_archive_sharded(
-            str(tmp_path / "y.agc"), ["nope.fa"], params, n_shards=2
-        )
 
 
 def _adaptive_fixture(tmp_path):
@@ -332,3 +330,66 @@ def test_shard_count_archive_growth_bounded(tmp_path):
         d.close()
     for n_shards in (2, 4, 8):
         assert sizes[n_shards] <= sizes[1] * 1.02, sizes
+
+
+def test_sharded_concatenated_byte_identical(tmp_path):
+    """-c sharding: the merge replays the GLOBAL contig stream with the
+    plain create's contig-block barrier schedule, so any shard count is
+    byte-identical to the plain (single-host) -c archive."""
+    import hashlib
+
+    from agc_tpu.core.compressor import create_archive
+
+    # pack_cardinality=3 with 2-contig files: -c contig blocks SPAN file
+    # boundaries (the capture must key segments by the contig's own
+    # file, not the ingestion cursor — a cursor-keyed capture silently
+    # dropped the earlier file's segments)
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=3,
+        min_match_len=15, concatenated_genomes=True,
+    )
+    # contig names unique across files (-c: every contig is a sample)
+    files = []
+    import numpy as np
+    from util import write_fa
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 4, 30000, dtype=np.uint8)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(5):
+        seq = base.copy()
+        idx = rng.choice(len(seq), 60, replace=False)
+        seq[idx] = (seq[idx] + 1 + rng.integers(0, 3, 60)) % 4
+        txt = alpha[seq].tobytes().decode()
+        p = str(tmp_path / f"g{i}.fa")
+        write_fa(p, [(f"ctg{i}a", txt[:18000]), (f"ctg{i}b", txt[18000:])])
+        files.append(p)
+
+    plain = str(tmp_path / "plain_c.agc")
+    create_archive(plain, files, params)
+    digests = {hashlib.sha256(open(plain, "rb").read()).hexdigest()}
+    for n in (1, 2, 3):
+        arc = str(tmp_path / f"c_sh{n}.agc")
+        create_archive_sharded(arc, files, params, n_shards=n)
+        digests.add(hashlib.sha256(open(arc, "rb").read()).hexdigest())
+    assert len(digests) == 1, "sharded -c archives diverge from plain -c"
+
+    # and the -c archive extracts: every contig is its own sample
+    d = Decompressor(plain)
+    names = d.list_samples()
+    assert "ctg0a" in names and "ctg4b" in names
+    d.close()
+
+
+def test_sharded_concatenated_rejects_adaptive(tmp_path):
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=2,
+        min_match_len=15, concatenated_genomes=True,
+        adaptive_compression=True,
+    )
+    files = make_collection(tmp_path, n_samples=2, contig_lens=(4000,))
+    with pytest.raises(NotImplementedError):
+        create_archive_sharded(
+            str(tmp_path / "x.agc"), [p for _, p in files], params,
+            n_shards=2,
+        )

@@ -129,6 +129,13 @@ class _PendingSeg:
     # device-computed anchor tables for the anchor LZ mode (set by the
     # store worker's prepass; None = compute on host / classic rule)
     anchor_tab: object = None
+    # shard-shipped LZ delta: (delta_bytes, ref_hash) computed against
+    # the boot-broadcast group reference; the writer uses it only after
+    # verifying its group's actual reference hash (parallel/distributed)
+    delta_hint: object = None
+    # boot-precompressed reference blob: (blob, meta, ref_hash); used by
+    # the group's FIRST member iff its bytes hash-match (zstd profile)
+    ref_blob_hint: object = None
 
     def materialize(self) -> bytes:
         # race-tolerant (the store worker and a matcher-side ensure_ref
@@ -2094,8 +2101,16 @@ class Compressor:
         kmer_front: Kmer,
         kmer_back: Kmer,
         device_hint: tuple[list, list[int]] | None = None,
+        delta_hint: tuple | None = None,
     ) -> int:
-        """Returns 1 when the segment was split into two parts, else 0."""
+        """Returns 1 when the segment was split into two parts, else 0.
+
+        ``delta_hint``: (pk, delta_bytes, ref_hash) shipped by a shard
+        (sharded create): the LZ delta of this segment against the
+        boot-broadcast reference of group ``pk``. Attached to the
+        pending segment only when the matcher's final pk equals the
+        hint's; the store verifies the group reference hash before
+        using the bytes, so a stale hint can never change the archive."""
         pk = PK_EMPTY
         store_rc = False
         segment_rc: np.ndarray | None = None
@@ -2212,13 +2227,22 @@ class Compressor:
             return arr.astype(np.uint8, copy=False).tobytes()
 
         def pending(part):
+            hint = (
+                delta_hint[1:]
+                if delta_hint is not None and delta_hint[0] == pk
+                else None
+            )
+            blobs = getattr(self, "_inv_ref_blobs", None)
+            rb_hint = blobs.get(pk) if blobs else None
             if store_rc and segment_rc is None:
                 return _PendingSeg(
-                    sample, contig, part, None, store_rc, raw=segment
+                    sample, contig, part, None, store_rc, raw=segment,
+                    delta_hint=hint, ref_blob_hint=rb_hint,
                 )
             return _PendingSeg(
                 sample, contig, part,
                 _bytes(segment_rc if store_rc else segment), store_rc,
+                delta_hint=hint, ref_blob_hint=rb_hint,
             )
 
         if not found:
@@ -2815,7 +2839,11 @@ class Compressor:
                 if gid < NO_RAW_GROUPS:
                     in_group_id = seg.add_raw(data)
                 else:
-                    in_group_id = seg.add(data, anchor_tab=it.anchor_tab)
+                    in_group_id = seg.add(
+                        data, anchor_tab=it.anchor_tab,
+                        delta_hint=it.delta_hint,
+                        ref_blob_hint=it.ref_blob_hint,
+                    )
                 self.timers.times["store_encode"] += (
                     time.perf_counter() - t0
                 )
@@ -2854,8 +2882,25 @@ class Compressor:
             def store_all(groups=groups):
                 anchor_prepass()
                 out = []
-                for g in groups:
-                    out.extend(store_group(g))
+                if (
+                    self._n_threads > 1
+                    and len(groups) > 4
+                    and self._entropy_batcher is None
+                ):
+                    # multi-core host: groups are independent until the
+                    # archive append, and LZ/zstd release the GIL — fan
+                    # the per-group encodes across cores (ordered
+                    # results keep placements deterministic)
+                    from concurrent.futures import (
+                        ThreadPoolExecutor as _TPE,
+                    )
+
+                    with _TPE(max_workers=self._n_threads) as pool:
+                        for placements in pool.map(store_group, groups):
+                            out.extend(placements)
+                else:
+                    for g in groups:
+                        out.extend(store_group(g))
                 if self._entropy_batcher is not None:
                     # one batched device dispatch for this barrier's parts
                     self._entropy_batcher.flush()

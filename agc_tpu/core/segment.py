@@ -341,6 +341,7 @@ class SegmentWriter:
         self.v_raw: list[bytes] = []
         self.ref_size = 0
         self._ref_preset = False
+        self._ref_hash = None  # blake2b-16 of the prepared reference
         self._ref_pending = None  # lazy preset (see preset_ref_lazy)
         self._ref_pending_lock = __import__("threading").Lock()
         # appending-mode rehydration state
@@ -391,6 +392,7 @@ class SegmentWriter:
         self.lz.prepare(seq)
         self.ref_size = len(seq) + 1
         self._ref_preset = True
+        self._ref_hash = None
 
     def preset_ref_lazy(self, pending) -> None:
         """Zero-copy variant of preset_ref: record the group's reference
@@ -403,6 +405,7 @@ class SegmentWriter:
         self._ref_pending = pending
         self.ref_size = pending.size() + 1
         self._ref_preset = True
+        self._ref_hash = None
 
     def ensure_ref(self) -> None:
         """Prepare the LZ reference from a lazy preset, once, from any
@@ -428,19 +431,54 @@ class SegmentWriter:
             return p.materialize()
         return self.lz.ref_bytes()
 
-    def add(self, seq: bytes, anchor_tab=None) -> int:
+    def _ref_hash_now(self):
+        """blake2b-16 of the prepared reference bytes (computed once per
+        prepared reference; used to validate shard-shipped deltas)."""
+        if self._ref_hash is None:
+            import hashlib
+
+            rb = self.lz.ref_bytes()
+            if rb is None:
+                return None
+            self._ref_hash = hashlib.blake2b(rb, digest_size=16).digest()
+        return self._ref_hash
+
+    def add(self, seq: bytes, anchor_tab=None, delta_hint=None,
+            ref_blob_hint=None) -> int:
         """LZ-encode vs the group reference (reference: segment.cpp:34-80).
 
         ``anchor_tab``: device-computed anchor tables for the anchor LZ
         mode (ops/match.py::anchor_tables); the emitted bytes are
         identical whether the tables come from the device or the host
-        twin, so this argument never changes the archive."""
+        twin, so this argument never changes the archive.
+
+        ``delta_hint``: (delta_bytes, ref_hash) computed by a shard
+        against the boot-broadcast group reference; used instead of
+        re-encoding ONLY when ref_hash matches this group's actual
+        prepared reference (the delta is then the pure function of the
+        same inputs, so the archive bytes are unchanged).
+
+        ``ref_blob_hint``: (blob, meta, ref_hash) - the boot-
+        precompressed reference part for this group's pk; stored
+        directly iff this first member's bytes hash-match (store_ref_
+        blob is deterministic, so the archive bytes are unchanged).
+        Skipped under a deferred-entropy sink (tpu-rans profile)."""
         self._ensure_unpacked()
         if self.no_seqs == 0:
             self.ensure_ref()
             if not self._ref_preset:
                 self.lz.prepare(seq)
-            self._store_ref(bytes(seq))
+                self._ref_hash = None
+            seq_b = bytes(seq)
+            used_blob = False
+            if ref_blob_hint is not None and self.entropy_batcher is None:
+                blob, meta, rh = ref_blob_hint
+                if rh == self._ref_hash_now():
+                    stream = self.name + ss_ref_ext(self.archive_version)
+                    self.writer.add_part_buffered(stream, blob, meta)
+                    used_blob = True
+            if not used_blob:
+                self._store_ref(seq_b)
             self.ref_size = len(seq) + 1
             self.no_seqs = 1
             return 0
@@ -448,7 +486,11 @@ class SegmentWriter:
             self._store_pack(self.v_lzp)
             self.v_lzp = []
         delta = None
-        if self.lz_mode == "anchor":
+        if delta_hint is not None:
+            self.ensure_ref()
+            if delta_hint[1] == self._ref_hash_now():
+                delta = delta_hint[0]
+        if delta is None and self.lz_mode == "anchor":
             self.ensure_ref()
             delta = self.lz.encode_anchor(bytes(seq), tables=anchor_tab)
         if delta is None:
@@ -536,6 +578,7 @@ class SegmentWriter:
             self._packed_ref = None
             self.lz.prepare(ref)
             self.ref_size = len(ref) + 1
+            self._ref_hash = None
         if self._packed_delta is not None:
             data, raw_size = self._packed_delta
             pack = bytes(data) if raw_size == 0 else zstd_decompress_tolerant(data)

@@ -92,6 +92,7 @@ class _CapturingCompressor(Compressor):
         cand_singletons=None,
         cand_duplicated=None,
         exchanger=None,
+        inventory=None,
     ):
         # bypass Compressor.__init__ archive plumbing: build state manually
         self.p = params
@@ -179,6 +180,16 @@ class _CapturingCompressor(Compressor):
         self._cur_cfile: str | None = None
         self._cfile_contigs: dict[str, list[str]] = {}
         self._ccontig_file: dict[str, str] = {}
+        # boot-broadcast group-reference inventory: pk -> (stored ref
+        # bytes, blake2b-16). Two-splitter segments whose pk is here get
+        # their LZ delta computed SHARD-SIDE against the true global
+        # group reference (groups born in the reference sample are
+        # created from exactly these bytes at the writer); the writer
+        # verifies the hash before reuse, so a wrong guess only costs a
+        # local re-encode, never archive bytes. This moves most of the
+        # merge's LZ wall onto the (parallel) shards.
+        self._inventory = inventory or {}
+        self._inv_lz: dict = {}
         # shard-local segment writers exist only to hold LZ contexts for
         # estimates; they never touch an archive
         for gid in range(NO_RAW_GROUPS):
@@ -235,15 +246,45 @@ class _CapturingCompressor(Compressor):
         part numbers are per-segment ordinals."""
         key = sample or self._ccontig_file.get(contig) or self._cur_cfile or ""
         self._current_sample = key
-        self.captured_segments.setdefault(key, []).append(
-            (
-                contig,
-                part_no,
-                segment.astype(np.uint8, copy=False).tobytes(),
-                (kmer_front.dir, kmer_front.rc, kmer_front.full),
-                (kmer_back.dir, kmer_back.rc, kmer_back.full),
-            )
+        rec = (
+            contig,
+            part_no,
+            segment.astype(np.uint8, copy=False).tobytes(),
+            (kmer_front.dir, kmer_front.rc, kmer_front.full),
+            (kmer_back.dir, kmer_back.rc, kmer_back.full),
         )
+        if (
+            kmer_front.full
+            and kmer_back.full
+            and self._inventory
+            and self._lz_mode() == "classic"
+        ):
+            a, b = kmer_front.data(), kmer_back.data()
+            pk = (a, b) if a < b else (b, a)
+            inv = self._inventory.get(pk)
+            if inv is not None:
+                ref_b, ref_h = inv
+                from ..core.compressor import _rc_numeric
+
+                stored = (
+                    rec[2]
+                    if a < b
+                    else _rc_numeric(segment)
+                    .astype(np.uint8, copy=False)
+                    .tobytes()
+                )
+                lz = self._inv_lz.get(pk)
+                if lz is None:
+                    from ..core.lz import LZDiff
+
+                    lz = LZDiff(
+                        self.p.min_match_len,
+                        v1_grammar=self.archive_version < 2000,
+                    )
+                    lz.prepare(ref_b)
+                    self._inv_lz[pk] = lz
+                rec = rec + (lz.encode(stored), ref_h)
+        self.captured_segments.setdefault(key, []).append(rec)
         return 0
 
     def _device_match_prepass(self, codes, cuts, cut_kmers) -> dict:
@@ -295,7 +336,7 @@ def _run_shard_task(args):
     what travels to the writer host (it is plain picklable data).
     """
     (params, splitter_set, shard_id, shard_files, fallback_records,
-     cand_singletons, cand_duplicated) = args
+     cand_singletons, cand_duplicated, inventory) = args
     # spawned workers must pick their platform BEFORE first device use;
     # a registered TPU plugin outranks the JAX_PLATFORMS env var, so the
     # choice is applied through the config (single-chip hosts set
@@ -311,6 +352,7 @@ def _run_shard_task(args):
     comp = _CapturingCompressor(
         params, splitter_set, shard_id, fallback_records,
         cand_singletons=cand_singletons, cand_duplicated=cand_duplicated,
+        inventory=inventory,
     )
     comp.add_sample_files(shard_files)
     return comp.result()
@@ -365,6 +407,55 @@ def create_archive_sharded(
         with __import__("contextlib").suppress(OSError):
             os.unlink(out_path + ".tmp0")
 
+    # Phase 1b: group-reference inventory. Scan+cut the REFERENCE
+    # sample with the boot splitters; every two-splitter pk it yields
+    # will be created at the writer from exactly these bytes (the merge
+    # replays samples in global order, reference first). Broadcasting
+    # {pk: (ref_bytes, hash)} lets shards compute LZ deltas against the
+    # TRUE global group references, killing most of the merge's LZ wall
+    # (on a pod: an all_gather of ~the reference sample). The writer
+    # hash-checks every shipped delta, so this is a pure optimization.
+    inventory = {}
+    inv_ref_blobs = {}
+    if os.environ.get("AGC_TPU_SHARD_INV", "1") != "0":
+        import hashlib
+
+        from ..core.compressor import _rc_numeric
+        from ..core.segment import store_ref_blob
+
+        inv_comp = _CapturingCompressor(
+            params, splitter_set, 0, fallback_records,
+            cand_singletons=cand_singletons,
+            cand_duplicated=cand_duplicated,
+        )
+        inv_comp.add_sample_files(sample_files[:1])
+        for segs in inv_comp.captured_segments.values():
+            for rec in segs:
+                kf, kb = rec[3], rec[4]
+                if not (kf[2] and kb[2]):
+                    continue
+                a, b = min(kf[0], kf[1]), min(kb[0], kb[1])
+                pk = (a, b) if a < b else (b, a)
+                if pk in inventory:
+                    continue
+                stored = rec[2]
+                if a >= b:
+                    stored = (
+                        _rc_numeric(np.frombuffer(stored, dtype=np.uint8))
+                        .astype(np.uint8, copy=False)
+                        .tobytes()
+                    )
+                h = hashlib.blake2b(stored, digest_size=16).digest()
+                inventory[pk] = (stored, h)
+                if params.profile == "zstd":
+                    # precompress the group-reference part too: the
+                    # writer stores it directly (hash-checked) instead
+                    # of re-running ref_payload+zstd at merge time -
+                    # ~40% of the measured merge-store wall
+                    blob, meta = store_ref_blob(stored, params.profile)
+                    inv_ref_blobs[pk] = (blob, meta, h)
+        del inv_comp
+
     # Phase 2: shard the samples round-robin and compress independently.
     # Adaptive mode here is SHARD-LOCAL: each shard grows its own splitter
     # table from its splitterless contigs (deterministic for a given shard
@@ -376,7 +467,7 @@ def create_archive_sharded(
         shards[i % n_shards].append(sf)
     tasks = [
         (params, splitter_set, sid, shards[sid], fallback_records,
-         cand_singletons, cand_duplicated)
+         cand_singletons, cand_duplicated, inventory)
         for sid in range(n_shards)
     ]
 
@@ -401,7 +492,8 @@ def create_archive_sharded(
     # a finished archive (same policy as Compressor.abort)
     try:
         merge_split = _merge_shards(
-            out_path, params, sample_files, splitter_set, results
+            out_path, params, sample_files, splitter_set, results,
+            inv_ref_blobs=inv_ref_blobs,
         )
     except BaseException:
         with __import__("contextlib").suppress(OSError):
@@ -423,7 +515,23 @@ def create_archive_sharded(
         print("AGC_TPU_SHARD_TIMINGS " + _json.dumps(out), file=_sys.stderr)
 
 
-def _merge_shards(out_path, params, sample_files, splitter_set, results):
+def _hint_of(rec):
+    """(pk, delta_bytes, ref_hash) from a 7-wide captured record, or
+    None. pk is recomputed from the boundary k-mers with the same rule
+    _add_segment uses, so the hint attaches only when the matcher's
+    final pk agrees (compressor.py _add_segment)."""
+    if len(rec) < 7:
+        return None
+    kf, kb = rec[3], rec[4]
+    if not (kf[2] and kb[2]):
+        return None
+    a, b = min(kf[0], kf[1]), min(kb[0], kb[1])
+    pk = (a, b) if a < b else (b, a)
+    return (pk, rec[5], rec[6])
+
+
+def _merge_shards(out_path, params, sample_files, splitter_set, results,
+                  inv_ref_blobs=None):
     from ..core.compressor import Compressor as _C
 
     merged = _C.__new__(_C)
@@ -440,6 +548,7 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
     from ..utils.profiling import StageTimers
 
     merged.timers = StageTimers()
+    merged._inv_ref_blobs = inv_ref_blobs or {}
     merged.map_segments = {PK_EMPTY: 0}
     merged.terminators = {}
     merged.v_segments = []
@@ -557,9 +666,8 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
                     continue
                 t0 = _time.perf_counter()
                 part_no = 0
-                for contig, _ord, data, kf, kb in segs_by_contig.get(
-                    cid, []
-                ):
+                for rec in segs_by_contig.get(cid, []):
+                    contig, _ord, data, kf, kb = rec[:5]
                     extra = merged._add_segment(
                         "",
                         contig,
@@ -567,6 +675,7 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
                         np.frombuffer(data, dtype=np.uint8),
                         Kmer(*kf),
                         Kmer(*kb),
+                        delta_hint=_hint_of(rec),
                     )
                     part_no += 1 + extra
                 split["merge_match_s"] += _time.perf_counter() - t0
@@ -590,7 +699,8 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
             merged.collection.register_sample_contig(sample_name, cid)
         part_no: dict[str, int] = {}
         t0 = _time.perf_counter()
-        for contig, _ord, data, kf, kb in per_sample.get(sample_name, []):
+        for rec in per_sample.get(sample_name, []):
+            contig, _ord, data, kf, kb = rec[:5]
             pn = part_no.get(contig, 0)
             extra = merged._add_segment(
                 sample_name,
@@ -599,16 +709,23 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results):
                 np.frombuffer(data, dtype=np.uint8),
                 Kmer(*kf),
                 Kmer(*kb),
+                delta_hint=_hint_of(rec),
             )
             part_no[contig] = pn + 1 + extra
         t1 = _time.perf_counter()
         split["merge_match_s"] += t1 - t0
         merged._register_segments()
-        merged._store_segments()
+        # async: zstd/LZ release the GIL, so this sample's store overlaps
+        # the NEXT sample's matching replay on the writer (the same
+        # store-worker pipeline the plain create uses); close() joins
+        merged._store_segments(async_ok=True)
         merged._pending_fallback.extend(fb_per_sample.get(sample_name, []))
         merged._merge_fallback_mappings()
         merged.processed_samples += 1
         if merged.processed_samples % params.pack_cardinality == 0:
+            # batch metadata serializes placements: in-flight async
+            # stores must land first (same join the plain barrier does)
+            merged._join_pending_store()
             merged.collection.store_contig_batch(
                 merged.writer,
                 merged.processed_samples - params.pack_cardinality,

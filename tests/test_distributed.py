@@ -407,3 +407,54 @@ def test_sharded_concatenated_rejects_adaptive(tmp_path):
             str(tmp_path / "x.agc"), [p for _, p in files], params,
             n_shards=2,
         )
+
+
+def test_delta_hint_hash_verification(tmp_path):
+    """SegmentWriter.add must ignore a shipped delta whose ref_hash does
+    not match the group's actual reference (the safety property that
+    makes shard-side delta shipping a pure optimization), and must
+    produce identical results when the hash does match."""
+    import hashlib
+
+    import numpy as np
+
+    from agc_tpu.core.archive import ArchiveWriter
+    from agc_tpu.core.lz import LZDiff
+    from agc_tpu.core.segment import SegmentWriter
+
+    rng = np.random.default_rng(9)
+    ref = rng.integers(0, 4, 5000, dtype=np.uint8).tobytes()
+    mem = bytearray(ref)
+    for p in rng.choice(5000, 12, replace=False):
+        mem[p] = (mem[p] + 1) % 4
+    mem = bytes(mem)
+
+    def build(hint):
+        w = ArchiveWriter(str(tmp_path / "t.agc"))
+        sw = SegmentWriter("xAA", w, 50, 20, 3000)
+        sw.add(ref)
+        gid = sw.add(mem, delta_hint=hint)
+        packed = list(sw.v_lzp)
+        w.close()
+        return gid, packed
+
+    base_gid, base_pack = build(None)
+
+    lz = LZDiff(20)
+    lz.prepare(ref)
+    good_delta = lz.encode(mem)
+    good_hash = hashlib.blake2b(ref, digest_size=16).digest()
+
+    # correct hint: same placement, same delta bytes
+    gid, pack = build((good_delta, good_hash))
+    assert (gid, pack) == (base_gid, base_pack)
+
+    # wrong hash: garbage delta MUST be ignored (writer re-encodes)
+    gid, pack = build((b"\x00garbage", b"x" * 16))
+    assert (gid, pack) == (base_gid, base_pack)
+
+    # right hash, different-but-valid delta bytes would be used verbatim
+    # (pure-function contract holds only for honestly computed deltas);
+    # the hash gate is what keeps stale/misrouted hints out
+    gid, pack = build((good_delta, hashlib.blake2b(b"other", digest_size=16).digest()))
+    assert (gid, pack) == (base_gid, base_pack)

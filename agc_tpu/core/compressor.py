@@ -441,6 +441,7 @@ class Compressor:
         self._mode = None
         self._n_threads = max(1, (os.cpu_count() or 2) // 2)
         self._store_pool = None  # persistent pool for async barrier stores
+        self._t_created = time.perf_counter()  # device_util wall window
         self._pending_store = None  # list of in-flight store futures
         self._pending_meta = []  # in-flight metadata batch compressions
         self._pending_reference = None  # deferred create-time discovery
@@ -1452,9 +1453,10 @@ class Compressor:
             for fname, path in sample_files:
                 self.collection.reset_prev_sample_name()
                 # capture hook (sharded -c): key captured segments by the
-                # input file so the merge can replay the global contig
+                # input file PATH — unique even when two inputs share a
+                # basename — so the merge can replay the global contig
                 # stream in file order (parallel/distributed.py)
-                self._concat_file_begin(fname)
+                self._concat_file_begin(path)
                 try:
                     contig_iter = list(read_contigs_raw(path))
                 except OSError:
@@ -1469,7 +1471,7 @@ class Compressor:
                             file=sys.stderr,
                         )
                         continue
-                    self._concat_contig_registered(fname, cid)
+                    self._concat_contig_registered(path, cid)
                     batch.append(("", cid, preprocess_raw_contig(raw, cid)))
                     any_batch = True
                     n_in_batch += 1
@@ -2833,9 +2835,9 @@ class Compressor:
                 seg = self._make_writer(gid)
                 self.v_segments[gid] = seg
             placements = []
+            t0 = time.perf_counter()
             for it in items:
                 data = it.materialize()
-                t0 = time.perf_counter()
                 if gid < NO_RAW_GROUPS:
                     in_group_id = seg.add_raw(data)
                 else:
@@ -2844,14 +2846,14 @@ class Compressor:
                         delta_hint=it.delta_hint,
                         ref_blob_hint=it.ref_blob_hint,
                     )
-                self.timers.times["store_encode"] += (
-                    time.perf_counter() - t0
-                )
                 placements.append(
                     (it.sample, it.contig, it.part_no, gid, in_group_id,
                      it.is_rc, len(data))
                 )
-            return placements
+            # timer accumulated ONCE per group by the orchestrating
+            # thread's caller (a concurrent += from the pool threads
+            # would lose updates); returned alongside the placements
+            return placements, time.perf_counter() - t0
 
         # async is safe in adaptive mode too: hard-contig reprocessing and
         # estimate paths join before reading group writers, and splitter
@@ -2882,6 +2884,7 @@ class Compressor:
             def store_all(groups=groups):
                 anchor_prepass()
                 out = []
+                enc_s = 0.0
                 if (
                     self._n_threads > 1
                     and len(groups) > 4
@@ -2896,11 +2899,17 @@ class Compressor:
                     )
 
                     with _TPE(max_workers=self._n_threads) as pool:
-                        for placements in pool.map(store_group, groups):
+                        for placements, dt in pool.map(
+                            store_group, groups
+                        ):
                             out.extend(placements)
+                            enc_s += dt
                 else:
                     for g in groups:
-                        out.extend(store_group(g))
+                        placements, dt = store_group(g)
+                        out.extend(placements)
+                        enc_s += dt
+                self.timers.times["store_encode"] += enc_s
                 if self._entropy_batcher is not None:
                     # one batched device dispatch for this barrier's parts
                     self._entropy_batcher.flush()
@@ -2908,14 +2917,17 @@ class Compressor:
 
             if self._pending_store is None:
                 self._pending_store = []
-            fut = self._store_pool.submit(store_all)
             # the job closure holds every buffered segment's bytes until
             # stored; record the volume so the backlog can be bounded by
             # BYTES, not barrier count (8 barriers of 500 MB assemblies
-            # held up to 4 GB — part of the round-4 5 Gbase RSS gap)
-            fut._agc_bytes = sum(
-                it.size() for g in groups for it in buf[g]
-            )
+            # held up to 4 GB — part of the round-4 5 Gbase RSS gap).
+            # Computed BEFORE submit: the worker sorts buf[g] in place
+            # and materialize() clears _PendingSeg.raw, so touching the
+            # buffers after submit races the job (size() could observe
+            # data=None then raw=None mid-publish).
+            job_bytes = sum(it.size() for g in groups for it in buf[g])
+            fut = self._store_pool.submit(store_all)
+            fut._agc_bytes = job_bytes
             self._pending_store.append(fut)
             # bound the in-flight queue (memory + placement lag)
             while len(self._pending_store) > 8 or (
@@ -2933,12 +2945,13 @@ class Compressor:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=self._n_threads) as pool:
-                all_placements = list(pool.map(store_group, groups))
+                results = list(pool.map(store_group, groups))
         else:
-            all_placements = [store_group(g) for g in groups]
+            results = [store_group(g) for g in groups]
         if self._entropy_batcher is not None:
             self._entropy_batcher.flush()
-        for placements in all_placements:
+        for placements, dt in results:
+            self.timers.times["store_encode"] += dt
             for args in placements:
                 self.collection.add_segment_placed(*args)
 
@@ -2962,8 +2975,12 @@ class Compressor:
             with contextlib.suppress(Exception):
                 self._store_pool.shutdown(wait=True, cancel_futures=True)
         if self._match_pool is not None:
+            # separate suppress blocks: a shutdown() exception must not
+            # skip stop() (that leaks the daemon worker + its
+            # _ALL_POOLS registration)
             with contextlib.suppress(Exception):
                 self._match_pool.shutdown(wait=True, cancel_futures=True)
+            with contextlib.suppress(Exception):
                 self._match_pool.stop(timeout=5.0)
             self._match_pool = None
         with contextlib.suppress(Exception):
@@ -3074,8 +3091,12 @@ class Compressor:
             # syms/s vs the measured ~40 Gsym/s chip ceiling
             from ..ops import kmers as _km
 
-            wall = sum(self.timers.times.values()) or 1.0
-            du = _km.device_util(wall)
+            # real wall window (stage timers double-count overlapped
+            # main-thread + store-worker seconds, deflating the metric)
+            wall = _time.perf_counter() - getattr(
+                self, "_t_created", _t_close
+            )
+            du = _km.device_util(wall or 1.0)
             print(
                 f"device_util: scan {du['achieved_syms_per_s'] / 1e6:.1f}"
                 f" Msym/s = {du['util_frac'] * 100:.3f}% of"

@@ -1543,8 +1543,12 @@ class DaemonPool:
 
             try:
                 while True:
-                    fut, *_ = self._q.get_nowait()
-                    fut.cancel()
+                    item = self._q.get_nowait()
+                    if item is None:  # stop sentinel (stop() raced us):
+                        # preserve it for the worker loop
+                        self._q.put(None)
+                        break
+                    item[0].cancel()
             except queue.Empty:
                 pass
         if wait:
@@ -1685,6 +1689,7 @@ def _startup_link_probe() -> None:
 
         inited = threading.Event()
         done = threading.Event()
+        failed = threading.Event()
         _STARTUP_DONE = done
 
         def probe():
@@ -1707,7 +1712,16 @@ def _startup_link_probe() -> None:
                 # overhead on this link; the adaptive flush quantum
                 # (ScanBatcher.__init__) scales from it
                 SCAN_STATS["link_rtt_s"] = time.monotonic() - t0
+            except BaseException:
+                failed.set()
+                raise
             finally:
+                # set inited too, so a FAST failure (missing jax /
+                # plugin raising in ms, before the timed leg) releases
+                # the caller immediately instead of eating the full
+                # 10 s init allowance; `failed` keeps the degraded
+                # verdict the timeout would have produced
+                inited.set()
                 done.set()
 
         threading.Thread(target=probe, daemon=True).start()
@@ -1716,7 +1730,11 @@ def _startup_link_probe() -> None:
         # 5 s for the 256 KB roundtrip itself; a WEDGED tunnel blocks
         # for minutes either way. A merely-slow link that passes here is
         # caught mid-run by the cumulative scan-wait demotion.
-        if not inited.wait(10.0) or not done.wait(5.0):
+        if (
+            not inited.wait(10.0)
+            or not done.wait(5.0)
+            or failed.is_set()
+        ):
             SCAN_STATS["last_demote_t"] = time.monotonic()
             _marker_set()
     except Exception:

@@ -315,8 +315,7 @@ class _CapturingCompressor(Compressor):
         res.fallback_by_sample = self.fallback_by_sample
         res.splitter_set = self._splitter_set
         if self.p.concatenated_genomes:
-            # -c: contigs keyed per input file, in ingestion order
-            res.sample_names = list(self._cfile_contigs)
+            # -c: contigs keyed per input file PATH, in ingestion order
             res.contig_names = {
                 f: list(c) for f, c in self._cfile_contigs.items()
             }
@@ -649,12 +648,12 @@ def _merge_shards(out_path, params, sample_files, splitter_set, results,
         # 1-shard -c create. Each contig registers as its own
         # collection sample (collection.register_sample_contig("", cid)).
         n_in_batch = 0
-        for sample_name, path in sample_files:
+        for _sample_name, path in sample_files:
             merged.collection.reset_prev_sample_name()
             segs_by_contig: dict[str, list] = {}
-            for rec in per_sample.get(sample_name, []):
+            for rec in per_sample.get(path, []):
                 segs_by_contig.setdefault(rec[0], []).append(rec)
-            for cid in contig_names.get(sample_name, []):
+            for cid in contig_names.get(path, []):
                 if not merged.collection.register_sample_contig("", cid):
                     import sys as _sys
 

@@ -19,7 +19,13 @@ toward the high-water mark — the standard allocator-cache tradeoff (the
 reference links mimalloc on MSVC builds for the same class of reason,
 reference makefile:17).
 
-AGC_TPU_MALLOC_TUNE=0 disables; non-glibc platforms are a silent no-op.
+Both knobs are process-wide import side effects, applied from
+agc_tpu/__init__ — the same tradeoff as the reference linking mimalloc:
+a library that embeds the compressor gets the allocator behavior the
+compressor was measured with. Each has its own opt-out, checked BEFORE
+anything is touched: AGC_TPU_MALLOC_TUNE=0 skips the glibc mallopt
+thresholds; AGC_TPU_NUMPY_HUGEPAGE=1 keeps numpy's hugepage madvise.
+Non-glibc platforms are a silent no-op.
 """
 
 from __future__ import annotations

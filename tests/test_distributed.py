@@ -458,3 +458,39 @@ def test_delta_hint_hash_verification(tmp_path):
     # the hash gate is what keeps stale/misrouted hints out
     gid, pack = build((good_delta, hashlib.blake2b(b"other", digest_size=16).digest()))
     assert (gid, pack) == (base_gid, base_pack)
+
+
+def test_sharded_concatenated_duplicate_basenames(tmp_path):
+    """-c with two input files sharing a BASENAME (dir1/x.fa, dir2/x.fa):
+    captures are keyed by file path, so both files' contigs must reach
+    the archive (a sample-name-keyed capture silently dropped one)."""
+    import numpy as np
+
+    from agc_tpu.core.compressor import create_archive
+    from util import write_fa
+
+    rng = np.random.default_rng(8)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = []
+    for i, sub in enumerate(("d1", "d2", "d3")):
+        (tmp_path / sub).mkdir()
+        seq = alpha[rng.integers(0, 4, 20000)].tobytes().decode()
+        p = str(tmp_path / sub / "x.fa")
+        write_fa(p, [(f"uctg{i}", seq)])
+        files.append(p)
+    params = CompressorParams(
+        kmer_length=17, segment_size=1000, pack_cardinality=2,
+        min_match_len=15, concatenated_genomes=True,
+    )
+    plain = str(tmp_path / "p.agc")
+    create_archive(plain, files, params)
+    arc = str(tmp_path / "s.agc")
+    create_archive_sharded(arc, files, params, n_shards=2)
+    dp, ds = Decompressor(plain), Decompressor(arc)
+    assert sorted(ds.list_samples()) == sorted(dp.list_samples()) == [
+        "uctg0", "uctg1", "uctg2"
+    ]
+    for cid in ("uctg0", "uctg1", "uctg2"):
+        assert ds.get_contig_seq(cid, cid) == dp.get_contig_seq(cid, cid)
+    dp.close()
+    ds.close()
